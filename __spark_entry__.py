@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Engine: osm_poi_matchmaker_spark — a PySpark-native POI match-and-conflate
+engine (see SURVEY.md). Queries below map 1:1 to SURVEY.md §2 operators;
+each has a DuckDB oracle over the same parquet tables. The synthetic POI
+domain (pages / osm_pois / poi_common) is derived deterministically from
+customer/part via integer arithmetic reproduced bit-identically in the
+oracle SQL (osm_poi_matchmaker_spark/synth_sql.py).
 """
 
 from __future__ import annotations
@@ -12,27 +13,129 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_poi_matchmaker_spark import synth, synth_sql
+from osm_poi_matchmaker_spark.extract.geotag import geotag_pages
+from osm_poi_matchmaker_spark.operators.knn import nearest_poi
+from osm_poi_matchmaker_spark.operators.match import match_pages
+from osm_poi_matchmaker_spark.plans.lineage import match_lineage
+from osm_poi_matchmaker_spark.tiling import cell_id
+
+
+def _pages_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return geotag_pages(synth.pages(spark, sf_dir))
+
+
+def _match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return match_pages(
+        _pages_geo(spark, sf_dir),
+        synth.osm_pois(spark, sf_dir),
+        synth.poi_common_df(spark),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full geotag → tile → match-cascade pipeline at sf0.001."""
+    return _q_match_cascade(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------- queries
+
+def _q_geotag_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pages_geo(spark, sf_dir).select(
+        "page_id", "url", "name", "lat", "lon", "city", "street", "housenumber", "csn", "ref"
+    )
+
+
+def _q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pages_geo(spark, sf_dir).select("page_id", "cell_id")
+
+
+def _q_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _pages_geo(spark, sf_dir)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
+def _q_match_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _match(spark, sf_dir).select(
+        "page_id",
+        "osm_id",
+        "node_type",
+        "stage",
+        "priority",
+        F.round("distance", 2).alias("distance_m"),
+        "poi_new",
+    )
+
+
+def _q_match_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return match_lineage(_match(spark, sf_dir))
+
+
+def _q_knn_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nearest_poi(_pages_geo(spark, sf_dir), synth.osm_pois(spark, sf_dir), 2000.0).select(
+        "page_id", "osm_id", F.round("distance", 2).alias("distance_m")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "geotag_extract": _q_geotag_extract,
+        "cell_assign": _q_cell_assign,
+        "cell_histogram": _q_cell_histogram,
+        "match_cascade": _q_match_cascade,
+        "match_lineage": _q_match_lineage,
+        "knn_nearest": _q_knn_nearest,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+_CELL = synth_sql.CELL_SQL.format(lat="lat", lon="lon")
+_GEO_FILTER = "lat IS NOT NULL AND lon IS NOT NULL"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    base = synth_sql.base_ctes()
+    match_base = base + "," + synth_sql.match_arms_sql()
+    hav_px = synth_sql.HAV.replace("p.lat", "px.lat").replace("p.lon", "px.lon")
+    return {
+        "geotag_extract": (
+            f"{base} SELECT page_id, url, name, lat, lon, city, street, housenumber, csn, ref "
+            f"FROM pages_x WHERE {_GEO_FILTER}"
+        ),
+        "cell_assign": (
+            f"{base} SELECT page_id, {_CELL} AS cell_id FROM pages_x WHERE {_GEO_FILTER}"
+        ),
+        "cell_histogram": (
+            f"{base} SELECT {_CELL} AS cell_id, COUNT(*) AS n_pages "
+            f"FROM pages_x WHERE {_GEO_FILTER} GROUP BY 1"
+        ),
+        "match_cascade": (
+            f"{match_base} "
+            "SELECT px.page_id, b.osm_id, b.node_type, b.stage, b.priority, "
+            "ROUND(b.distance, 2) AS distance_m, b.page_id IS NULL AS poi_new "
+            f"FROM pages_x px LEFT JOIN best b ON px.page_id = b.page_id WHERE {_GEO_FILTER}"
+        ),
+        "match_lineage": (
+            f"{match_base} "
+            "SELECT (cell >> 8) AS cell_bucket, MIN(cell) AS cell_min, MAX(cell) AS cell_max, "
+            "COUNT(*) AS input_rows, CAST(COUNT(osm_id) AS BIGINT) AS matched_rows, "
+            "CAST(SUM(CASE WHEN osm_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS new_rows "
+            f"FROM (SELECT px.page_id, {_CELL} AS cell, b.osm_id "
+            f"      FROM pages_x px LEFT JOIN best b ON px.page_id = b.page_id WHERE {_GEO_FILTER}) "
+            "GROUP BY 1"
+        ),
+        "knn_nearest": (
+            f"{base} SELECT page_id, osm_id, ROUND(distance, 2) AS distance_m FROM ("
+            f"  SELECT px.page_id, o.osm_id, {hav_px} AS distance "
+            f"  FROM pages_x px JOIN pois o ON {hav_px} < 2000.0 "
+            f"  WHERE {_GEO_FILTER.replace('lat', 'px.lat').replace('lon', 'px.lon')} "
+            "   QUALIFY ROW_NUMBER() OVER (PARTITION BY px.page_id ORDER BY distance, o.osm_id) = 1"
+            ")"
+        ),
+    }

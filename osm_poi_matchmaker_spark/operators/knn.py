@@ -1,0 +1,59 @@
+"""k-ring cell-expansion kNN — nearest-POI assignment.
+
+The reference's only kNN is a scipy ``cdist`` argmin over in-memory arrays
+(``libs/gis.py:14-42``); BASELINE.json's north_star requires the distributed
+analogue: "k-ring cell-expansion kNN for nearest-POI assignment".
+
+Strategy: a radius-bounded nearest-1 (or nearest-k) join. The coarse cell
+size is picked so a 3×3 ring covers the radius (tiling.coarse_mult_for_radius)
+→ constant 9× probe fan-out, join on the cell key, haversine post-filter,
+then a min-by window. Points with no candidate inside the radius are
+reported unmatched (left join, NULL osm_id) — at planetary scale an
+unbounded nearest-neighbor would force ring escalation loops; bounding the
+search radius keeps the plan a single shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..geo import haversine_m
+from ..tiling import coarse_cell_id, coarse_mult_for_radius, explode_ring3x3
+
+
+def nearest_poi(
+    points: DataFrame,
+    pois: DataFrame,
+    radius_m: float,
+    k: int = 1,
+    point_key: str = "page_id",
+) -> DataFrame:
+    """Top-k nearest POIs within ``radius_m`` of each point.
+
+    ``points`` needs (point_key, lat, lon); ``pois`` needs (osm_id, lat, lon).
+    Returns (point_key, osm_id, distance, knn_rank), only points with >=1
+    candidate in range (inner semantics — callers left-join if they need
+    the misses).
+    """
+    mult = coarse_mult_for_radius(radius_m)
+    probe = explode_ring3x3(
+        points.select(point_key, "lat", "lon"), "lat", "lon", mult, out="probe_cell"
+    )
+    cand = pois.select(
+        "osm_id", F.col("lat").alias("o_lat"), F.col("lon").alias("o_lon")
+    ).withColumn("cand_cell", coarse_cell_id(F.col("o_lat"), F.col("o_lon"), mult))
+
+    dist = haversine_m(F.col("lat"), F.col("lon"), F.col("o_lat"), F.col("o_lon"))
+    joined = (
+        probe.join(cand, F.col("probe_cell") == F.col("cand_cell"))
+        .withColumn("distance", dist)
+        .where(F.col("distance") < F.lit(float(radius_m)))
+    )
+    w = Window.partitionBy(point_key).orderBy("distance", "osm_id")
+    return (
+        joined.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+        .select(point_key, "osm_id", "distance", "knn_rank")
+    )

@@ -1,0 +1,233 @@
+"""Deterministic synthetic POI-domain tables derived from the driver's
+TPC-H-ish parquet (customer → ``pages``, part → ``osm_pois``).
+
+Why derive instead of random-generate: the correctness gate compares every
+Spark query against a DuckDB oracle over the SAME parquet inputs, so the
+synthetic web pages / OSM candidates must be reproducible in pure ANSI SQL.
+Every derivation below is integer arithmetic (multiply, mod) plus one final
+``CAST(x AS DOUBLE)/1e5`` — bit-identical across engines (verified by
+tests/test_oracle_parity.py). ``synth_sql.py`` carries the mirrored SQL.
+
+Shape follows BASELINE.json's ``input_hint``:
+    pages(url string, warc_ts timestamp, html binary, text string, lang string)
+and FIXTURES.md §2 for ``osm_pois`` / §3 for ``poi_common``.
+
+Placement design (mirrors FIXTURES.md §2 "positive & negative cases at each
+radius boundary"): page k and POI a share a base position when k == a; the
+POI is jittered by class ``a % 7``:
+
+    cls 0  →   0 m   (exact hit)
+    cls 1  →  ~9 m   (inside every radius)
+    cls 2  → ~44 m   (inside safe=70/posta, outside shop-safe=50)
+    cls 3  → ~200 m  (inside perfect=300 only)
+    cls 4  → ~445 m  (outside perfect → only distance-free attribute tiers)
+    cls 5  → ~33 m but decoy name        (name predicates must reject)
+    cls 6  → ~1.5 km east                (kNN range behavior)
+
+40% of pages/POIs cluster in a 4×6 km "Budapest" hotspot (mega-cell skew per
+BASELINE.json north_rule — exercises AQE skew handling and salting).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Brand dimension (analogue of poi_common, dao/data_structure.py:319-341)
+# poi_type drives the tag predicate (utils/poitypes.py:15-96 analogue);
+# distances follow utils/config.py:241-295 defaults (perfect 300 / safe 70 /
+# unsafe 5; shops 50, post office 250).
+# ---------------------------------------------------------------------------
+BRANDS = [
+    # pc_id, poi_code, poi_name, poi_type, search_rx, avoid_rx, d_perfect, d_safe, d_unsafe, ref_name
+    (0, "hutescoexp", "Tesco Expressz", "shop", "tesco expressz", None, 300, 50, 5, None),
+    (1, "hutescoext", "Tesco Extra", "shop", "tesco extra", None, 300, 50, 5, None),
+    (2, "huspar", "Spar", "shop", "spar", None, 300, 50, 5, None),
+    (3, "hualdi", "Aldi", "shop", "aldi", None, 300, 50, 5, None),
+    (4, "hulidl", "Lidl", "shop", "lidl", None, 300, 50, 5, None),
+    (5, "hucba", "CBA", "shop", "cba", None, 300, 50, 5, None),
+    (6, "humolpet", "MOL", "fuel", "mol", None, 300, 70, 5, None),
+    (7, "huomv", "OMV", "fuel", "omv", None, 300, 70, 5, None),
+    (8, "huposta", "Magyar Posta", "post_office", "magyar posta", None, 300, 250, 5, None),
+    (9, "humav", "MAV allomas", "railway_station", "mav allomas", None, 300, 70, 5, "mav"),
+    (10, "hukh", "KH Bank", "bank", "kh bank", None, 300, 70, 5, None),
+    (11, "huotp", "OTP Bank", "bank", "otp bank", "otp travel", 300, 70, 5, None),
+]
+
+COMMON_SCHEMA = T.StructType(
+    [
+        T.StructField("pc_id", T.IntegerType()),
+        T.StructField("poi_code", T.StringType()),
+        T.StructField("poi_name", T.StringType()),
+        T.StructField("poi_type", T.StringType()),
+        T.StructField("search_rx", T.StringType()),
+        T.StructField("avoid_rx", T.StringType()),
+        T.StructField("d_perfect", T.IntegerType()),
+        T.StructField("d_safe", T.IntegerType()),
+        T.StructField("d_unsafe", T.IntegerType()),
+        T.StructField("ref_name", T.StringType()),
+    ]
+)
+
+# Multipliers for the integer hash chains (fixed, documented, mirrored in SQL)
+M_LAT, M_LON, M_HOTLAT, M_HOTLON = 2654435761, 998244353, 48271, 69621
+HOT_LAT_E5, HOT_LON_E5 = 4749790, 1904020  # "Budapest" hotspot center
+
+
+def poi_common_df(spark: SparkSession) -> DataFrame:
+    """~12-row brand dimension — always broadcast (J1, create_db.py:253-256)."""
+    return spark.createDataFrame(BRANDS, COMMON_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Materialization: in production `pages` / `osm_pois` are stored Iceberg
+# tables; here we derive them once per scale factor and cache as parquet so
+# every query starts from a real columnar scan (predicate pushdown, column
+# pruning) instead of re-evaluating the wide synth expression — whose
+# codegen exceeds Janino's 64 KB method limit if inlined into each plan.
+# ---------------------------------------------------------------------------
+_CACHE_ROOT = os.environ.get(
+    "OPM_SYNTH_CACHE", os.path.join(tempfile.gettempdir(), "opm_synth_cache")
+)
+
+
+def _materialize(spark: SparkSession, sf_dir: str, name: str, builder) -> DataFrame:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_CACHE_ROOT, tag, name)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        builder(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `pages` input table (materialized-once parquet scan)."""
+    return _materialize(spark, sf_dir, "pages", pages_df)
+
+
+def osm_pois(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OSM candidate table (materialized-once parquet scan)."""
+    return _materialize(spark, sf_dir, "osm_pois", osm_pois_df)
+
+
+def _brand_name_col(key):
+    c = F.when(F.lit(False), F.lit(""))
+    for pc_id, _, name, *_ in BRANDS:
+        c = c.when(key % 12 == pc_id, F.lit(name))
+    return c.otherwise(F.lit(""))
+
+
+def _lat_lon_e5(key):
+    """Shared placement formula for pages(key=c_custkey) and pois(key=p_partkey)."""
+    hot = key % 5 < 2
+    lat = F.when(hot, F.lit(HOT_LAT_E5) + (key * M_HOTLAT) % 4000 - 2000).otherwise(
+        F.lit(4575000) + (key * M_LAT) % 280000
+    )
+    lon = F.when(hot, F.lit(HOT_LON_E5) + (key * M_HOTLON) % 6000 - 3000).otherwise(
+        F.lit(1615000) + (key * M_LON) % 670000
+    )
+    return lat.cast("long"), lon.cast("long")
+
+
+def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-style ``pages`` table (input_hint schema), one page per
+    customer row. The geotag / address payload is embedded in ``text`` (and
+    a minimal ``html``) so the extractor has real work to do."""
+    k = F.col("c_custkey")
+    lat_e5, lon_e5 = _lat_lon_e5(k)
+    name = _brand_name_col(k)
+    city = F.concat(F.lit("City"), (k % 50).cast("string"))
+    street = F.concat(F.lit("Street "), (k % 30).cast("string"))
+    hn = (k % 40 + 1).cast("string")
+    csn = F.when(k % 37 == 0, F.concat(k.cast("string"), F.lit("/2")))
+    ref = F.when(k % 12 == 9, F.concat(F.lit("MAV"), (k % 97).cast("string")))
+
+    text = F.concat(
+        F.lit("POI "),
+        name,
+        F.lit(" | geo:"),
+        lat_e5.cast("string"),
+        F.lit(","),
+        lon_e5.cast("string"),
+        F.lit(" | addr: "),
+        city,
+        F.lit(", "),
+        street,
+        F.lit(" "),
+        hn,
+        F.when(csn.isNotNull(), F.concat(F.lit(" hrsz "), csn)).otherwise(F.lit("")),
+        F.when(ref.isNotNull(), F.concat(F.lit(" ref "), ref)).otherwise(F.lit("")),
+    )
+    return (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            k.alias("page_id"),
+            F.concat(F.lit("https://cc.example/"), k.cast("string")).alias("url"),
+            F.timestamp_seconds(F.lit(1704067200).cast("long") + k % 86400).alias("warc_ts"),
+            F.encode(
+                F.concat(F.lit("<html><body><p>"), text, F.lit("</p></body></html>")), "UTF-8"
+            ).alias("html"),
+            text.alias("text"),
+            F.when(k % 10 < 8, F.lit("hu")).otherwise(F.lit("de")).alias("lang"),
+        )
+    )
+
+
+def osm_pois_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OSM-side candidate table (planet_osm_point/_polygon analogue),
+    one POI per part row, jittered per class (module docstring)."""
+    a = F.col("p_partkey")
+    lat_e5, lon_e5 = _lat_lon_e5(a)
+    cls = a % 7
+    lat_e5 = lat_e5 + (
+        F.when(cls == 1, 8)
+        .when(cls == 2, 40)
+        .when(cls == 3, 180)
+        .when(cls == 4, 400)
+        .when(cls == 5, 30)
+        .otherwise(0)
+    )
+    lon_e5 = lon_e5 + F.when(cls == 6, 2000).otherwise(0)
+
+    brand = a % 12
+    base_name = _brand_name_col(a)
+    name = F.when(cls == 5, F.concat(F.lit("Random Bolt "), a.cast("string"))).otherwise(base_name)
+    # avoid-name decoys: some OTP rows are "OTP Travel" (tier-990 exclusion)
+    name = F.when((brand == 11) & (a % 3 == 0), F.lit("OTP Travel")).otherwise(name)
+    # case variants — the cascade matches names case-insensitively (poi_base.py:193-211)
+    name = F.when(a % 29 == 0, F.upper(name)).otherwise(name)
+
+    hn_key = F.when(a % 11 == 0, (a + 1) % 40 + 1).otherwise(a % 40 + 1)
+    return (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select(
+            F.when(a % 3 == 2, -a).otherwise(a).cast("long").alias("osm_id"),
+            F.when(a % 3 == 0, F.lit("node"))
+            .when(a % 3 == 1, F.lit("way"))
+            .otherwise(F.lit("relation"))
+            .alias("node_type"),
+            name.alias("name"),
+            F.when(brand.isin(0, 5), F.lit("convenience"))
+            .when(brand.isin(1, 2, 3, 4), F.lit("supermarket"))
+            .alias("shop"),
+            F.when(brand.isin(6, 7), F.lit("fuel"))
+            .when(brand == 8, F.lit("post_office"))
+            .when(brand.isin(10, 11), F.lit("bank"))
+            .alias("amenity"),
+            F.when(brand == 9, F.lit("station")).alias("railway"),
+            F.concat(F.lit("City"), (a % 50).cast("string")).alias("addr_city"),
+            F.concat(F.lit("Street "), (a % 30).cast("string")).alias("addr_street"),
+            hn_key.cast("string").alias("addr_housenumber"),
+            F.when(a % 37 == 0, F.concat(a.cast("string"), F.lit("/2"))).alias(
+                "addr_conscriptionnumber"
+            ),
+            F.when(brand == 9, F.concat(F.lit("MAV"), (a % 97).cast("string"))).alias("ref_value"),
+            (lat_e5.cast("double") / 100000.0).alias("lat"),
+            (lon_e5.cast("double") / 100000.0).alias("lon"),
+        )
+    )

@@ -1,0 +1,144 @@
+"""Equal-angle tiling layer — the spatial join key of the whole engine.
+
+The reference (osm_poi_matchmaker) matches each POI with per-row PostGIS
+queries guarded by GiST indexes (``libs/osm_prepare.py:14-90``,
+``dao/poi_base.py:519-719``). At 10^12-page scale the analogue is a
+cell-keyed distributed join: every point gets a cell id, candidate sets are
+restricted to a k-ring of cells around the point, and the cell id doubles
+as the table layout key (partition/bucket column) so Catalyst prunes scans.
+
+We use an equal-angle grid instead of true H3/S2 (the h3 lib is not
+available here, and an arithmetic grid keeps the cell id a pure column
+expression — no UDF, no shuffle-side Python). Resolution is chosen so the
+cell size matches H3 res-9 (~174 m hex edge):
+
+    step   = 1/640 degree  → lat pitch 173.9 m; lon pitch 115–122 m over
+             the Hungarian bbox (lat 45.7–48.6).
+    x      = floor((lon + 180) * 640)   in [0, 230400)  < 2^18
+    y      = floor((lat +  90) * 640)   in [0, 115200)  < 2^17
+    cell   = y * 2^18 + x               (fits comfortably in int64)
+
+Everything is exact IEEE double arithmetic — the identical formula is
+reproducible in any ANSI SQL engine, which is how the DuckDB oracles in
+``__spark_entry__.py`` validate it.
+
+k-ring expansion (the reference's search-radius analogue,
+``dao/poi_base.py:528`` ``ST_DistanceSphere(way, point) < :distance``) is an
+``explode`` over (dx, dy) offsets — a built-in UDTF, no Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+GRID_MULT = 640.0  # cells per degree (1/640° ≈ H3 res-9 pitch)
+X_SPAN = 1 << 18  # row-major stride: cell = y * X_SPAN + x
+# Minimum metric cell dimension over the Hungarian bbox: lon pitch at the
+# northernmost latitude 48.6°N = 111320 * cos(48.6°) / 640 = 115.0 m.
+MIN_CELL_METERS = 115.0
+
+# SQL fragment mirrored by the DuckDB oracles (keep in sync with cell_id()).
+CELL_ID_SQL = (
+    "(CAST(FLOOR(({lat} + 90.0) * 640.0) AS BIGINT) * 262144 "
+    "+ CAST(FLOOR(({lon} + 180.0) * 640.0) AS BIGINT))"
+)
+
+
+def cell_x(lon: Column) -> Column:
+    return F.floor((lon + F.lit(180.0)) * F.lit(GRID_MULT)).cast("long")
+
+
+def cell_y(lat: Column) -> Column:
+    return F.floor((lat + F.lit(90.0)) * F.lit(GRID_MULT)).cast("long")
+
+
+def cell_id(lat: Column, lon: Column) -> Column:
+    """int64 cell id for a WGS84 point. Pure column expression."""
+    return cell_y(lat) * F.lit(X_SPAN) + cell_x(lon)
+
+
+def cell_of(df: DataFrame, lat: str = "lat", lon: str = "lon", out: str = "cell_id") -> DataFrame:
+    return df.withColumn(out, cell_id(F.col(lat), F.col(lon)))
+
+
+def kring_k_for_radius(radius_m: float) -> int:
+    """Smallest k such that a k-ring of cells covers a metric radius.
+
+    +1 guards the case where the query point sits on a cell border. The
+    guarantee (every point within radius_m of p lies in kring(cell(p), k))
+    is property-tested in tests/test_tiling.py.
+    """
+    return int(math.ceil(radius_m / MIN_CELL_METERS)) + 1
+
+
+def kring_cells(cell: Column, k: int) -> Column:
+    """Array of the (2k+1)^2 cell ids within Chebyshev distance k.
+
+    Built-in ``sequence``/``transform``/``flatten`` — stays inside
+    whole-stage codegen, no Python.
+    """
+    dxs = F.sequence(F.lit(-k), F.lit(k))
+    return F.flatten(
+        F.transform(
+            dxs,
+            lambda dy: F.transform(F.sequence(F.lit(-k), F.lit(k)), lambda dx: cell + dy * F.lit(X_SPAN) + dx),
+        )
+    )
+
+
+def explode_kring(
+    df: DataFrame, cell_col: str = "cell_id", k: int = 1, out: str = "probe_cell"
+) -> DataFrame:
+    """Explode each row into its k-ring: the probe side of a cell join.
+
+    Fan-out is (2k+1)^2 rows; at radius 300 m (reference distance_perfect,
+    ``utils/config.py:241-295``) k=4 → 81 cells. On the 100 TB path the
+    probe side is the smaller, already-filtered geotagged subset, and the
+    join key (probe_cell) aligns with the candidate table's layout.
+    """
+    return df.withColumn(out, F.explode(kring_cells(F.col(cell_col), k)))
+
+
+# ---------------------------------------------------------------------------
+# Coarse multi-resolution cells: radius-sized cells + a fixed 3×3 ring.
+#
+# A fine-cell k-ring at radius 300 m costs an 81× fan-out; at 10^12 pages
+# that IS the shuffle bottleneck. Instead, radius-bounded joins pick a
+# coarser grid whose minimum cell pitch >= the radius, so a 3×3 ring (9×
+# fan-out, constant) is guaranteed to cover it. The binding dimension over
+# the Hungarian bbox is the lon pitch at 48.6°N: 111320*cos(48.6°)/mult
+# = 73616/mult meters.
+# ---------------------------------------------------------------------------
+MAX_LON_METERS_PER_DEG = 73616.0  # at the northern edge of the HU bbox
+
+
+def coarse_mult_for_radius(radius_m: float) -> int:
+    """Largest power-of-two cells-per-degree whose min pitch >= radius_m."""
+    mult = 512
+    while mult > 1 and MAX_LON_METERS_PER_DEG / mult < radius_m:
+        mult //= 2
+    return mult
+
+
+def coarse_cell_id(lat: Column, lon: Column, mult: int) -> Column:
+    """Cell id on a coarser grid (same row-major layout, X_SPAN stride).
+
+    Ids are only comparable within one ``mult`` namespace — every ring join
+    uses a single mult on both sides.
+    """
+    y = F.floor((lat + F.lit(90.0)) * F.lit(float(mult))).cast("long")
+    x = F.floor((lon + F.lit(180.0)) * F.lit(float(mult))).cast("long")
+    return y * F.lit(X_SPAN) + x
+
+
+def explode_ring3x3(
+    df: DataFrame, lat: str, lon: str, mult: int, out: str = "probe_cell"
+) -> DataFrame:
+    """3×3 ring around the row's coarse cell — the probe side of a
+    radius-bounded join (fixed 9× fan-out regardless of radius)."""
+    cell = coarse_cell_id(F.col(lat), F.col(lon), mult)
+    offsets = F.array(*[F.lit(dy * X_SPAN + dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    return df.withColumn(out, F.explode(F.transform(offsets, lambda o: cell + o)))
