@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from osm_poi_matchmaker_spark import synth, synth_sql
 from osm_poi_matchmaker_spark.extract.geotag import geotag_pages
-from osm_poi_matchmaker_spark.operators.knn import nearest_poi
+from osm_poi_matchmaker_spark.operators.knn import nearest_poi_expanding
 from osm_poi_matchmaker_spark.operators.match import match_pages
 from osm_poi_matchmaker_spark.plans.lineage import match_lineage
 from osm_poi_matchmaker_spark.tiling import cell_id
@@ -77,9 +77,9 @@ def _q_match_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_knn_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return nearest_poi(_pages_geo(spark, sf_dir), synth.osm_pois(spark, sf_dir), 2000.0).select(
-        "page_id", "osm_id", F.round("distance", 2).alias("distance_m")
-    )
+    return nearest_poi_expanding(
+        _pages_geo(spark, sf_dir), synth.osm_pois(spark, sf_dir), radii=(250.0, 2000.0)
+    ).select("page_id", "osm_id", F.round("distance", 2).alias("distance_m"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

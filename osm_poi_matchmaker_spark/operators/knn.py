@@ -57,3 +57,34 @@ def nearest_poi(
         .where(F.col("knn_rank") <= k)
         .select(point_key, "osm_id", "distance", "knn_rank")
     )
+
+
+def nearest_poi_expanding(
+    points: DataFrame,
+    pois: DataFrame,
+    radii: tuple[float, ...] = (250.0, 2000.0),
+    k: int = 1,
+    point_key: str = "page_id",
+) -> DataFrame:
+    """Ring-expansion kNN: escalate the search radius only for misses.
+
+    In dense mega-cells a big radius examines thousands of candidates per
+    point even though the true NN is meters away; in sparse areas a small
+    radius finds nothing. Escalating rounds give exact same results as a
+    single pass at max(radii) — if the NN lies within a smaller radius it
+    is also the NN at every larger one — while the expensive wide ring only
+    runs on the (few) points the tight ring missed. This is the distributed
+    analogue of the north_star's "k-ring cell-expansion kNN".
+
+    Each round is a checkpoint-friendly narrow plan; at 10^12 scale rounds
+    would be separate jobs writing found/missing to Iceberg between them.
+    """
+    remaining = points
+    found = None
+    for r in sorted(radii):
+        hits = nearest_poi(remaining, pois, r, k=k, point_key=point_key)
+        found = hits if found is None else found.unionByName(hits)
+        remaining = remaining.join(
+            hits.select(point_key).distinct(), point_key, "left_anti"
+        )
+    return found

@@ -76,7 +76,32 @@ def with_common(pages_geo: DataFrame, common: DataFrame) -> DataFrame:
     return pages_geo.join(F.broadcast(common), pages_geo.name == common.poi_name, "inner")
 
 
-def _prep_pois(pois: DataFrame) -> DataFrame:
+def _prep_pois(pois: DataFrame, brand_rows: list) -> DataFrame:
+    """Project candidates + precompute per-POI brand-regex hits.
+
+    The reference evaluates ``LOWER(name) ~* LOWER(:name)`` inside every
+    per-POI SQL probe (poi_base.py:193-211). Naively porting that as an
+    rlike against the joined brand's pattern column recompiles the regex
+    PER JOINED ROW — catastrophic in mega-cells. Instead each candidate is
+    tagged ONCE with the array of brand ids whose search (and avoid) regex
+    matches its name: 12 literal-pattern rlikes evaluated per candidate,
+    compiled once per task by codegen. The hot join path then reduces to an
+    integer ``array_contains``.
+    """
+    name_lc = F.lower(F.col("name"))
+    brand_hits = F.array_compact(
+        F.array(
+            *[F.when(name_lc.rlike(rx), F.lit(int(pc))) for pc, rx, _ in brand_rows]
+        )
+    )
+    avoid_pairs = [(pc, av) for pc, _, av in brand_rows if av]
+    avoid_hits = (
+        F.array_compact(
+            F.array(*[F.when(name_lc.rlike(av), F.lit(int(pc))) for pc, av in avoid_pairs])
+        )
+        if avoid_pairs
+        else F.array().cast("array<int>")
+    )
     return pois.select(
         "osm_id",
         "node_type",
@@ -91,6 +116,8 @@ def _prep_pois(pois: DataFrame) -> DataFrame:
         "ref_value",
         F.col("lat").alias("o_lat"),
         F.col("lon").alias("o_lon"),
+        brand_hits.alias("brand_hits"),
+        avoid_hits.alias("avoid_hits"),
     )
 
 
@@ -101,14 +128,21 @@ def match_cascade(pages_geo: DataFrame, pois: DataFrame, common: DataFrame) -> D
     Returns one row per matched page: page_id, osm_id, node_type, stage,
     priority, distance (meters, full precision — round at the edge).
     """
+    # 12-row dimension: plan-time constants (regex set, max radius), not a
+    # data dependency — same trick as the reference's pc_id→type dict
+    # (online_poi_matching.py:44-45), but resolved once per plan.
+    common_rows = common.collect()
+    brand_rows = [(r["pc_id"], r["search_rx"], r["avoid_rx"]) for r in common_rows]
+    max_radius = max(r["d_perfect"] for r in common_rows)
     p = with_common(pages_geo, common)
-    o = _prep_pois(pois)
+    o = _prep_pois(pois, brand_rows)
 
     dist = haversine_m(F.col("lat"), F.col("lon"), F.col("o_lat"), F.col("o_lon"))
     tpred = type_predicate(F.col("poi_type"), F.col("shop"), F.col("amenity"), F.col("railway"))
-    name_ok = F.expr("lower(osm_name) rlike search_rx")
+    name_ok = F.array_contains(F.col("brand_hits"), F.col("pc_id"))
     avoid_ok = F.when(
-        F.col("avoid_rx").isNotNull(), ~F.expr("lower(osm_name) rlike avoid_rx")
+        F.col("avoid_rx").isNotNull(),
+        ~F.coalesce(F.array_contains(F.col("avoid_hits"), F.col("pc_id")), F.lit(False)),
     ).otherwise(F.lit(True))
 
     def arm(df: DataFrame, stage: int, priority: int) -> DataFrame:
@@ -156,7 +190,6 @@ def match_cascade(pages_geo: DataFrame, pois: DataFrame, common: DataFrame) -> D
     )
 
     # -- stage 5: the radius query — coarse-cell 3×3 ring join, 5 arms at once
-    max_radius = max(b[6] for b in _brand_rows(common))  # d_perfect column
     mult = coarse_mult_for_radius(max_radius)
     probe = explode_ring3x3(p, "lat", "lon", mult, out="probe_cell")
     cand = o.withColumn("cand_cell", coarse_cell_id(F.col("o_lat"), F.col("o_lon"), mult))
@@ -206,9 +239,3 @@ def match_pages(pages_geo: DataFrame, pois: DataFrame, common: DataFrame) -> Dat
         .join(best, "page_id", "left")
         .withColumn("poi_new", F.col("osm_id").isNull())
     )
-
-
-def _brand_rows(common: DataFrame):
-    # The brand dim is ~12 rows (broadcast anyway); collecting the max
-    # radius on the driver is a plan-time constant, not a data dependency.
-    return [tuple(r) for r in common.select("*").collect()]
