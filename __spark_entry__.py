@@ -15,12 +15,22 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from osm_poi_matchmaker_spark import synth, synth_sql
+from osm_poi_matchmaker_spark import oracles_docs, synth, synth_sql
 from osm_poi_matchmaker_spark.extract.geotag import geotag_pages
+from osm_poi_matchmaker_spark.functions.textstats import doc_stats
+from osm_poi_matchmaker_spark.operators import dedup, similarity
 from osm_poi_matchmaker_spark.operators.knn import nearest_poi_expanding
 from osm_poi_matchmaker_spark.operators.match import match_pages
 from osm_poi_matchmaker_spark.plans.lineage import match_lineage
 from osm_poi_matchmaker_spark.tiling import cell_id
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _pages_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,6 +92,36 @@ def _q_knn_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("page_id", "osm_id", F.round("distance", 2).alias("distance_m"))
 
 
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), n=3, num_perm=8, bands=4)
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash64(_docs(spark, sf_dir))
+
+
+def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_stats(_docs(spark, sf_dir))
+
+
+def _q_ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    return similarity.brute_force_topk(emb.where(F.col("vec_id") % 50 == 0), emb, k=5)
+
+
+def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    return similarity.lsh_topk(emb.where(F.col("vec_id") % 50 == 0), emb, dim=64, k=5, bits=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "geotag_extract": _q_geotag_extract,
@@ -90,6 +130,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_cascade": _q_match_cascade,
         "match_lineage": _q_match_lineage,
         "knn_nearest": _q_knn_nearest,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "doc_stats": _q_doc_stats,
+        "ann_topk_exact": _q_ann_topk_exact,
+        "ann_topk_lsh": _q_ann_topk_lsh,
     }
 
 
@@ -138,4 +185,11 @@ def oracle_sql() -> dict[str, str]:
             "   QUALIFY ROW_NUMBER() OVER (PARTITION BY px.page_id ORDER BY distance, o.osm_id) = 1"
             ")"
         ),
+        "dedup_exact": oracles_docs.dedup_exact_sql(),
+        "dedup_ngram_jaccard": oracles_docs.ngram_jaccard_sql(threshold=0.5),
+        "dedup_minhash_lsh": oracles_docs.minhash_lsh_sql(num_perm=8, bands=4),
+        "dedup_simhash": oracles_docs.simhash_sql(),
+        "doc_stats": oracles_docs.doc_stats_sql(),
+        "ann_topk_exact": oracles_docs.ann_exact_sql(k=5, query_mod=50),
+        "ann_topk_lsh": oracles_docs.ann_lsh_sql(k=5, bits=8, query_mod=50),
     }

@@ -1,0 +1,179 @@
+"""Deduplication operators over document corpora.
+
+The reference deduplicates POIs with keyed get-or-create lookups
+(``dao/data_handlers.py:220-312``: exact key match on
+(common_id, addr fields)) — the Spark analogues here generalize that to the
+web-scale families a 100 TB training-data pipeline needs:
+
+- exact dedup           → hash groupBy (K4 analogue)
+- n-gram Jaccard        → shingle explode + pair join (pg_trgm ``similarity``
+                          analogue, dao/poi_base.py:892-918)
+- MinHash + LSH         → per-permutation min over shingle hashes, banded
+                          bucket join (scale path: no all-pairs)
+- SimHash               → 64-bit weighted bit-vote fingerprint, hamming
+                          bucket join
+
+Everything is built-in expressions (md5/split/explode/agg); hashes are
+lexicographic min over md5 hex strings so any ANSI engine reproduces them
+(the DuckDB oracles do exactly that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def exact_dedup(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Exact-duplicate groups by full-text hash; keeps the lowest key as
+    canonical (deterministic — the reference keeps first-inserted,
+    data_handlers.py:238-247).
+
+    Returns (doc_id, canonical_id, group_size, is_duplicate).
+    """
+    h = F.md5(F.col(text))
+    w = Window.partitionBy("text_hash")
+    return (
+        docs.select(F.col(key), h.alias("text_hash"))
+        .withColumn("canonical_id", F.min(key).over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_duplicate", F.col(key) != F.col("canonical_id"))
+        .select(key, "canonical_id", "group_size", "is_duplicate")
+    )
+
+
+def shingles(text_col, n: int = 3):
+    """Word n-gram shingle array (distinct), from whitespace tokens."""
+    toks = F.split(text_col, " ")
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), n_sh)
+    return F.when(
+        n_sh > 0,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard >= threshold.
+
+    Explode shingles → self-join on shingle → count common → Jaccard from
+    inclusion-exclusion. Only pairs sharing >=1 shingle are ever considered
+    (candidate generation is the shingle join, not all-pairs), so cost is
+    bounded by shingle-frequency skew — at 100 TB, drop ultra-frequent
+    shingles first (stop-shingle filter), same idea as LSH banding.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sized = docs.select(
+        F.col(key), shingles(F.col(text), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    ex = sized.select(key, "n_sh", F.explode("sh").alias("shingle"))
+    a = ex.select(
+        F.col(key).alias("doc_a"), F.col("n_sh").alias("na"), "shingle"
+    )
+    b = ex.select(
+        F.col(key).alias("doc_b"), F.col("n_sh").alias("nb"), "shingle"
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return pairs
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    num_perm: int = 8,
+) -> DataFrame:
+    """MinHash signature per doc: permutation i = min over shingles of
+    md5(i || shingle) (hex string order — engine-portable, no bigint casts).
+
+    Returns (doc_id, perm, minhash).
+    """
+    ex = docs.select(F.col(key), F.explode(shingles(F.col(text), n)).alias("shingle"))
+    perms = ex.select(
+        key, "shingle", F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
+    )
+    h = F.md5(F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("shingle")))
+    return (
+        perms.withColumn("h", h)
+        .groupBy(key, "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    num_perm: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: band signature = concat of the band's minhashes;
+    docs sharing any band bucket are candidates. Returns distinct
+    (doc_a, doc_b) with doc_a < doc_b.
+
+    Scale path: the band-bucket join replaces the all-pairs comparison —
+    identical to bucketing the signature table by (band, band_sig).
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, key, text, n, num_perm).withColumn(
+        "band", F.floor(F.col("perm") / rows_per_band)
+    )
+    band_sigs = sigs.groupBy(key, "band").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("minhash"))).alias("band_sig")
+    )
+    a = band_sigs.select(F.col(key).alias("doc_a"), "band", "band_sig")
+    b = band_sigs.select(F.col(key).alias("doc_b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash64(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens (unit weights).
+
+    Bit b of the fingerprint is 1 iff more distinct tokens hash with bit b
+    set than clear; token hash = first 15 hex chars of md5 → 60-bit int
+    (portable: any engine can parse hex). Implemented as explode →
+    per-bit vote agg → bit reassembly. Returns (doc_id, simhash) as int64.
+    """
+    toks = docs.select(
+        F.col(key), F.explode(F.array_distinct(F.split(F.col(text), " "))).alias("tok")
+    )
+    h60 = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    bits = toks.select(
+        F.col(key),
+        h60.alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
+    ).withColumn("vote", F.expr("(h >> bit) & 1"))
+    votes = bits.groupBy(key, "bit").agg(
+        (F.sum("vote") * 2 > F.count(F.lit(1))).cast("long").alias("bitval")
+    )
+    return votes.groupBy(key).agg(
+        F.sum(F.expr("shiftleft(bitval, bit)")).alias("simhash")
+    )

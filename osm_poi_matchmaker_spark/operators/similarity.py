@@ -1,0 +1,127 @@
+"""Embedding similarity search (ANN) over ``array<float>`` columns.
+
+Baseline: brute-force cosine top-k via built-in array expressions
+(``zip_with`` dot product — JVM-side, no Python). Scale path: LSH-style
+bucketing on sign-random-projections so candidate generation is a bucket
+join instead of all-pairs (same structure as the tiling layer's cell join:
+bucket key = quantized signature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_key: str = "vec_id",
+    corpus_key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query side, score the whole
+    corpus, per-query window. At 100 TB the corpus side stays partitioned;
+    only queries broadcast. Self-matches (same key) are excluded.
+
+    Returns (query_id, match_id, cosine_sim, rank).
+    """
+    q = queries.select(
+        F.col(query_key).alias("query_id"), F.col(vec).alias("q_vec")
+    )
+    c = corpus.select(F.col(corpus_key).alias("match_id"), F.col(vec).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("match_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+    )
+
+
+def srp_signature(vec: Column, dim: int, bits: int = 8) -> Column:
+    """Sign-random-projection signature without external randomness: plane b
+    uses deterministic ±1 weights w(b, i) = +1 if ((i+1)*(b+3)) % 7 < 4 else
+    -1 — fixed, engine-portable arithmetic (documented so the oracle can
+    reproduce it). Returns a ``bits``-char '0'/'1' string bucket key."""
+    def bit(b: int) -> Column:
+        s = F.aggregate(
+            F.transform(
+                vec,
+                lambda x, i: x.cast("double")
+                * F.when(((i + 1) * (b + 3)) % 7 < 4, F.lit(1.0)).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(*[bit(b) for b in range(bits)])
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    bits: int = 8,
+    query_key: str = "vec_id",
+    corpus_key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's SRP bucket,
+    then exact cosine rank within the bucket. Bucket join replaces the
+    cross join — the corpus can be bucketed/partitioned by signature.
+
+    Returns (query_id, match_id, cosine_sim, rank) — approximate: vectors
+    hashed to other buckets are not considered.
+    """
+    q = queries.select(
+        F.col(query_key).alias("query_id"),
+        F.col(vec).alias("q_vec"),
+        srp_signature(F.col(vec), dim, bits).alias("sig"),
+    )
+    c = corpus.select(
+        F.col(corpus_key).alias("match_id"),
+        F.col(vec).alias("c_vec"),
+        srp_signature(F.col(vec), dim, bits).alias("sig"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "sig")
+        .where(F.col("query_id") != F.col("match_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+    )

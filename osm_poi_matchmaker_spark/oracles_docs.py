@@ -1,0 +1,164 @@
+"""DuckDB oracle SQL for the document / embedding operators.
+
+Mirrors operators/dedup.py, functions/textstats.py, operators/similarity.py
+expression-by-expression. Notes on portability quirks:
+
+- DuckDB ``regexp_replace`` needs the ``'g'`` flag (Spark's is global).
+- DuckDB lambda index params are 1-based (Spark's ``transform`` index is
+  0-based) — the SRP weight formula compensates.
+- ``list_sum``/``F.aggregate`` both fold in element order → identical
+  doubles; outputs are still rounded to 6 dp at the edge.
+"""
+
+from __future__ import annotations
+
+from .functions.textstats import STOPWORDS_EN, STOPWORDS_HU
+
+_TOKS = "list_filter(regexp_split_to_array({t}, '\\s+'), x -> x <> '')"
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1), "
+    "i -> array_to_string(toks[i:i+2], ' ')))"
+)
+
+
+def _in_list(words: tuple[str, ...]) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def dedup_exact_sql() -> str:
+    return """
+WITH d AS (SELECT doc_id, md5(text) AS text_hash FROM documents)
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY text_hash) AS canonical_id,
+       COUNT(*) OVER (PARTITION BY text_hash) AS group_size,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY text_hash) AS is_duplicate
+FROM d"""
+
+
+def _shingle_ctes() -> str:
+    return f"""
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM s)"""
+
+
+def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH {_shingle_ctes()},
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS common
+  FROM e a JOIN e b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b,
+       ROUND(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6) AS jaccard
+FROM pr
+WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= {threshold}"""
+
+
+def minhash_lsh_sql(num_perm: int = 8, bands: int = 4) -> str:
+    rpb = num_perm // bands
+    return f"""
+WITH {_shingle_ctes()},
+pp AS (SELECT doc_id, shingle, unnest(range(0, {num_perm})) AS perm FROM e),
+sig AS (SELECT doc_id, perm,
+               MIN(md5(CONCAT(CAST(perm AS STRING), '|', shingle))) AS minhash
+        FROM pp GROUP BY 1, 2),
+bs AS (SELECT doc_id, CAST(perm // {rpb} AS BIGINT) AS band,
+              array_to_string(list_sort(list(minhash)), ',') AS band_sig
+       FROM sig GROUP BY 1, 2)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bs a JOIN bs b ON a.band = b.band AND a.band_sig = b.band_sig
+WHERE a.doc_id < b.doc_id"""
+
+
+def simhash_sql() -> str:
+    return """
+WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents),
+hb AS (SELECT doc_id, CAST(CONCAT('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h,
+              unnest(range(0, 60)) AS bit
+       FROM tk),
+v AS (SELECT doc_id, bit,
+             CAST(SUM((h >> bit) & 1) * 2 > COUNT(*) AS BIGINT) AS bitval
+      FROM hb GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(bitval << bit) AS BIGINT) AS simhash FROM v GROUP BY 1"""
+
+
+def doc_stats_sql() -> str:
+    toks = _TOKS.format(t="text")
+    ltoks = _TOKS.format(t="lower(text)")
+    sw_en = f"len(list_filter({ltoks}, t -> t IN {_in_list(STOPWORDS_EN)}))"
+    sw_hu = f"len(list_filter({ltoks}, t -> t IN {_in_list(STOPWORDS_HU)}))"
+    n = f"len({toks})"
+    sw_ratio = f"(CASE WHEN {n} > 0 THEN CAST({sw_en} AS DOUBLE) / CAST({n} AS DOUBLE) ELSE 0.0 END)"
+    punct = "length(regexp_replace(text, '[^.,;:!?]', '', 'g'))"
+    pr_ratio = f"(CASE WHEN length(text) > 0 THEN CAST({punct} AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)"
+    tok_len_sum = f"list_sum(list_transform({toks}, t -> length(t)))"
+    mean_tok = f"(CASE WHEN {n} > 0 THEN CAST({tok_len_sum} AS DOUBLE) / CAST({n} AS DOUBLE) ELSE 0.0 END)"
+    quality = (
+        f"((CASE WHEN {n} >= 10 AND {n} <= 5000 THEN 1.0 ELSE 0.0 END)"
+        f" + (CASE WHEN {sw_ratio} >= 0.01 AND {sw_ratio} <= 0.6 THEN 1.0 ELSE 0.0 END)"
+        f" + (CASE WHEN {pr_ratio} <= 0.2 THEN 1.0 ELSE 0.0 END)) / 3.0"
+    )
+    lang = (
+        f"(CASE WHEN {sw_en} = 0 AND {sw_hu} = 0 THEN 'und' "
+        f"WHEN {sw_en} >= {sw_hu} THEN 'en' ELSE 'hu' END)"
+    )
+    return f"""
+SELECT doc_id,
+       {n} AS n_tokens,
+       length(text) AS n_chars_measured,
+       ROUND({sw_ratio}, 6) AS stopword_ratio,
+       ROUND({pr_ratio}, 6) AS punct_ratio,
+       ROUND({mean_tok}, 6) AS mean_token_len,
+       ROUND({quality}, 6) AS quality,
+       {lang} AS lang_guess,
+       md5(array_to_string({ltoks}, ' ')) AS fingerprint
+FROM documents"""
+
+
+_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
+)
+_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+def ann_exact_sql(k: int = 5, query_mod: int = 50) -> str:
+    cos = f"({_DOT.format(a='qe', b='ce')} / ({_NORM.format(a='qe')} * {_NORM.format(a='ce')}))"
+    return f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % {query_mod} = 0),
+pr AS (SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+              q.embedding AS qe, c.embedding AS ce
+       FROM embeddings c, q WHERE q.vec_id <> c.vec_id),
+s AS (SELECT query_id, match_id, {cos} AS cs FROM pr)
+SELECT query_id, match_id, ROUND(cs, 6) AS cosine_sim, rank FROM (
+  SELECT query_id, match_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
+  FROM s)
+WHERE rank <= {k}"""
+
+
+def ann_lsh_sql(k: int = 5, bits: int = 8, query_mod: int = 50) -> str:
+    # SRP signature; DuckDB lambda index i is 1-based == Spark's (i+1).
+    bit_exprs = []
+    for b in range(bits):
+        s = (
+            f"list_sum(list_transform({{v}}, (x, i) -> CAST(x AS DOUBLE) * "
+            f"(CASE WHEN (i * {b + 3}) % 7 < 4 THEN 1.0 ELSE -1.0 END)))"
+        )
+        bit_exprs.append(f"(CASE WHEN {s} >= 0 THEN '1' ELSE '0' END)")
+    sig = "CONCAT(" + ", ".join(bit_exprs) + ")"
+    cos = f"({_DOT.format(a='qe', b='ce')} / ({_NORM.format(a='qe')} * {_NORM.format(a='ce')}))"
+    return f"""
+WITH base AS (SELECT vec_id, embedding, {sig.format(v='embedding')} AS sig FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qe, sig FROM base WHERE vec_id % {query_mod} = 0),
+c AS (SELECT vec_id AS match_id, embedding AS ce, sig FROM base),
+s AS (SELECT query_id, match_id, {cos} AS cs
+      FROM c JOIN q USING (sig) WHERE query_id <> match_id)
+SELECT query_id, match_id, ROUND(cs, 6) AS cosine_sim, rank FROM (
+  SELECT query_id, match_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
+  FROM s)
+WHERE rank <= {k}"""
