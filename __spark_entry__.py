@@ -122,6 +122,55 @@ def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb.where(F.col("vec_id") % 50 == 0), emb, dim=64, k=5, bits=8)
 
 
+def _q_html_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-parity invariant: text extracted from pages.html (prettify
+    pipeline, pandas UDF) equals the stored text column for EVERY url."""
+    from osm_poi_matchmaker_spark.extract.html import html_text_udf
+
+    pages = synth.pages(spark, sf_dir)
+    return pages.select(
+        "page_id", (html_text_udf(F.col("html")) == F.col("text")).alias("text_matches")
+    )
+
+
+_HU_ADDRESS_GOLDENS = [
+    ("Gránátos u. 11.", "Gránátos utca", "11", None),
+    ("BERCSÉNYI U.1 2934/5 HRSZ", "Bercsényi Miklós utca", "1", "2934/5"),
+    ("Szérűskert utca 018910/23. hrsz. (Köles utca 1.)", "Szérűskert utca", None, "018910/23"),
+    ("Palotai út 6. (Fehér Palota Üzletközpont)", "Palotai út", "6", None),
+    ("Budai Vám 1.", "Budai Vám", "1", None),
+    ("Kaszás u. 2.-Dózsa György út 87.", "Dózsa György út", "87", None),
+    ("Bajcsy Zs. út 11.", "Bajcsy-Zsilinszky út", "11", None),
+    ("Hunyadi János út 19. - Savoya Park", "Hunyadi János út", "19", None),
+    ("Kölcsey F. utca 1.", "Kölcsey Ferenc utca", "1", None),
+    ("Bajcsy-Zs. E. u. 31.", "Bajcsy-Zsilinszky Endre utca", "31", None),
+    ("Bajcsy Zs.u. 77.", "Bajcsy-Zsilinszky utca", "77", None),
+    ("Dózsa Gy.u.6.", "Dózsa György utca", "6", None),
+    ("Krisztina krt. 65-67.", "Krisztina körút", "65-67", None),
+    ("Fő út 24.", "Fő út", "24", None),
+    ("Törvényház u. 4.", "Törvényház utca", "4", None),
+    ("Alkotás u. 53.", "Alkotás utca", "53", None),
+    ("Üllői út 129", "Üllői út", "129", None),
+]
+
+
+def _q_hu_address_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hungarian street/housenumber/hrsz extraction as a Spark plan
+    (pandas UDF); oracle carries the reference's golden outputs."""
+    from osm_poi_matchmaker_spark.functions.spark_udfs import extract_street_udf
+
+    src = spark.createDataFrame(
+        [(orig,) for orig, *_ in _HU_ADDRESS_GOLDENS], ["original"]
+    )
+    ex = src.withColumn("ex", extract_street_udf(F.col("original")))
+    return ex.select(
+        "original",
+        F.col("ex.street").alias("street"),
+        F.col("ex.housenumber").alias("housenumber"),
+        F.col("ex.conscriptionnumber").alias("conscriptionnumber"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "geotag_extract": _q_geotag_extract,
@@ -137,6 +186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "ann_topk_exact": _q_ann_topk_exact,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "html_text_parity": _q_html_text_parity,
+        "hu_address_extract": _q_hu_address_extract,
     }
 
 
@@ -192,4 +243,24 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": oracles_docs.doc_stats_sql(),
         "ann_topk_exact": oracles_docs.ann_exact_sql(k=5, query_mod=50),
         "ann_topk_lsh": oracles_docs.ann_lsh_sql(k=5, bits=8, query_mod=50),
+        "html_text_parity": (
+            # Invariant oracle: the engine-side extraction must reproduce
+            # the stored text for every page (BASELINE.json byte parity).
+            f"{base} SELECT page_id, TRUE AS text_matches FROM pages"
+        ),
+        "hu_address_extract": _hu_address_oracle_sql(),
     }
+
+
+def _hu_address_oracle_sql() -> str:
+    def lit(v):
+        return "CAST(NULL AS STRING)" if v is None else "'" + v.replace("'", "''") + "'"
+
+    rows = ", ".join(
+        f"({lit(o)}, {lit(s)}, {lit(h)}, {lit(c)})" for o, s, h, c in _HU_ADDRESS_GOLDENS
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(original, street, housenumber, conscriptionnumber)"
+    )

@@ -1,0 +1,152 @@
+"""HTML canonicalization + text extraction over ``pages.html`` (binary).
+
+The reference canonicalizes every downloaded HTML/XML document with
+``BeautifulSoup(content, 'html.parser').prettify()`` before parsing
+(``libs/soup.py:113-125``; CSV/JSON pass through verbatim). bs4 is not
+available in this environment, so :func:`prettify_html` reimplements the
+prettify output format on top of stdlib ``html.parser``:
+
+- every tag and every non-whitespace text node on its own line;
+- one-space indentation per nesting depth;
+- whitespace-only text dropped; text nodes stripped;
+- void elements (br, img, …) self-closing at their depth.
+
+The per-url byte-parity invariant (BASELINE.json:15) is enforced in tests:
+``html_to_text(prettify path) == pages.text`` for every synthetic page, and
+golden prettify fragments in tests/test_html_extract.py.
+
+Executed via ``mapInPandas``-style pandas UDFs — Arrow batches of binary →
+string, no per-row Python UDF calls in the plan.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.hu_address import clean_javascript_variable
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
+class _Prettifier(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.lines: list[str] = []
+        self.depth = 0
+
+    def _emit(self, text: str) -> None:
+        self.lines.append(" " * self.depth + text)
+
+    @staticmethod
+    def _fmt_attrs(attrs) -> str:
+        return "".join(
+            f' {k}="{v}"' if v is not None else f" {k}" for k, v in attrs
+        )
+
+    def handle_starttag(self, tag, attrs):
+        if tag in VOID_ELEMENTS:
+            self._emit(f"<{tag}{self._fmt_attrs(attrs)}/>")
+        else:
+            self._emit(f"<{tag}{self._fmt_attrs(attrs)}>")
+            self.depth += 1
+
+    def handle_startendtag(self, tag, attrs):
+        self._emit(f"<{tag}{self._fmt_attrs(attrs)}/>")
+
+    def handle_endtag(self, tag):
+        if tag in VOID_ELEMENTS:
+            return
+        self.depth = max(self.depth - 1, 0)
+        self._emit(f"</{tag}>")
+
+    def handle_data(self, data):
+        stripped = data.strip()
+        if stripped:
+            self._emit(stripped)
+
+
+class _TextCollector(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.chunks: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in ("script", "style"):
+            self._skip_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in ("script", "style") and self._skip_depth:
+            self._skip_depth -= 1
+
+    def handle_data(self, data):
+        if self._skip_depth == 0:
+            stripped = data.strip()
+            if stripped:
+                self.chunks.append(stripped)
+
+
+class _ScriptCollector(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.scripts: list[str] = []
+        self._in_script = False
+
+    def handle_starttag(self, tag, attrs):
+        self._in_script = tag == "script"
+
+    def handle_endtag(self, tag):
+        if tag == "script":
+            self._in_script = False
+
+    def handle_data(self, data):
+        if self._in_script and data.strip():
+            self.scripts.append(data)
+
+
+def prettify_html(raw: bytes | str) -> str:
+    """bs4-prettify-format canonical form (trailing newline included,
+    matching prettify())."""
+    text = raw.decode("utf-8", errors="replace") if isinstance(raw, (bytes, bytearray)) else raw
+    p = _Prettifier()
+    p.feed(text)
+    p.close()
+    return "\n".join(p.lines) + "\n"
+
+
+def html_to_text(raw: bytes | str, joiner: str = "\n") -> str:
+    """Visible text nodes (script/style excluded), stripped, joined."""
+    text = raw.decode("utf-8", errors="replace") if isinstance(raw, (bytes, bytearray)) else raw
+    c = _TextCollector()
+    c.feed(text)
+    c.close()
+    return joiner.join(c.chunks)
+
+
+def extract_javascript_variable(raw: bytes | str, varname: str):
+    """First ``var <name> = {...};`` payload found in any <script> tag —
+    vectorized analogue of libs/address.py:237-263."""
+    text = raw.decode("utf-8", errors="replace") if isinstance(raw, (bytes, bytearray)) else raw
+    sc = _ScriptCollector()
+    sc.feed(text)
+    sc.close()
+    for script in sc.scripts:
+        if f"var {varname}" in script or f"var  {varname}" in script:
+            return clean_javascript_variable(script.strip(), varname)
+    return None
+
+
+@F.pandas_udf(T.StringType())
+def prettify_udf(html: pd.Series) -> pd.Series:
+    return html.map(prettify_html, na_action="ignore")
+
+
+@F.pandas_udf(T.StringType())
+def html_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(html_to_text, na_action="ignore")

@@ -1,0 +1,111 @@
+"""Arrow-batched pandas UDF bridge for the scalar semantics layer.
+
+The reference applies its cleaners one record at a time inside provider
+loops; here every function is exposed as a vectorized pandas UDF (Arrow
+batch in, Arrow batch out — the sanctioned slow path per BASELINE.json
+"no per-row Python"). Regex-heavy Hungarian extraction can't be expressed
+in built-in column functions, so this is exactly the pandas-UDF tier of
+the design.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import hu_address as hu
+from .opening_hours import compile_opening_hours
+from .osm_misc import smart_postcode_check, url_tag_generator
+
+_STREET_STRUCT = T.StructType(
+    [
+        T.StructField("street", T.StringType()),
+        T.StructField("housenumber", T.StringType()),
+        T.StructField("conscriptionnumber", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(T.StringType())
+def clean_string_udf(s: pd.Series) -> pd.Series:
+    return s.map(hu.clean_string, na_action="ignore")
+
+
+@F.pandas_udf(T.StringType())
+def clean_city_udf(s: pd.Series) -> pd.Series:
+    return s.map(hu.clean_city, na_action="ignore")
+
+
+@F.pandas_udf(T.StringType())
+def clean_postcode_udf(s: pd.Series) -> pd.Series:
+    return s.map(hu.clean_postcode, na_action="ignore")
+
+
+@F.pandas_udf(T.StringType())
+def clean_url_udf(s: pd.Series) -> pd.Series:
+    return s.map(hu.clean_url, na_action="ignore")
+
+
+@F.pandas_udf(T.StringType())
+def clean_email_udf(s: pd.Series) -> pd.Series:
+    return s.map(hu.clean_email, na_action="ignore")
+
+
+@F.pandas_udf(T.StringType())
+def clean_phone_udf(s: pd.Series) -> pd.Series:
+    return s.map(hu.clean_phone_to_str, na_action="ignore")
+
+
+@F.pandas_udf(T.StringType())
+def extract_phone_udf(s: pd.Series) -> pd.Series:
+    return s.map(hu.extract_phone_number, na_action="ignore")
+
+
+@F.pandas_udf(_STREET_STRUCT)
+def extract_street_udf(s: pd.Series) -> pd.DataFrame:
+    rows = [hu.extract_street_housenumber_better_2(v) for v in s]
+    return pd.DataFrame(rows, columns=["street", "housenumber", "conscriptionnumber"])
+
+
+@F.pandas_udf(T.StringType())
+def url_tag_udf(base: pd.Series, website: pd.Series) -> pd.Series:
+    return pd.Series(
+        [url_tag_generator(b, w) for b, w in zip(base, website)], dtype="object"
+    )
+
+
+@F.pandas_udf(T.StringType())
+def smart_postcode_udf(
+    poi_pc: pd.Series, osm_pc: pd.Series, query_pc: pd.Series
+) -> pd.Series:
+    return pd.Series(
+        [
+            smart_postcode_check({"postcode": p}, {"postcode": o}, q)
+            for p, o, q in zip(poi_pc, osm_pc, query_pc)
+        ],
+        dtype="object",
+    )
+
+
+@F.pandas_udf(T.StringType())
+def opening_hours_udf(
+    non_stop: pd.Series, opens: pd.Series, closes: pd.Series,
+    lb_start: pd.Series, lb_stop: pd.Series, ph_open: pd.Series,
+) -> pd.Series:
+    """opens/closes are 7-element arrays (mo..su)."""
+    out = []
+    for ns, o, c, ls, le, ph in zip(non_stop, opens, closes, lb_start, lb_stop, ph_open):
+        o = list(o) if o is not None else [None] * 7
+        c = list(c) if c is not None else [None] * 7
+        out.append(
+            compile_opening_hours(
+                None if pd.isna(ns) else bool(ns),
+                [None if pd.isna(v) else v for v in o],
+                [None if pd.isna(v) else v for v in c],
+                None if pd.isna(ls) else ls,
+                None if pd.isna(le) else le,
+                None if pd.isna(ph) else bool(ph),
+            )
+        )
+    return pd.Series(out, dtype="object")
