@@ -122,6 +122,39 @@ def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb.where(F.col("vec_id") % 50 == 0), emb, dim=64, k=5, bits=8)
 
 
+def _q_pip_postcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: postcode lookup by point-in-polygon against broadcast boundary
+    polygons (ray-cast mapInPandas; -1 = outside every polygon)."""
+    from osm_poi_matchmaker_spark.operators.pip import point_in_polygon
+
+    polys = synth.postcode_polygons_df(spark, sf_dir)
+    located = point_in_polygon(_pages_geo(spark, sf_dir), polys)
+    return located.join(
+        F.broadcast(polys.select("poly_id", "postcode")), "poly_id", "left"
+    ).select("page_id", "poly_id", "postcode")
+
+
+def _q_fuzzy_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: dirty (city, postcode) → city dimension via the tiered fuzzy
+    cascade. Inputs are deterministically dirtied extraction outputs."""
+    from osm_poi_matchmaker_spark.operators.fuzzy import fuzzy_city_match
+
+    pg = _pages_geo(spark, sf_dir)
+    dirty_city = (
+        F.when(F.col("page_id") % 7 == 0, F.expr("replace(city, 'City', 'Cty')"))
+        .when(F.col("page_id") % 11 == 0, F.concat(F.col("city"), F.lit("x")))
+        .otherwise(F.col("city"))
+    )
+    zip_guess = (
+        F.lit(1000)
+        + (F.col("page_id") + F.when(F.col("page_id") % 13 == 0, 1).otherwise(0)) % 50
+    ).cast("string")
+    inputs = pg.select(
+        "page_id", dirty_city.alias("city"), zip_guess.alias("postcode")
+    )
+    return fuzzy_city_match(inputs, synth.city_dim_df(spark, sf_dir))
+
+
 def _q_html_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-parity invariant: text extracted from pages.html (prettify
     pipeline, pandas UDF) equals the stored text column for EVERY url."""
@@ -188,6 +221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_topk_lsh,
         "html_text_parity": _q_html_text_parity,
         "hu_address_extract": _q_hu_address_extract,
+        "pip_postcode": _q_pip_postcode,
+        "fuzzy_city": _q_fuzzy_city,
     }
 
 
@@ -249,6 +284,40 @@ def oracle_sql() -> dict[str, str]:
             f"{base} SELECT page_id, TRUE AS text_matches FROM pages"
         ),
         "hu_address_extract": _hu_address_oracle_sql(),
+        "pip_postcode": (
+            f"{base}, polys AS ("
+            "  SELECT CAST(n_nationkey AS INT) AS poly_id,"
+            "         CAST(1000 + n_nationkey AS STRING) AS postcode,"
+            "         45.699995 + CAST(FLOOR(n_nationkey / 5.0) AS INT) * 0.58 AS lat_min,"
+            "         16.099995 + (n_nationkey % 5) * 1.36 AS lon_min"
+            "  FROM nation) "
+            "SELECT px.page_id, COALESCE(p.poly_id, -1) AS poly_id, p.postcode "
+            "FROM pages_x px LEFT JOIN polys p"
+            "  ON px.lat >= p.lat_min AND px.lat <= p.lat_min + 0.58"
+            " AND px.lon >= p.lon_min AND px.lon <= p.lon_min + 1.36 "
+            f"WHERE {_GEO_FILTER.replace('lat', 'px.lat').replace('lon', 'px.lon')}"
+        ),
+        "fuzzy_city": (
+            f"{base}, "
+            "dim AS (SELECT DISTINCT CAST(s_suppkey % 50 AS INT) AS city_id,"
+            "        CONCAT('City', CAST(s_suppkey % 50 AS STRING)) AS city_name,"
+            "        CAST(1000 + s_suppkey % 50 AS STRING) AS city_post_code FROM supplier), "
+            "inp AS (SELECT page_id,"
+            "  CASE WHEN page_id % 7 = 0 THEN replace(city, 'City', 'Cty')"
+            "       WHEN page_id % 11 = 0 THEN CONCAT(city, 'x') ELSE city END AS city,"
+            "  CAST(1000 + (page_id + CASE WHEN page_id % 13 = 0 THEN 1 ELSE 0 END) % 50 AS STRING) AS postcode"
+            f"  FROM pages_x WHERE {_GEO_FILTER}), "
+            "j AS (SELECT i.page_id, d.city_id, d.city_name, d.city_post_code,"
+            "  levenshtein(lower(i.city), lower(d.city_name)) AS lev,"
+            "  CASE WHEN lower(i.city) = lower(d.city_name) AND i.postcode = d.city_post_code THEN 1"
+            "       WHEN levenshtein(lower(i.city), lower(d.city_name)) <= 2 AND i.postcode = d.city_post_code THEN 2"
+            "       WHEN levenshtein(lower(i.city), lower(d.city_name)) <= 2 THEN 3"
+            "       WHEN i.postcode = d.city_post_code THEN 4 END AS tier"
+            "  FROM inp i CROSS JOIN dim d) "
+            "SELECT page_id, city_id, city_name, city_post_code, tier, lev FROM j "
+            "WHERE tier IS NOT NULL "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY page_id ORDER BY tier, lev, city_id) = 1"
+        ),
     }
 
 

@@ -110,6 +110,62 @@ def pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize(spark, sf_dir, "pages", pages_df)
 
 
+# ---------------------------------------------------------------------------
+# Postcode polygons (analogue of boundary='postal_code' rows in
+# planet_osm_polygon, libs/osm.py:32-49): a 5×5 rectangle grid over the HU
+# bbox, one per nation row. Bounds are offset by 5e-6° so no synthetic
+# point (integer micro-degrees) ever lies exactly on an edge — PIP results
+# are then identical for any consistent boundary convention.
+# ---------------------------------------------------------------------------
+PC_LAT0, PC_LON0 = 45.699995, 16.099995
+PC_DLAT, PC_DLON = 0.58, 1.36
+
+
+def city_dim_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """City dimension (city table analogue, dao/data_structure.py:364-375):
+    unique (name, postcode) pairs derived from supplier keys."""
+    k = F.col("s_suppkey") % 50
+    return (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .select(
+            k.cast("int").alias("city_id"),
+            F.concat(F.lit("City"), k.cast("string")).alias("city_name"),
+            (F.lit(1000) + k).cast("string").alias("city_post_code"),
+        )
+        .distinct()
+    )
+
+
+def postcode_polygons_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = F.col("n_nationkey")
+    row_i, col_i = F.floor(n / 5).cast("int"), n % 5
+    lat_min = F.lit(PC_LAT0) + row_i * F.lit(PC_DLAT)
+    lon_min = F.lit(PC_LON0) + col_i * F.lit(PC_DLON)
+    lat_max, lon_max = lat_min + F.lit(PC_DLAT), lon_min + F.lit(PC_DLON)
+
+    def _f(c):
+        return F.format_number(c, 6).cast("string")
+
+    wkt = F.concat(
+        F.lit("POLYGON(("),
+        _f(lon_min), F.lit(" "), _f(lat_min), F.lit(","),
+        _f(lon_max), F.lit(" "), _f(lat_min), F.lit(","),
+        _f(lon_max), F.lit(" "), _f(lat_max), F.lit(","),
+        _f(lon_min), F.lit(" "), _f(lat_max), F.lit(","),
+        _f(lon_min), F.lit(" "), _f(lat_min),
+        F.lit("))"),
+    )
+    return spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        n.cast("int").alias("poly_id"),
+        (F.lit(1000) + n).cast("string").alias("postcode"),
+        lat_min.alias("lat_min"),
+        lat_max.alias("lat_max"),
+        lon_min.alias("lon_min"),
+        lon_max.alias("lon_max"),
+        wkt.alias("way_wkt"),
+    )
+
+
 def osm_pois(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OSM candidate table (materialized-once parquet scan)."""
     return _materialize(spark, sf_dir, "osm_pois", osm_pois_df)
