@@ -204,6 +204,96 @@ def _q_hu_address_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- §2 relational coverage (scans/filters/aggs/windows/set-ops/slicing) ---
+
+def _q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family aggregation (decimal-exact sums for engine-portable hashes)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # decimal aggregation = order-independent exactness; cast to
+            # double at the edge so both engines hand pandas float64
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_top_orders_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-family: top-3 orders per customer by totalprice (row_number)."""
+    from pyspark.sql.window import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"), "rnk")
+    )
+
+
+def _q_anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 semi/anti analogue of dedup-on-insert: keys not already present."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderstatus") == "F"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+def _q_union_event_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: UNION ALL of typed arms with an arm tag (node/way/relation shape)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = e.where(F.col("event_type") == "click").select(
+        "event_id", F.lit("click_arm").alias("arm"), F.round("value", 2).alias("value_r")
+    )
+    b = e.where(F.col("event_type") == "error").select(
+        "event_id", F.lit("error_arm").alias("arm"), F.round("value", 2).alias("value_r")
+    )
+    return a.unionByName(b)
+
+
+def _q_export_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7: postcode-sliced export groups — global order + row_number +
+    200-row slices (libs/export.py:144-166)."""
+    from pyspark.sql.window import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.orderBy(F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w) - 1)
+        .withColumn("slice", F.floor(F.col("rn") / 200))
+        .groupBy("slice")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+        )
+    )
+
+
+def _q_distinct_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: distinct brand codes of the harvested set (create_db.py:162)."""
+    return _pages_geo(spark, sf_dir).select("name").distinct()
+
+
+def _q_dedup_first_per_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: dropDuplicates-keep-first analogue, deterministic (min page_id
+    per city — hu_generic.py:46 semantics with a pinned order)."""
+    return (
+        _pages_geo(spark, sf_dir)
+        .groupBy("city")
+        .agg(F.min("page_id").alias("first_page"), F.count(F.lit(1)).alias("n"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "geotag_extract": _q_geotag_extract,
@@ -223,6 +313,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hu_address_extract": _q_hu_address_extract,
         "pip_postcode": _q_pip_postcode,
         "fuzzy_city": _q_fuzzy_city,
+        "agg_pricing_summary": _q_agg_pricing_summary,
+        "top_orders_window": _q_top_orders_window,
+        "anti_customers_no_orders": _q_anti_customers_no_orders,
+        "union_event_arms": _q_union_event_arms,
+        "export_slices": _q_export_slices,
+        "distinct_brands": _q_distinct_brands,
+        "dedup_first_per_city": _q_dedup_first_per_city,
     }
 
 
@@ -317,6 +414,45 @@ def oracle_sql() -> dict[str, str]:
             "SELECT page_id, city_id, city_name, city_post_code, tier, lev FROM j "
             "WHERE tier IS NOT NULL "
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY page_id ORDER BY tier, lev, city_id) = 1"
+        ),
+        "agg_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus,"
+            " CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,"
+            " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,"
+            " COUNT(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_orders_window": (
+            "SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total, rnk FROM ("
+            " SELECT o_custkey, o_orderkey, o_totalprice,"
+            "  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk"
+            " FROM orders) WHERE rnk <= 3"
+        ),
+        "anti_customers_no_orders": (
+            "SELECT c_custkey FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')"
+        ),
+        "union_event_arms": (
+            "SELECT event_id, 'click_arm' AS arm, ROUND(value, 2) AS value_r"
+            " FROM events WHERE event_type = 'click' "
+            "UNION ALL "
+            "SELECT event_id, 'error_arm' AS arm, ROUND(value, 2) AS value_r"
+            " FROM events WHERE event_type = 'error'"
+        ),
+        "export_slices": (
+            "SELECT slice, COUNT(*) AS n_rows, MIN(o_orderkey) AS first_key,"
+            " MAX(o_orderkey) AS last_key FROM ("
+            " SELECT o_orderkey,"
+            "  CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) / 200.0) AS BIGINT) AS slice"
+            " FROM orders) GROUP BY slice"
+        ),
+        "distinct_brands": (
+            f"{base} SELECT DISTINCT name FROM pages_x WHERE {_GEO_FILTER}"
+        ),
+        "dedup_first_per_city": (
+            f"{base} SELECT city, MIN(page_id) AS first_page, COUNT(*) AS n"
+            f" FROM pages_x WHERE {_GEO_FILTER} GROUP BY city"
         ),
     }
 
