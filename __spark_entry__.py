@@ -294,6 +294,23 @@ def _q_dedup_first_per_city(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cell_histogram_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mega-cell histogram via salted two-stage aggregation — results
+    identical to the plain groupBy (the oracle IS the plain groupBy)."""
+    from osm_poi_matchmaker_spark.operators.skew import salted_count
+
+    pg = _pages_geo(spark, sf_dir)
+    return salted_count(pg, "cell_id", n_salts=16, salt_source=F.col("page_id"), out="n_pages")
+
+
+def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregate (same fn drives the
+    Structured Streaming path — see streaming/events.py)."""
+    from osm_poi_matchmaker_spark.streaming.events import windowed_event_stats
+
+    return windowed_event_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "geotag_extract": _q_geotag_extract,
@@ -320,6 +337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_slices": _q_export_slices,
         "distinct_brands": _q_distinct_brands,
         "dedup_first_per_city": _q_dedup_first_per_city,
+        "cell_histogram_salted": _q_cell_histogram_salted,
+        "events_windowed": _q_events_windowed,
     }
 
 
@@ -453,6 +472,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_first_per_city": (
             f"{base} SELECT city, MIN(page_id) AS first_page, COUNT(*) AS n"
             f" FROM pages_x WHERE {_GEO_FILTER} GROUP BY city"
+        ),
+        "cell_histogram_salted": (
+            # the oracle is the UNSALTED aggregate — salting must not
+            # change results, only the shuffle shape
+            f"{base} SELECT {_CELL} AS cell_id, COUNT(*) AS n_pages "
+            f"FROM pages_x WHERE {_GEO_FILTER} GROUP BY 1"
+        ),
+        "events_windowed": (
+            "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,"
+            " event_type, COUNT(*) AS n_events,"
+            " CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+            "FROM events GROUP BY 1, 2"
         ),
     }
 
