@@ -294,6 +294,30 @@ def _q_dedup_first_per_city(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fuzzy_street(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: top-5 nearby roads by trigram/levenshtein name match within
+    600 m (codegen-only similarity — no UDF)."""
+    from osm_poi_matchmaker_spark.operators.fuzzy import fuzzy_street_match
+
+    return fuzzy_street_match(
+        _pages_geo(spark, sf_dir), synth.roads_df(spark, sf_dir), radius_m=600.0
+    )
+
+
+def _q_poi_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: row-identity hash of the extracted address key (sha256 twin of
+    the reference's sha512 — same canonicalization, oracle-checkable)."""
+    from osm_poi_matchmaker_spark.functions.hashing import poi_hash_256
+
+    pg = _pages_geo(spark, sf_dir)
+    return pg.select(
+        "page_id",
+        poi_hash_256(
+            F.col("name"), F.col("city"), F.col("street"), F.col("housenumber"), F.col("csn")
+        ).alias("poi_hash"),
+    )
+
+
 def _q_cell_histogram_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mega-cell histogram via salted two-stage aggregation — results
     identical to the plain groupBy (the oracle IS the plain groupBy)."""
@@ -339,6 +363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_first_per_city": _q_dedup_first_per_city,
         "cell_histogram_salted": _q_cell_histogram_salted,
         "events_windowed": _q_events_windowed,
+        "fuzzy_street": _q_fuzzy_street,
+        "poi_hash": _q_poi_hash,
     }
 
 
@@ -485,7 +511,50 @@ def oracle_sql() -> dict[str, str]:
             " CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY 1, 2"
         ),
+        "fuzzy_street": _fuzzy_street_oracle_sql(),
+        "poi_hash": (
+            f"{base} SELECT page_id, sha256(replace(lower("
+            "CONCAT(COALESCE(name, ''), COALESCE(city, ''), COALESCE(street, ''),"
+            " COALESCE(housenumber, ''), COALESCE(csn, ''))), ' ', '')) AS poi_hash "
+            f"FROM pages_x WHERE {_GEO_FILTER}"
+        ),
     }
+
+
+def _fuzzy_street_oracle_sql() -> str:
+    from osm_poi_matchmaker_spark.functions.textsim import trigram_similarity_sql
+    from osm_poi_matchmaker_spark.synth_sql import (
+        _lat_e5 as lat_e5_sql,
+        _lon_e5 as lon_e5_sql,
+    )
+
+    base = synth_sql.base_ctes()
+    hav = synth_sql.HAV.replace("p.lat", "px.lat").replace("p.lon", "px.lon")
+    hav = hav.replace("o.lat", "r.lat").replace("o.lon", "r.lon")
+    sim = trigram_similarity_sql("px.street", "r.road_name")
+    lev = "levenshtein(lower(px.street), lower(r.road_name))"
+    roads = (
+        "roads AS (SELECT CAST(a AS BIGINT) AS road_id,"
+        " CASE WHEN a % 19 = 0 THEN CONCAT('Boulevard ', CAST(a % 30 AS STRING))"
+        "      WHEN a % 17 = 0 THEN CONCAT('Stret ', CAST(a % 30 AS STRING))"
+        "      ELSE CONCAT('Street ', CAST(a % 30 AS STRING)) END AS road_name,"
+        f" CAST({lat_e5_sql('a')} + 25 AS DOUBLE) / 100000.0 AS lat,"
+        f" CAST({lon_e5_sql('a')} AS DOUBLE) / 100000.0 AS lon"
+        " FROM (SELECT p_partkey AS a FROM part))"
+    )
+    return (
+        f"{base}, {roads}, "
+        "sc AS (SELECT px.page_id, r.road_id, r.road_name,"
+        f" ROUND({sim}, 6) AS similarity, {lev} AS lev, {hav} AS distance"
+        f" FROM pages_x px JOIN roads r ON {hav} < 600.0"
+        f" WHERE px.lat IS NOT NULL AND px.lon IS NOT NULL"
+        f"  AND (lower(px.street) = lower(r.road_name) OR {sim} >= 0.49 OR {lev} < 5)) "
+        "SELECT page_id, road_id, road_name, similarity, lev,"
+        " ROUND(distance, 2) AS distance_m, rnk FROM ("
+        " SELECT *, ROW_NUMBER() OVER (PARTITION BY page_id"
+        "  ORDER BY similarity DESC, distance, road_id) AS rnk FROM sc)"
+        " WHERE rnk <= 5"
+    )
 
 
 def _hu_address_oracle_sql() -> str:

@@ -20,6 +20,67 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def fuzzy_street_match(
+    points: DataFrame,
+    roads: DataFrame,
+    radius_m: float = 600.0,
+    min_similarity: float = 0.49,
+    max_lev: int = 5,
+    top_k: int = 5,
+    point_key: str = "page_id",
+) -> DataFrame:
+    """J7: top-k nearby roads whose name fuzzy-matches the input street.
+
+    Reference (``dao/poi_base.py:871-944``): roads within 600 m where
+    exact OR dmetaphone OR trigram similarity >= 0.49 OR levenshtein < 5;
+    ``ORDER BY similarity DESC, distance ASC LIMIT 5``. Spark rebuild: a
+    coarse-cell ring join bounds the radius; the name predicate and the
+    pg_trgm-style similarity are pure column expressions
+    (functions/textsim.py) — whole-stage codegen, no UDF. (dmetaphone has
+    no portable implementation here; the predicate drops that one arm.)
+
+    ``points``: (point_key, lat, lon, street); ``roads``: (road_id,
+    road_name, lat, lon). Returns top_k per point with similarity, lev,
+    distance; road_id breaks exact ties deterministically.
+    """
+    from ..functions.textsim import trigram_similarity
+    from ..geo import haversine_m
+    from ..tiling import coarse_cell_id, coarse_mult_for_radius, explode_ring3x3
+
+    mult = coarse_mult_for_radius(radius_m)
+    probe = explode_ring3x3(
+        points.select(point_key, "lat", "lon", "street"), "lat", "lon", mult
+    )
+    cand = roads.select(
+        "road_id", "road_name", F.col("lat").alias("r_lat"), F.col("lon").alias("r_lon")
+    ).withColumn("cand_cell", coarse_cell_id(F.col("r_lat"), F.col("r_lon"), mult))
+
+    dist = haversine_m(F.col("lat"), F.col("lon"), F.col("r_lat"), F.col("r_lon"))
+    sim = trigram_similarity(F.col("street"), F.col("road_name"))
+    lev = F.levenshtein(F.lower(F.col("street")), F.lower(F.col("road_name")))
+    name_ok = (
+        (F.lower(F.col("street")) == F.lower(F.col("road_name")))
+        | (sim >= F.lit(min_similarity))
+        | (lev < F.lit(max_lev))
+    )
+    joined = (
+        probe.join(cand, F.col("probe_cell") == F.col("cand_cell"))
+        .withColumn("distance", dist)
+        .where((F.col("distance") < F.lit(radius_m)) & name_ok)
+        .withColumn("similarity", F.round(sim, 6))
+        .withColumn("lev", lev)
+    )
+    w = Window.partitionBy(point_key).orderBy(
+        F.desc("similarity"), F.asc("distance"), F.asc("road_id")
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+        .select(point_key, "road_id", "road_name", "similarity", "lev",
+                F.round("distance", 2).alias("distance_m"), "rnk")
+    )
+
+
 def fuzzy_city_match(
     inputs: DataFrame,
     city_dim: DataFrame,

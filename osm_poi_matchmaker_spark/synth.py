@@ -121,6 +121,26 @@ PC_LAT0, PC_LON0 = 45.699995, 16.099995
 PC_DLAT, PC_DLON = 0.58, 1.36
 
 
+def roads_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Road candidates (highway rows analogue) for the fuzzy street join:
+    placed ~28 m north of the shared anchor, names with typo/decoy
+    variants exercising each fuzzy predicate arm."""
+    a = F.col("p_partkey")
+    lat_e5, lon_e5 = _lat_lon_e5(a)
+    num = (a % 30).cast("string")
+    name = (
+        F.when(a % 19 == 0, F.concat(F.lit("Boulevard "), num))
+        .when(a % 17 == 0, F.concat(F.lit("Stret "), num))
+        .otherwise(F.concat(F.lit("Street "), num))
+    )
+    return spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        a.cast("long").alias("road_id"),
+        name.alias("road_name"),
+        ((lat_e5 + 25).cast("double") / 100000.0).alias("lat"),
+        (lon_e5.cast("double") / 100000.0).alias("lon"),
+    )
+
+
 def city_dim_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """City dimension (city table analogue, dao/data_structure.py:364-375):
     unique (name, postcode) pairs derived from supplier keys."""

@@ -1,0 +1,70 @@
+"""Export sink tests: GeoJSON shape, OSM-XML negative-id semantics,
+grouped partitioned write layout."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from osm_poi_matchmaker_spark.plans.export import (
+    geojson_feature,
+    osm_xml_nodes,
+    to_geojson_collection,
+    write_grouped_exports,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _matched(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as m
+
+    return m._match(spark, SF)
+
+
+def test_geojson_feature_shape(spark):
+    df = spark.createDataFrame(
+        [(1, 47.5, 19.0, "Tesco")], ["page_id", "lat", "lon", "name"]
+    )
+    feat = json.loads(
+        df.select(geojson_feature(df, ["page_id", "name"]).alias("f")).collect()[0]["f"]
+    )
+    assert feat["type"] == "Feature"
+    assert feat["geometry"]["coordinates"] == [19.0, 47.5]  # lon first (GeoJSON)
+    assert feat["properties"]["name"] == "Tesco"
+
+
+def test_geojson_collection_parses(spark):
+    df = _matched(spark).limit(5).select("page_id", "lat", "lon", "name")
+    col = json.loads(to_geojson_collection(df, ["page_id", "name"]))
+    assert col["type"] == "FeatureCollection"
+    assert len(col["features"]) == 5
+
+
+def test_osm_xml_new_ids_negative_decreasing(spark):
+    frags = osm_xml_nodes(
+        _matched(spark), tag_cols=["name"], lat="lat", lon="lon"
+    ).collect()
+    new_ids = []
+    for r in frags:
+        first_line = r["xml"].split("\n", 1)[0]
+        xml_id = int(first_line.split('id="')[1].split('"')[0])
+        if r["poi_new"]:
+            new_ids.append(xml_id)
+            assert xml_id < 0
+    # negative ids are distinct and dense -1..-N (order pinned by page_id)
+    assert sorted(new_ids) == list(range(-len(new_ids), 0))
+
+
+def test_grouped_export_layout(spark, tmp_path):
+    out = str(tmp_path / "exports")
+    write_grouped_exports(_matched(spark), out, group_col="name")
+    groups = [d for d in os.listdir(out) if d.startswith("name=")]
+    assert len(groups) >= 5  # one dir per brand present
+    inner = os.listdir(os.path.join(out, groups[0]))
+    assert any(d.startswith("export_group=") for d in inner)

@@ -1,0 +1,49 @@
+"""Physical-plan hygiene: these tests fail if a code change silently
+regresses scan pushdown, column pruning, or the broadcast of the brand
+dimension — the properties that make the plans survive a 100× scale-up."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entry_mod  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_geotag_pushdown_and_pruning(spark):
+    plan = plan_of(entry_mod._q_geotag_extract(spark, SF))
+    # lang filter reaches the parquet scan
+    assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:200]
+    # html (binary) and warc_ts are never read for the geotag projection
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "html" not in read_schema
+    assert "warc_ts" not in read_schema
+
+
+def test_match_broadcasts_brand_dim(spark):
+    plan = plan_of(entry_mod._q_match_cascade(spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    # the cascade must not degenerate into an unconstrained cross join
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_no_cartesian(spark):
+    plan = plan_of(entry_mod._q_knn_nearest(spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_pricing_agg_partial_aggregation(spark):
+    plan = plan_of(entry_mod._q_agg_pricing_summary(spark, SF), mode="simple")
+    # map-side partial aggregation before the shuffle
+    assert plan.count("HashAggregate") >= 2
