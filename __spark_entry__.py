@@ -304,6 +304,29 @@ def _q_fuzzy_street(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_building_relocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: unmatched (new) POIs snap onto a same-address building within
+    60 m; target point from the reference's name-derived fraction."""
+    from osm_poi_matchmaker_spark.operators.relocate import relocate_new_pois
+
+    matched = _match(spark, sf_dir)
+    new_keys = matched.where(F.col("poi_new")).select("page_id")
+    new_pois = _pages_geo(spark, sf_dir).join(new_keys, "page_id")
+    return relocate_new_pois(new_pois, synth.buildings_df(spark, sf_dir))
+
+
+def _q_qc_in_water(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: in-water QC flag via the broadcast PIP join against water
+    polygons (reference flags matches < 1 m from water)."""
+    from osm_poi_matchmaker_spark.operators.pip import point_in_polygon
+
+    water = synth.water_polygons_df(spark)
+    located = point_in_polygon(_pages_geo(spark, sf_dir), water)
+    return located.select(
+        "page_id", (F.col("poly_id") != -1).alias("in_water")
+    )
+
+
 def _q_poi_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13: row-identity hash of the extracted address key (sha256 twin of
     the reference's sha512 — same canonicalization, oracle-checkable)."""
@@ -365,6 +388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _q_events_windowed,
         "fuzzy_street": _q_fuzzy_street,
         "poi_hash": _q_poi_hash,
+        "building_relocation": _q_building_relocation,
+        "qc_in_water": _q_qc_in_water,
     }
 
 
@@ -512,6 +537,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         "fuzzy_street": _fuzzy_street_oracle_sql(),
+        "building_relocation": _building_relocation_oracle_sql(),
+        "qc_in_water": (
+            f"{base}, water AS (SELECT * FROM (VALUES"
+            " (0, 47.492995, 47.503005, 19.024995, 19.045005),"
+            " (1, 46.199995, 46.400005, 17.499995, 17.900005),"
+            " (2, 47.799995, 48.000005, 20.499995, 20.800005)"
+            ") AS t(poly_id, lat_min, lat_max, lon_min, lon_max)) "
+            "SELECT px.page_id, COUNT(w.poly_id) > 0 AS in_water "
+            "FROM pages_x px LEFT JOIN water w"
+            "  ON px.lat >= w.lat_min AND px.lat <= w.lat_max"
+            " AND px.lon >= w.lon_min AND px.lon <= w.lon_max "
+            f"WHERE {_GEO_FILTER.replace('lat', 'px.lat').replace('lon', 'px.lon')} "
+            "GROUP BY px.page_id"
+        ),
         "poi_hash": (
             f"{base} SELECT page_id, sha256(replace(lower("
             "CONCAT(COALESCE(name, ''), COALESCE(city, ''), COALESCE(street, ''),"
@@ -519,6 +558,43 @@ def oracle_sql() -> dict[str, str]:
             f"FROM pages_x WHERE {_GEO_FILTER}"
         ),
     }
+
+
+def _building_relocation_oracle_sql() -> str:
+    from osm_poi_matchmaker_spark.synth_sql import (
+        _lat_e5 as lat_e5_sql,
+        _lon_e5 as lon_e5_sql,
+    )
+
+    match_base = synth_sql.base_ctes() + "," + synth_sql.match_arms_sql()
+    hav = (
+        synth_sql.HAV.replace("p.lat", "n.lat")
+        .replace("p.lon", "n.lon")
+        .replace("o.lat", "bd.lat")
+        .replace("o.lon", "bd.lon")
+    )
+    ibp = "abs(1.0 - ((FLOOR(ascii(substr(n.name, 1, 1)) / 16.0) + 1) / 17.0))"
+    return f"""{match_base},
+newp AS (SELECT px.* FROM pages_x px LEFT JOIN best b ON px.page_id = b.page_id
+         WHERE b.page_id IS NULL AND px.lat IS NOT NULL AND px.lon IS NOT NULL),
+bld AS (SELECT CAST(a AS BIGINT) AS building_id,
+               CONCAT('Street ', CAST(a % 30 AS STRING)) AS b_street,
+               CAST(a % 40 + 1 AS STRING) AS b_housenumber,
+               CAST({lat_e5_sql('a')} - 15 AS DOUBLE) / 100000.0 AS lat,
+               CAST({lon_e5_sql('a')} + 15 AS DOUBLE) / 100000.0 AS lon
+        FROM (SELECT p_partkey AS a FROM part)),
+j AS (SELECT n.page_id, bd.building_id, n.name, n.lat AS p_lat, n.lon AS p_lon,
+             bd.lat AS b_lat, bd.lon AS b_lon, {hav} AS distance
+      FROM newp n JOIN bld bd
+        ON lower(n.street) = lower(bd.b_street)
+       AND lower(n.housenumber) = lower(bd.b_housenumber)
+       AND {hav} < 60.0)
+SELECT page_id, building_id,
+       ROUND(b_lat + (p_lat - b_lat) * {ibp.replace('n.name', 'name')}, 9) AS new_lat,
+       ROUND(b_lon + (p_lon - b_lon) * {ibp.replace('n.name', 'name')}, 9) AS new_lon,
+       ROUND(distance, 2) AS distance_m
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY page_id ORDER BY distance, building_id) AS rn
+      FROM j) WHERE rn = 1"""
 
 
 def _fuzzy_street_oracle_sql() -> str:

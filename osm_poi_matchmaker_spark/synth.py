@@ -141,6 +141,45 @@ def roads_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def buildings_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Building candidates for the relocation join (J3): centroid ~21 m
+    from the shared anchor, same street + housenumber."""
+    a = F.col("p_partkey")
+    lat_e5, lon_e5 = _lat_lon_e5(a)
+    return spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        a.cast("long").alias("building_id"),
+        F.concat(F.lit("Street "), (a % 30).cast("string")).alias("b_street"),
+        (a % 40 + 1).cast("string").alias("b_housenumber"),
+        ((lat_e5 - 15).cast("double") / 100000.0).alias("lat"),
+        ((lon_e5 + 15).cast("double") / 100000.0).alias("lon"),
+    )
+
+
+def water_polygons_df(spark: SparkSession) -> DataFrame:
+    """Three fixed water rectangles (water QC J6, poi_base.py:851-869):
+    one overlapping the Budapest hotspot, two rural."""
+    # bounds carry a 5e-6 offset (same trick as the postcode grid) so no
+    # integer-micro-degree point sits exactly on an edge
+    rows = [
+        (0, 47.492995, 47.503005, 19.024995, 19.045005),
+        (1, 46.199995, 46.400005, 17.499995, 17.900005),
+        (2, 47.799995, 48.000005, 20.499995, 20.800005),
+    ]
+    df = spark.createDataFrame(
+        rows, "poly_id int, lat_min double, lat_max double, lon_min double, lon_max double"
+    )
+    wkt = F.concat(
+        F.lit("POLYGON(("),
+        F.col("lon_min").cast("string"), F.lit(" "), F.col("lat_min").cast("string"), F.lit(","),
+        F.col("lon_max").cast("string"), F.lit(" "), F.col("lat_min").cast("string"), F.lit(","),
+        F.col("lon_max").cast("string"), F.lit(" "), F.col("lat_max").cast("string"), F.lit(","),
+        F.col("lon_min").cast("string"), F.lit(" "), F.col("lat_max").cast("string"), F.lit(","),
+        F.col("lon_min").cast("string"), F.lit(" "), F.col("lat_min").cast("string"),
+        F.lit("))"),
+    )
+    return df.withColumn("way_wkt", wkt)
+
+
 def city_dim_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """City dimension (city table analogue, dao/data_structure.py:364-375):
     unique (name, postcode) pairs derived from supplier keys."""
