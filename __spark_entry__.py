@@ -327,6 +327,18 @@ def _q_qc_in_water(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload → decode+featurize via
+    mapInPandas (decode stubbed — no codecs in this environment — so this
+    is a rows-only check; determinism is pytest-verified)."""
+    from osm_poi_matchmaker_spark.operators.multimodal import (
+        decode_and_featurize,
+        synth_assets,
+    )
+
+    return decode_and_featurize(synth_assets(synth.pages(spark, sf_dir)))
+
+
 def _q_poi_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13: row-identity hash of the extracted address key (sha256 twin of
     the reference's sha512 — same canonicalization, oracle-checkable)."""
@@ -390,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poi_hash": _q_poi_hash,
         "building_relocation": _q_building_relocation,
         "qc_in_water": _q_qc_in_water,
+        "asset_features": _q_asset_features,  # rows-only (stubbed decode)
     }
 
 

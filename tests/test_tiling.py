@@ -1,0 +1,70 @@
+"""Tiling-layer property tests: the ring-coverage guarantees every
+radius-bounded join in the engine relies on."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osm_poi_matchmaker_spark.tiling import (
+    GRID_MULT,
+    MAX_LON_METERS_PER_DEG,
+    X_SPAN,
+    coarse_mult_for_radius,
+    kring_k_for_radius,
+)
+
+EARTH = 6371000.0
+
+hu_lat = st.floats(min_value=45.7, max_value=48.6)
+hu_lon = st.floats(min_value=16.1, max_value=22.9)
+bearing = st.floats(min_value=0.0, max_value=2 * math.pi)
+radius = st.floats(min_value=1.0, max_value=2000.0)
+
+
+def cell_xy(lat: float, lon: float, mult: float) -> tuple[int, int]:
+    return (
+        int(math.floor((lat + 90.0) * mult)),
+        int(math.floor((lon + 180.0) * mult)),
+    )
+
+
+def offset_point(lat: float, lon: float, dist_m: float, brg: float) -> tuple[float, float]:
+    dlat = dist_m * math.cos(brg) / 111320.0
+    dlon = dist_m * math.sin(brg) / (111320.0 * math.cos(math.radians(lat)))
+    return lat + dlat, lon + dlon
+
+
+@settings(max_examples=300, deadline=None)
+@given(lat=hu_lat, lon=hu_lon, r=radius, brg=bearing)
+def test_fine_kring_covers_radius(lat, lon, r, brg):
+    k = kring_k_for_radius(r)
+    lat2, lon2 = offset_point(lat, lon, r * 0.999, brg)
+    y1, x1 = cell_xy(lat, lon, GRID_MULT)
+    y2, x2 = cell_xy(lat2, lon2, GRID_MULT)
+    assert abs(y1 - y2) <= k and abs(x1 - x2) <= k
+
+
+@settings(max_examples=300, deadline=None)
+@given(lat=hu_lat, lon=hu_lon, r=radius, brg=bearing)
+def test_coarse_ring3x3_covers_radius(lat, lon, r, brg):
+    mult = coarse_mult_for_radius(r)
+    assert MAX_LON_METERS_PER_DEG / mult >= r  # pitch >= radius by construction
+    lat2, lon2 = offset_point(lat, lon, r * 0.999, brg)
+    y1, x1 = cell_xy(lat, lon, mult)
+    y2, x2 = cell_xy(lat2, lon2, mult)
+    assert abs(y1 - y2) <= 1 and abs(x1 - x2) <= 1
+
+
+def test_cell_id_injective_over_bbox():
+    # row-major stride X_SPAN leaves no collisions inside the HU bbox
+    seen = set()
+    for lat in (45.7, 47.0, 48.6):
+        for lon in (16.1, 19.5, 22.9):
+            y, x = cell_xy(lat, lon, GRID_MULT)
+            cid = y * X_SPAN + x
+            assert cid not in seen
+            seen.add(cid)
+    assert max(x for _, x in [cell_xy(48.6, 22.9, GRID_MULT)]) < X_SPAN
