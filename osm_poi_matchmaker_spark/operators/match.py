@@ -76,25 +76,44 @@ def with_common(pages_geo: DataFrame, common: DataFrame) -> DataFrame:
     return pages_geo.join(F.broadcast(common), pages_geo.name == common.poi_name, "inner")
 
 
-def _prep_pois(pois: DataFrame, brand_rows: list) -> DataFrame:
-    """Project candidates + precompute per-POI brand-regex hits.
+def _prep_pois(pois: DataFrame, brand_specs: list) -> DataFrame:
+    """Project candidates + precompute per-POI brand eligibility.
 
-    The reference evaluates ``LOWER(name) ~* LOWER(:name)`` inside every
-    per-POI SQL probe (poi_base.py:193-211). Naively porting that as an
-    rlike against the joined brand's pattern column recompiles the regex
-    PER JOINED ROW — catastrophic in mega-cells. Instead each candidate is
-    tagged ONCE with the array of brand ids whose search (and avoid) regex
-    matches its name: 12 literal-pattern rlikes evaluated per candidate,
-    compiled once per task by codegen. The hot join path then reduces to an
-    integer ``array_contains``.
+    The reference evaluates the tag predicate and ``LOWER(name) ~*
+    LOWER(:name)`` inside every per-POI SQL probe (poi_base.py:193-211,
+    utils/poitypes.py). Porting those naively puts a regex compile and a
+    CASE chain on every JOINED row — catastrophic in mega-cells. Instead
+    each candidate is tagged ONCE (12 literal-pattern rlikes + 12 tag
+    checks, codegen-compiled once per task) with:
+
+      type_hits   — brand ids whose tag predicate this POI satisfies
+      cand_brands — brand ids satisfying tag predicate AND name regex
+      avoid_hits  — brand ids whose avoid-name regex matches
+
+    plus pre-lowercased address keys, so the 10^7-row hot path is integer
+    ``array_contains`` + direct string equality only.
     """
     name_lc = F.lower(F.col("name"))
-    brand_hits = F.array_compact(
+
+    def type_ok(ptype: str):
+        return type_predicate(
+            F.lit(ptype), F.col("shop"), F.col("amenity"), F.col("railway")
+        )
+
+    type_hits = F.array_compact(
         F.array(
-            *[F.when(name_lc.rlike(rx), F.lit(int(pc))) for pc, rx, _ in brand_rows]
+            *[F.when(type_ok(pt), F.lit(int(pc))) for pc, _, _, pt in brand_specs]
         )
     )
-    avoid_pairs = [(pc, av) for pc, _, av in brand_rows if av]
+    cand_brands = F.array_compact(
+        F.array(
+            *[
+                F.when(type_ok(pt) & name_lc.rlike(rx), F.lit(int(pc)))
+                for pc, rx, _, pt in brand_specs
+            ]
+        )
+    )
+    avoid_pairs = [(pc, av) for pc, _, av, _ in brand_specs if av]
     avoid_hits = (
         F.array_compact(
             F.array(*[F.when(name_lc.rlike(av), F.lit(int(pc))) for pc, av in avoid_pairs])
@@ -105,18 +124,15 @@ def _prep_pois(pois: DataFrame, brand_rows: list) -> DataFrame:
     return pois.select(
         "osm_id",
         "node_type",
-        F.col("name").alias("osm_name"),
-        "shop",
-        "amenity",
-        "railway",
-        F.col("addr_city").alias("o_city"),
-        F.col("addr_street").alias("o_street"),
-        F.col("addr_housenumber").alias("o_hn"),
-        F.col("addr_conscriptionnumber").alias("o_csn"),
+        F.lower(F.col("addr_city")).alias("lc_o_city"),
+        F.lower(F.col("addr_street")).alias("lc_o_street"),
+        F.lower(F.col("addr_housenumber")).alias("lc_o_hn"),
+        F.lower(F.col("addr_conscriptionnumber")).alias("lc_o_csn"),
         "ref_value",
         F.col("lat").alias("o_lat"),
         F.col("lon").alias("o_lon"),
-        brand_hits.alias("brand_hits"),
+        type_hits.alias("type_hits"),
+        cand_brands.alias("cand_brands"),
         avoid_hits.alias("avoid_hits"),
     )
 
@@ -132,14 +148,29 @@ def match_cascade(pages_geo: DataFrame, pois: DataFrame, common: DataFrame) -> D
     # data dependency — same trick as the reference's pc_id→type dict
     # (online_poi_matching.py:44-45), but resolved once per plan.
     common_rows = common.collect()
-    brand_rows = [(r["pc_id"], r["search_rx"], r["avoid_rx"]) for r in common_rows]
+    brand_specs = [
+        (r["pc_id"], r["search_rx"], r["avoid_rx"], r["poi_type"]) for r in common_rows
+    ]
     max_radius = max(r["d_perfect"] for r in common_rows)
-    p = with_common(pages_geo, common)
-    o = _prep_pois(pois, brand_rows)
+    # The 4 arms all consume the same (pages ⋈ common) and prepared-POI
+    # frames; persist them so the regex extraction / brand tagging runs
+    # once, not once per arm. On the production pipeline this is the
+    # extract-stage checkpoint (plans/pipeline.py); here it is the
+    # in-plan equivalent for standalone use.
+    p = with_common(pages_geo, common).select(
+        "*",
+        F.lower(F.col("city")).alias("lc_city"),
+        F.lower(F.col("street")).alias("lc_street"),
+        F.lower(F.col("housenumber")).alias("lc_hn"),
+        F.lower(F.col("csn")).alias("lc_csn"),
+    ).persist()
+    o = _prep_pois(pois, brand_specs).persist()
 
     dist = haversine_m(F.col("lat"), F.col("lon"), F.col("o_lat"), F.col("o_lon"))
-    tpred = type_predicate(F.col("poi_type"), F.col("shop"), F.col("amenity"), F.col("railway"))
-    name_ok = F.array_contains(F.col("brand_hits"), F.col("pc_id"))
+    # hot-path predicates: integer array_contains only (see _prep_pois);
+    # type_predicate/regexes were folded into the candidate-side arrays
+    type_ok = F.array_contains(F.col("type_hits"), F.col("pc_id"))
+    name_ok = F.array_contains(F.col("cand_brands"), F.col("pc_id"))
     avoid_ok = F.when(
         F.col("avoid_rx").isNotNull(),
         ~F.coalesce(F.array_contains(F.col("avoid_hits"), F.col("pc_id")), F.lit(False)),
@@ -159,7 +190,7 @@ def match_cascade(pages_geo: DataFrame, pois: DataFrame, common: DataFrame) -> D
     s1 = arm(
         p.where(F.col("ref").isNotNull() & F.col("ref_name").isNotNull())
         .join(o.where(F.col("ref_value").isNotNull()), F.col("ref") == F.col("ref_value"))
-        .where(tpred),
+        .where(type_ok),
         1,
         PRIO_REF,
     )
@@ -168,11 +199,10 @@ def match_cascade(pages_geo: DataFrame, pois: DataFrame, common: DataFrame) -> D
     s3 = arm(
         p.where(F.col("csn").isNotNull())
         .join(
-            o.where(F.col("o_csn").isNotNull()),
-            (F.lower(F.col("csn")) == F.lower(F.col("o_csn")))
-            & (F.lower(F.col("city")) == F.lower(F.col("o_city"))),
+            o.where(F.col("lc_o_csn").isNotNull()),
+            (F.col("lc_csn") == F.col("lc_o_csn")) & (F.col("lc_city") == F.col("lc_o_city")),
         )
-        .where(tpred & name_ok),
+        .where(name_ok),
         3,
         PRIO_NAME_CSN_CITY,
     )
@@ -181,10 +211,10 @@ def match_cascade(pages_geo: DataFrame, pois: DataFrame, common: DataFrame) -> D
     s4 = arm(
         p.join(
             o,
-            (F.lower(F.col("city")) == F.lower(F.col("o_city")))
-            & (F.lower(F.col("street")) == F.lower(F.col("o_street")))
-            & (F.lower(F.col("housenumber")) == F.lower(F.col("o_hn"))),
-        ).where(tpred & name_ok),
+            (F.col("lc_city") == F.col("lc_o_city"))
+            & (F.col("lc_street") == F.col("lc_o_street"))
+            & (F.col("lc_hn") == F.col("lc_o_hn")),
+        ).where(name_ok),
         4,
         PRIO_NAME_FULL_ADDR,
     )
@@ -195,16 +225,22 @@ def match_cascade(pages_geo: DataFrame, pois: DataFrame, common: DataFrame) -> D
     cand = o.withColumn("cand_cell", coarse_cell_id(F.col("o_lat"), F.col("o_lon"), mult))
     joined = probe.join(cand, F.col("probe_cell") == F.col("cand_cell"))
 
-    street_eq = F.lower(F.col("street")) == F.lower(F.col("o_street"))
-    hn_eq = F.lower(F.col("housenumber")) == F.lower(F.col("o_hn"))
+    # materialize distance/street/hn checks ONCE as columns — inlining the
+    # haversine into each tier predicate quintuples the codegen'd
+    # expression and blows Janino's 64 KB method limit (interpreted
+    # fallback on the hot path)
+    d = F.col("distance")
     prio5 = (
-        F.when(name_ok & street_eq & hn_eq & (dist < F.col("d_perfect")), PRIO_NAME_STREET_HN)
-        .when(name_ok & (street_eq | hn_eq) & (dist < F.col("d_safe")), PRIO_NAME_PARTIAL)
-        .when(name_ok & (dist < F.col("d_safe")), PRIO_NAME_ONLY)
-        .when(avoid_ok & (dist < F.col("d_unsafe")), PRIO_NONAME)
+        F.when(name_ok & F.col("s_eq") & F.col("h_eq") & (d < F.col("d_perfect")), PRIO_NAME_STREET_HN)
+        .when(name_ok & (F.col("s_eq") | F.col("h_eq")) & (d < F.col("d_safe")), PRIO_NAME_PARTIAL)
+        .when(name_ok & (d < F.col("d_safe")), PRIO_NAME_ONLY)
+        .when(avoid_ok & (d < F.col("d_unsafe")), PRIO_NONAME)
     )
     s5 = (
-        joined.where(tpred)
+        joined.where(type_ok)
+        .withColumn("distance", dist)
+        .withColumn("s_eq", F.col("lc_street") == F.col("lc_o_street"))
+        .withColumn("h_eq", F.col("lc_hn") == F.col("lc_o_hn"))
         .withColumn("priority", prio5)
         .where(F.col("priority").isNotNull())
         .select(
@@ -213,7 +249,7 @@ def match_cascade(pages_geo: DataFrame, pois: DataFrame, common: DataFrame) -> D
             "node_type",
             F.lit(5).alias("stage"),
             "priority",
-            dist.alias("distance"),
+            "distance",
         )
     )
 
@@ -221,9 +257,22 @@ def match_cascade(pages_geo: DataFrame, pois: DataFrame, common: DataFrame) -> D
 
     # "first non-empty stage wins; within stage ORDER BY priority, distance"
     # (poi_base.py:720-786) + deterministic osm_id tie-break.
-    w = Window.partitionBy("page_id").orderBy("stage", "priority", "distance", "osm_id")
-    return (
-        all_arms.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    #
+    # Expressed as min(struct(...)) rather than a row_number window: the
+    # struct's lexicographic order IS the cascade order, and an aggregate
+    # gets map-side partial combining — each shuffle partition ships one
+    # candidate per page instead of every candidate. At mega-cell densities
+    # that is the difference between shuffling millions and thousands.
+    best = F.min(
+        F.struct("stage", "priority", "distance", "osm_id", "node_type")
+    ).alias("b")
+    return all_arms.groupBy("page_id").agg(best).select(
+        "page_id",
+        F.col("b.osm_id").alias("osm_id"),
+        F.col("b.node_type").alias("node_type"),
+        F.col("b.stage").alias("stage"),
+        F.col("b.priority").alias("priority"),
+        F.col("b.distance").alias("distance"),
     )
 
 
