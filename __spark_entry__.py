@@ -327,6 +327,27 @@ def _q_qc_in_water(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_poi_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """north_star: trigram/levenshtein name-address fuzzy dedup over POI
+    records, candidates generated spatially (coarse-cell adjacency).
+    Input = extracted pages ∪ a deterministically jittered twin of each
+    (~9 m offset) so every record has at least one true near-duplicate."""
+    from osm_poi_matchmaker_spark.operators.dedup import poi_fuzzy_dedup_pairs
+
+    pg = _pages_geo(spark, sf_dir).select(
+        "page_id", "name", "street", "housenumber", "lat", "lon"
+    )
+    twin = pg.select(
+        (F.col("page_id") + 10000000).alias("page_id"),
+        "name",
+        "street",
+        "housenumber",
+        (F.col("lat") + 0.00008).alias("lat"),
+        "lon",
+    )
+    return poi_fuzzy_dedup_pairs(pg.unionByName(twin))
+
+
 def _q_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → decode+featurize via
     mapInPandas (decode stubbed — no codecs in this environment — so this
@@ -402,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poi_hash": _q_poi_hash,
         "building_relocation": _q_building_relocation,
         "qc_in_water": _q_qc_in_water,
+        "poi_fuzzy_dedup": _q_poi_fuzzy_dedup,
         "asset_features": _q_asset_features,  # rows-only (stubbed decode)
     }
 
@@ -550,6 +572,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         "fuzzy_street": _fuzzy_street_oracle_sql(),
+        "poi_fuzzy_dedup": _poi_fuzzy_dedup_oracle_sql(),
         "building_relocation": _building_relocation_oracle_sql(),
         "qc_in_water": (
             f"{base}, water AS (SELECT * FROM (VALUES"
@@ -608,6 +631,35 @@ SELECT page_id, building_id,
        ROUND(distance, 2) AS distance_m
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY page_id ORDER BY distance, building_id) AS rn
       FROM j) WHERE rn = 1"""
+
+
+def _poi_fuzzy_dedup_oracle_sql() -> str:
+    from osm_poi_matchmaker_spark.functions.textsim import trigram_similarity_sql
+
+    base = synth_sql.base_ctes()
+    sim = trigram_similarity_sql("a.name", "b.name")
+    lev = "levenshtein(lower(a.street), lower(b.street))"
+    # coarse cell (mult 256) coordinates — mirror of tiling.coarse_cell_id
+    def cy(t):
+        return f"CAST(FLOOR(({t}.lat + 90.0) * 256.0) AS BIGINT)"
+
+    def cx(t):
+        return f"CAST(FLOOR(({t}.lon + 180.0) * 256.0) AS BIGINT)"
+
+    return f"""{base},
+recs AS (
+  SELECT page_id, name, street, housenumber, lat, lon FROM pages_x
+  WHERE lat IS NOT NULL AND lon IS NOT NULL
+  UNION ALL
+  SELECT page_id + 10000000, name, street, housenumber, lat + 0.00008, lon FROM pages_x
+  WHERE lat IS NOT NULL AND lon IS NOT NULL)
+SELECT a.page_id AS poi_a, b.page_id AS poi_b,
+       ROUND({sim}, 6) AS name_sim, {lev} AS street_lev
+FROM recs a JOIN recs b
+  ON abs({cy('a')} - {cy('b')}) <= 1 AND abs({cx('a')} - {cx('b')}) <= 1
+WHERE a.page_id < b.page_id
+  AND a.housenumber = b.housenumber
+  AND {sim} >= 0.49 AND {lev} <= 3"""
 
 
 def _fuzzy_street_oracle_sql() -> str:

@@ -25,6 +25,65 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def poi_fuzzy_dedup_pairs(
+    pois: DataFrame,
+    key: str = "page_id",
+    min_name_sim: float = 0.49,
+    max_street_lev: int = 3,
+    mult: int = 256,
+) -> DataFrame:
+    """Trigram/Levenshtein name-address fuzzy dedup over POI records
+    (BASELINE.json north_star; generalizes the reference's keyed
+    get-or-create dedup, data_handlers.py:220-312, with its fuzzy
+    matching predicates, poi_base.py:892-918).
+
+    Candidate generation is spatial (same coarse cell + 3×3 ring — two
+    records can only be duplicates if they are near each other), then
+    trigram(name) >= min_name_sim AND lev(street) <= max_street_lev AND
+    same housenumber. Returns (poi_a, poi_b, name_sim, street_lev) pairs
+    with poi_a < poi_b.
+
+    ``pois`` needs (key, name, street, housenumber, lat, lon).
+    """
+    from ..functions.textsim import trigram_similarity
+    from ..tiling import coarse_cell_id, explode_ring3x3
+
+    left = explode_ring3x3(
+        pois.select(
+            F.col(key).alias("poi_a"),
+            F.col("name").alias("name_a"),
+            F.col("street").alias("street_a"),
+            F.col("housenumber").alias("hn_a"),
+            "lat",
+            "lon",
+        ),
+        "lat",
+        "lon",
+        mult,
+    )
+    right = pois.select(
+        F.col(key).alias("poi_b"),
+        F.col("name").alias("name_b"),
+        F.col("street").alias("street_b"),
+        F.col("housenumber").alias("hn_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+    ).withColumn("cand_cell", coarse_cell_id(F.col("lat_b"), F.col("lon_b"), mult))
+    sim = trigram_similarity(F.col("name_a"), F.col("name_b"))
+    lev = F.levenshtein(F.lower(F.col("street_a")), F.lower(F.col("street_b")))
+    return (
+        left.join(right, F.col("probe_cell") == F.col("cand_cell"))
+        .where(F.col("poi_a") < F.col("poi_b"))
+        .where(F.col("hn_a") == F.col("hn_b"))
+        .withColumn("name_sim", sim)
+        .withColumn("street_lev", lev)
+        .where((F.col("name_sim") >= min_name_sim) & (F.col("street_lev") <= max_street_lev))
+        .select(
+            "poi_a", "poi_b", F.round("name_sim", 6).alias("name_sim"), "street_lev"
+        )
+    )
+
+
 def exact_dedup(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
     """Exact-duplicate groups by full-text hash; keeps the lowest key as
     canonical (deterministic — the reference keeps first-inserted,

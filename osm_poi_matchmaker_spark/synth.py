@@ -101,7 +101,10 @@ def _materialize(spark: SparkSession, sf_dir: str, name: str, builder) -> DataFr
     path = os.path.join(_CACHE_ROOT, tag, name)
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        builder(spark, sf_dir).write.mode("overwrite").parquet(path)
+        # write enough files that downstream scans parallelize — a single
+        # parquet file caps the whole extract stage at 1 task regardless
+        # of cluster size (a real Iceberg table would be split-planned)
+        builder(spark, sf_dir).repartition(32).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
