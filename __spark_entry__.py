@@ -122,6 +122,22 @@ def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb.where(F.col("vec_id") % 50 == 0), emb, dim=64, k=5, bits=8)
 
 
+def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    return similarity.ivf_topk(
+        emb.where(F.col("vec_id") % 50 == 0), emb, k=5, centroid_mod=100, nprobe=2
+    )
+
+
+def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Threshold 0.35 is tuned to the synthetic corpus (random embeddings —
+    # real near-dup corpora would use ~0.9); the operator semantics are
+    # threshold-independent.
+    return similarity.embedding_cosine_dup_pairs(
+        _embeddings(spark, sf_dir), dim=64, threshold=0.35, bits=4
+    )
+
+
 def _q_pip_postcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: postcode lookup by point-in-polygon against broadcast boundary
     polygons (ray-cast mapInPandas; -1 = outside every polygon)."""
@@ -391,6 +407,14 @@ def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via built-in session_window (the stateful
+    applyInPandasWithState twin is exercised in tests/test_sessions.py)."""
+    from osm_poi_matchmaker_spark.streaming.sessions import sessionize_batch
+
+    return sessionize_batch(spark.read.parquet(f"{sf_dir}/events.parquet"), gap_minutes=30)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "geotag_extract": _q_geotag_extract,
@@ -406,6 +430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "ann_topk_exact": _q_ann_topk_exact,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_ivf": _q_ann_topk_ivf,
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "html_text_parity": _q_html_text_parity,
         "hu_address_extract": _q_hu_address_extract,
         "pip_postcode": _q_pip_postcode,
@@ -419,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_first_per_city": _q_dedup_first_per_city,
         "cell_histogram_salted": _q_cell_histogram_salted,
         "events_windowed": _q_events_windowed,
+        "events_sessionize": _q_events_sessionize,
         "fuzzy_street": _q_fuzzy_street,
         "poi_hash": _q_poi_hash,
         "building_relocation": _q_building_relocation,
@@ -480,6 +507,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": oracles_docs.doc_stats_sql(),
         "ann_topk_exact": oracles_docs.ann_exact_sql(k=5, query_mod=50),
         "ann_topk_lsh": oracles_docs.ann_lsh_sql(k=5, bits=8, query_mod=50),
+        "ann_topk_ivf": oracles_docs.ann_ivf_sql(
+            k=5, centroid_mod=100, nprobe=2, query_mod=50
+        ),
+        "dedup_embedding_cosine": oracles_docs.embedding_cosine_dup_sql(
+            threshold=0.35, bits=4
+        ),
         "html_text_parity": (
             # Invariant oracle: the engine-side extraction must reproduce
             # the stored text for every page (BASELINE.json byte parity).
@@ -571,6 +604,7 @@ def oracle_sql() -> dict[str, str]:
             " CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY 1, 2"
         ),
+        "events_sessionize": _sessions_oracle_sql(),
         "fuzzy_street": _fuzzy_street_oracle_sql(),
         "poi_fuzzy_dedup": _poi_fuzzy_dedup_oracle_sql(),
         "building_relocation": _building_relocation_oracle_sql(),
@@ -660,6 +694,12 @@ FROM recs a JOIN recs b
 WHERE a.page_id < b.page_id
   AND a.housenumber = b.housenumber
   AND {sim} >= 0.49 AND {lev} <= 3"""
+
+
+def _sessions_oracle_sql() -> str:
+    from osm_poi_matchmaker_spark.streaming.sessions import sessionize_batch_oracle_sql
+
+    return sessionize_batch_oracle_sql(gap_minutes=30)
 
 
 def _fuzzy_street_oracle_sql() -> str:

