@@ -407,6 +407,25 @@ def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_raster_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster↔vector (north_rule): boundary rectangles rasterized to a
+    per-cell mask (cell covered iff its center is inside), joined back
+    vector-side so each geotagged page gets coverage by cell lookup."""
+    from osm_poi_matchmaker_spark.operators.raster import coverage_join, rasterize_rects
+    from osm_poi_matchmaker_spark.tiling import coarse_cell_id
+
+    polys = synth.postcode_polygons_df(spark, sf_dir)
+    mask = rasterize_rects(
+        polys.select("poly_id", "lat_min", "lat_max", "lon_min", "lon_max"), mult=32
+    )
+    pts = (
+        _pages_geo(spark, sf_dir)
+        .where(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+        .select("page_id", coarse_cell_id(F.col("lat"), F.col("lon"), 32).alias("cell_id"))
+    )
+    return coverage_join(pts, mask).select("page_id", "cell_id", "covered", "poly_id")
+
+
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization via built-in session_window (the stateful
     applyInPandasWithState twin is exercised in tests/test_sessions.py)."""
@@ -446,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_histogram_salted": _q_cell_histogram_salted,
         "events_windowed": _q_events_windowed,
         "events_sessionize": _q_events_sessionize,
+        "raster_coverage": _q_raster_coverage,
         "fuzzy_street": _q_fuzzy_street,
         "poi_hash": _q_poi_hash,
         "building_relocation": _q_building_relocation,
@@ -605,6 +625,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         "events_sessionize": _sessions_oracle_sql(),
+        "raster_coverage": (
+            f"{base}, polys AS ("
+            "  SELECT CAST(n_nationkey AS INT) AS poly_id,"
+            "         45.699995 + CAST(FLOOR(n_nationkey / 5.0) AS INT) * 0.58 AS lat_min,"
+            "         16.099995 + (n_nationkey % 5) * 1.36 AS lon_min"
+            "  FROM nation), "
+            "rows_y AS ("
+            "  SELECT poly_id, lon_min,"
+            "         unnest(range(CAST(ceil((lat_min + 90.0) * 32.0 - 0.5) AS BIGINT),"
+            "                      CAST(floor(((lat_min + 0.58) + 90.0) * 32.0 - 0.5) AS BIGINT) + 1)) AS cy"
+            "  FROM polys), "
+            "mask AS ("
+            "  SELECT poly_id, cy * 262144 +"
+            "         unnest(range(CAST(ceil((lon_min + 180.0) * 32.0 - 0.5) AS BIGINT),"
+            "                      CAST(floor(((lon_min + 1.36) + 180.0) * 32.0 - 0.5) AS BIGINT) + 1)) AS cell_id"
+            "  FROM rows_y), "
+            "pts AS ("
+            "  SELECT page_id,"
+            "         CAST(FLOOR((lat + 90.0) * 32.0) AS BIGINT) * 262144"
+            "         + CAST(FLOOR((lon + 180.0) * 32.0) AS BIGINT) AS cell_id"
+            f"  FROM pages_x WHERE {_GEO_FILTER}) "
+            "SELECT p.page_id, p.cell_id, m.poly_id IS NOT NULL AS covered, m.poly_id "
+            "FROM pts p LEFT JOIN mask m ON p.cell_id = m.cell_id"
+        ),
         "fuzzy_street": _fuzzy_street_oracle_sql(),
         "poi_fuzzy_dedup": _poi_fuzzy_dedup_oracle_sql(),
         "building_relocation": _building_relocation_oracle_sql(),

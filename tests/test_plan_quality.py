@@ -47,3 +47,26 @@ def test_pricing_agg_partial_aggregation(spark):
     plan = plan_of(entry_mod._q_agg_pricing_summary(spark, SF), mode="simple")
     # map-side partial aggregation before the shuffle
     assert plan.count("HashAggregate") >= 2
+
+
+def test_ivf_broadcasts_centroids_and_probes(spark):
+    # the corpus side must never shuffle for the centroid assignment —
+    # centroids and probe lists are the broadcast sides
+    plan = plan_of(entry_mod._q_ann_topk_ivf(spark, SF), mode="simple")
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_dup_bucket_join_not_cross(spark):
+    # SRP-bucket equi-join: candidate generation must be a hash join on sig,
+    # not an all-pairs product
+    plan = plan_of(entry_mod._q_dedup_embedding_cosine(spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan and "sig" in plan
+
+
+def test_sessionize_single_shuffle(spark):
+    # one exchange on user_id feeds the session-window aggregate
+    plan = plan_of(entry_mod._q_events_sessionize(spark, SF), mode="simple")
+    assert plan.count("Exchange") <= 2  # key shuffle (+AQE read), no extra
+    assert "CartesianProduct" not in plan
