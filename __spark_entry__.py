@@ -10,6 +10,7 @@ oracle SQL (osm_poi_matchmaker_spark/synth_sql.py).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -217,6 +218,49 @@ def _q_hu_address_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ex.street").alias("street"),
         F.col("ex.housenumber").alias("housenumber"),
         F.col("ex.conscriptionnumber").alias("conscriptionnumber"),
+    )
+
+
+def _waxeye_goldens() -> list:
+    import json as _json
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "fixtures", "waxeye_goldens.json")
+    with open(path) as f:
+        return [g for g in _json.load(f) if g["original"]]
+
+
+def _q_hu_address_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: structured (postcode, city, street, hn, csn) parse via the
+    from-scratch PEG-equivalent parser (hu_address_peg.py); oracle carries
+    goldens captured behaviorally from the reference waxeye parser."""
+    from osm_poi_matchmaker_spark.functions.spark_udfs import parse_address_udf
+
+    src = spark.createDataFrame(
+        [(g["original"],) for g in _waxeye_goldens()], ["original"]
+    )
+    ex = src.withColumn("ex", parse_address_udf(F.col("original")))
+    return ex.select(
+        "original",
+        F.col("ex.postcode").alias("postcode"),
+        F.col("ex.city").alias("city"),
+        F.col("ex.street").alias("street"),
+        F.col("ex.housenumber").alias("housenumber"),
+        F.col("ex.conscriptionnumber").alias("conscriptionnumber"),
+    )
+
+
+def _hu_address_parse_oracle_sql() -> str:
+    def lit(v):
+        return "CAST(NULL AS STRING)" if v is None else "'" + v.replace("'", "''") + "'"
+
+    rows = ", ".join(
+        "(" + ", ".join(lit(x) for x in [g["original"], *g["expected"]]) + ")"
+        for g in _waxeye_goldens()
+    )
+    return (
+        "SELECT * FROM (VALUES " + rows
+        + ") AS t(original, postcode, city, street, housenumber, conscriptionnumber)"
     )
 
 
@@ -453,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "html_text_parity": _q_html_text_parity,
         "hu_address_extract": _q_hu_address_extract,
+        "hu_address_parse": _q_hu_address_parse,
         "pip_postcode": _q_pip_postcode,
         "fuzzy_city": _q_fuzzy_city,
         "agg_pricing_summary": _q_agg_pricing_summary,
@@ -539,6 +584,7 @@ def oracle_sql() -> dict[str, str]:
             f"{base} SELECT page_id, TRUE AS text_matches FROM pages"
         ),
         "hu_address_extract": _hu_address_oracle_sql(),
+        "hu_address_parse": _hu_address_parse_oracle_sql(),
         "pip_postcode": (
             f"{base}, polys AS ("
             "  SELECT CAST(n_nationkey AS INT) AS poly_id,"

@@ -20,6 +20,7 @@ never row-at-a-time Python UDFs in a join path.
 
 from __future__ import annotations
 
+import json
 import re
 
 # --------------------------------------------------------------------------
@@ -587,6 +588,57 @@ def extract_street_housenumber_better_2(value):
     if street_type is not None:
         return f"{street} {clean_string(street_type)}", housenumber, csn
     return street, housenumber, csn
+
+
+def extract_street_housenumber(value):
+    """Legacy splitter: last token = housenumber, rest = street
+    (semantics of address.py:266-289).
+
+    Both halves start from the text before any '(' and are clean_string-ed;
+    the housenumber loses '.'s, maps en-dash to '-', and is uppercased; the
+    street drops its last space-separated token and expands u./krt.
+    """
+    head = value.split("(")[0]
+    housenumber = clean_string(head)
+    if housenumber is not None:
+        housenumber = (
+            housenumber.split(" ")[-1].replace(".", "").replace("–", "-").upper()
+        )
+    street = clean_string(head)
+    if street is not None:
+        street = street.rsplit(" ", 1)[0]
+        street = street.replace(" u.", " utca").replace(" u ", " utca")
+        street = street.replace(" krt.", " körút")
+    return street, housenumber
+
+
+_RX_CITY_LEAD = re.compile(r"^([a-zA-ZáÁéÉíÍóÓúÚüÜöÖőŐűŰ]{3,40})")
+
+
+def extract_city_street_housenumber_address(value):
+    """'City, street hn' → (city, street, hn, csn) — address.py:359-377.
+
+    Mirrors the reference's inconsistent arity: None / '' inputs return a
+    5-tuple of Nones, parsed inputs a 4-tuple (callers index, not unpack).
+    """
+    if value is None or value == "":
+        return None, None, None, None, None
+    cleaned = clean_string(value)
+    m = _RX_CITY_LEAD.search(cleaned)
+    city = clean_string(m.group(1)) if m else None
+    parts = cleaned.split(",")
+    if len(parts) > 1:
+        street, housenumber, csn = extract_street_housenumber_better_2(parts[1].strip())
+        return city, street, housenumber, csn
+    return city, None, None, None
+
+
+def clean_phone_to_json(value):
+    """clean_phone, serialized as a JSON array string (address.py:606-614)."""
+    if value is None:
+        return None
+    numbers = clean_phone(clean_string(value))
+    return json.dumps(numbers) if numbers is not None else None
 
 
 def extract_all_address(value):

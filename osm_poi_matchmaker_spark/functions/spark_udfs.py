@@ -68,6 +68,29 @@ def extract_street_udf(s: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["street", "housenumber", "conscriptionnumber"])
 
 
+_ADDR_STRUCT = T.StructType(
+    [
+        T.StructField("postcode", T.StringType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("street", T.StringType()),
+        T.StructField("housenumber", T.StringType()),
+        T.StructField("conscriptionnumber", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_ADDR_STRUCT)
+def parse_address_udf(s: pd.Series) -> pd.DataFrame:
+    """F4: structured address parse (hu_address_peg, wrapper-level
+    semantics of the reference's extract_all_address_waxeye)."""
+    from .hu_address_peg import parse_hu_address
+
+    rows = [parse_hu_address(v) for v in s]
+    return pd.DataFrame(
+        rows, columns=["postcode", "city", "street", "housenumber", "conscriptionnumber"]
+    )
+
+
 @F.pandas_udf(T.StringType())
 def url_tag_udf(base: pd.Series, website: pd.Series) -> pd.Series:
     return pd.Series(

@@ -245,3 +245,121 @@ EXTRACT_PHONE_CASES = [
 @pytest.mark.parametrize("original,expected", EXTRACT_PHONE_CASES)
 def test_extract_phone_number(original, expected):
     assert extract_phone_number(original) == expected
+
+
+# ---------------------------------------------------------------------------
+# Extended goldens (reference test/test_address_extended.py)
+# ---------------------------------------------------------------------------
+from osm_poi_matchmaker_spark.functions.hu_address import (  # noqa: E402
+    clean_branch,
+    clean_email,
+    clean_javascript_variable,
+    clean_phone_to_json,
+    clean_street,
+    clean_street_type,
+    extract_city_street_housenumber_address,
+    extract_street_housenumber,
+    remove_whitespace,
+)
+import json as _json  # noqa: E402
+
+
+@pytest.mark.parametrize("value,rpl,expected", [
+    ("hello world", "", "helloworld"),
+    ("hello world", " ", "hello world"),
+    ("hello\tworld", "", "helloworld"),
+    ("hello\nworld", "-", "hello-world"),
+    ("a  b  c", "", "abc"),
+    ("a  b  c", " ", "a b c"),
+    ("nospaces", "", "nospaces"),
+    ("", "", ""),
+])
+def test_remove_whitespace(value, rpl, expected):
+    assert remove_whitespace(value, rpl) == expected
+
+
+@pytest.mark.parametrize("clearable,removable,expected", [
+    ('var myData = {"key": "value"};', "myData", '{"key": "value"}'),
+    ("  var  myData  =  [1,2,3] ;", "myData", "[1,2,3]"),
+    ('var items = "hello";', "items", '"hello"'),
+    ("var data = null", "data", "null"),
+])
+def test_clean_javascript_variable(clearable, removable, expected):
+    assert clean_javascript_variable(clearable, removable) == expected
+
+
+@pytest.mark.parametrize("original,expected", [
+    (None, None),
+    ("Bajcsy-Zsilinszky u. 3.", "Bajcsy-Zsilinszky utca 3."),
+    ("Kossuth krt. 5.", "Kossuth körút 5."),
+    ("Petőfi ltp. B épület", "Petőfi lakótelep B épület"),
+    ("Bajcsy Zs.u. 7.", "Bajcsy-Zsilinszky utca 7."),
+    ("Kossuth L. utca 1.", "Kossuth Lajos utca 1."),
+])
+def test_clean_street(original, expected):
+    assert clean_street(original) == expected
+
+
+@pytest.mark.parametrize("original,expected", [
+    (None, None), ("", None), ("u.", "utca"), ("utca", "utca"),
+    ("fkl. út", "főközlekedési út"), ("főút", "főközlekedési út"),
+    ("ltp.", "lakótelep"), ("pu.", "pályaudvar"), ("út.", "út"),
+])
+def test_clean_street_type(original, expected):
+    assert clean_street_type(original) == expected
+
+
+@pytest.mark.parametrize("original,expected", [
+    (None, None), ("", None), ("Fiók", "fiók"), ("Atm", "ATM"),
+    ("Központi Fiók", "központi fiók"), ("Ügyfélszolgálat", "ügyfélszolgálat"),
+    ("5. Sz. Fiók", "5. számú fiók"), ("Üzletház", "üzletház"),
+    ("Bevásárlóközpont", "bevásárlóközpont"),
+])
+def test_clean_branch(original, expected):
+    assert clean_branch(original) == expected
+
+
+@pytest.mark.parametrize("original,expected", [
+    (None, None), ("   ", None),
+    ("test@example.com", "test@example.com"),
+    ("TEST@EXAMPLE.COM", "test@example.com"),
+    ("a@b.com;c@d.com", "a@b.com;c@d.com"),
+])
+def test_clean_email(original, expected):
+    assert clean_email(original) == expected
+
+
+@pytest.mark.parametrize("original,expected", [
+    (None, None), ("  ", None),
+    ("06-20-200-4000", _json.dumps(["+36 20 200 4000"])),
+    ("0684/330-734", _json.dumps(["+36 84 330 734"])),
+])
+def test_clean_phone_to_json(original, expected):
+    assert clean_phone_to_json(original) == expected
+
+
+@pytest.mark.parametrize("original,street,hn", [
+    ("Fő utca 1.", "Fő utca", "1"),
+    ("Kossuth u. 3.", "Kossuth utca", "3"),
+    ("Petőfi krt. 10.", "Petőfi körút", "10"),
+    ("Rákóczi út 25/A", "Rákóczi út", "25/A"),
+    ("Ady Endre utca 5/B", "Ady Endre utca", "5/B"),
+])
+def test_extract_street_housenumber_legacy(original, street, hn):
+    got_street, got_hn = extract_street_housenumber(original)
+    assert got_street == street
+    assert got_hn == hn
+
+
+@pytest.mark.parametrize("original,city,street,hn,csn", [
+    (None, None, None, None, None),
+    ("", None, None, None, None),
+    ("Budapest, Fő utca 1.", "Budapest", "Fő utca", "1", None),
+    ("Pécs", "Pécs", None, None, None),
+])
+def test_extract_city_street_housenumber(original, city, street, hn, csn):
+    result = extract_city_street_housenumber_address(original)
+    assert result[0] == city
+    assert result[1] == street
+    assert result[2] == hn
+    assert result[3] == csn
