@@ -43,6 +43,7 @@ def _match(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pages_geo(spark, sf_dir),
         synth.osm_pois(spark, sf_dir),
         synth.poi_common_df(spark),
+        brand_rows=synth.BRAND_ROWS,
     )
 
 
@@ -85,6 +86,16 @@ def _q_match_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_match_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_lineage(_match(spark, sf_dir))
+
+
+def _q_match_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6-class hierarchical aggregate (beyond the reference): match
+    outcome counts with ROLLUP subtotals over (node_type, stage)."""
+    return (
+        _match(spark, sf_dir)
+        .rollup("node_type", "stage")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def _q_knn_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_histogram": _q_cell_histogram,
         "match_cascade": _q_match_cascade,
         "match_lineage": _q_match_lineage,
+        "match_rollup": _q_match_rollup,
         "knn_nearest": _q_knn_nearest,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -547,6 +559,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT px.page_id, b.osm_id, b.node_type, b.stage, b.priority, "
             "ROUND(b.distance, 2) AS distance_m, b.page_id IS NULL AS poi_new "
             f"FROM pages_x px LEFT JOIN best b ON px.page_id = b.page_id WHERE {_GEO_FILTER}"
+        ),
+        "match_rollup": (
+            f"{match_base} "
+            "SELECT b.node_type, b.stage, COUNT(*) AS n "
+            f"FROM pages_x px LEFT JOIN best b ON px.page_id = b.page_id WHERE {_GEO_FILTER} "
+            "GROUP BY ROLLUP(b.node_type, b.stage)"
         ),
         "match_lineage": (
             f"{match_base} "

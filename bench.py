@@ -86,7 +86,7 @@ def main() -> None:
     )
 
     # stage 3: the match cascade — persisted as the match checkpoint
-    matched = match_pages(pages_geo, pois, common).persist()
+    matched = match_pages(pages_geo, pois, common, brand_rows=synth.BRAND_ROWS).persist()
     stage(
         "match_cascade",
         matched.select(

@@ -35,6 +35,24 @@ def _rx(col, pattern: str):
     return F.nullif(got, F.lit(""))
 
 
+def geotag_pages_from_html(pages: DataFrame, lang: str = "hu") -> DataFrame:
+    """Full-fidelity extract path: re-derive ``text`` from ``pages.html``
+    (the reference's BeautifulSoup prettify + text-collection pipeline,
+    soup.py:113-125, as an Arrow-batched pandas UDF) before geotagging.
+
+    The per-url byte-parity invariant (html_to_text(html) == pages.text,
+    enforced in tests/test_html_extract.py and the html_text_parity
+    oracle query) makes this produce IDENTICAL rows to
+    :func:`geotag_pages`; it exists so benchmarks can charge the real
+    per-page parse cost the 100 TB pipeline pays.
+    """
+    from .html import html_text_udf
+
+    return geotag_pages(
+        pages.withColumn("text", html_text_udf(F.col("html"))), lang=lang
+    )
+
+
 def geotag_pages(pages: DataFrame, lang: str = "hu") -> DataFrame:
     """pages → geotagged POI records (one narrow projection, no shuffle).
 

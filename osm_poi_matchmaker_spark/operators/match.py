@@ -23,19 +23,30 @@ Spark rebuild: ALL pages are matched in one plan —
 for brands with a unique-name regex; none in the synthetic dimension yet.)
 
 Stages 1/3/4 are distance-free attribute joins → plain shuffle equi-joins
-on composite keys. Stage 5 is a radius join → a coarse-cell 3×3 ring join
-(9× fixed fan-out, see tiling.py) with the haversine + tier predicates
-evaluated post-join as codegen'd column expressions. A single window
-(partition by page, order by stage → priority → distance → osm_id) then
-reproduces "first non-empty stage wins, best (priority, distance) within
-stage" exactly — with osm_id as the deterministic tie-break the reference
-leaves to incidental row order.
+on composite keys. Stage 5 is a radius join → coarse-cell 3×3 ring joins
+keyed on (brand, cell): the candidate side explodes its precomputed
+per-POI brand-eligibility arrays (see _prep_pois) so brand compatibility
+is a JOIN KEY, not a post-join filter — the join emits only compatible
+pairs instead of every page×candidate pair sharing a cell. The named
+tiers (950/970/980) ring at the d_perfect-sized grid; the no-name tier
+(990, d < 5 m) rings at a ~25× finer grid its tiny radius permits. The
+haversine + tier predicates evaluate post-join as codegen'd column
+expressions. A min-struct aggregate (stage → priority → distance →
+osm_id) then reproduces "first non-empty stage wins, best (priority,
+distance) within stage" exactly — with osm_id as the deterministic
+tie-break the reference leaves to incidental row order.
 
-Scale notes (100 TB): pages≫pois, so the ring join shuffles pages 9× on the
-coarse cell — the same key the candidate table is bucketed by, so the POI
-side needs no re-shuffle. The 12-row brand dim is broadcast. Mega-cell skew
-(city centers) is handled by AQE skew-join splitting; the coarse cell size
-adapts to the brand's max radius so ring width never exceeds 3.
+Scale notes (100 TB): pages ≫ pois by many orders of magnitude (10^12
+pages vs a country-level OSM POI extract, ~10^6 rows / a few hundred MB
+columnar), so every arm BROADCASTS the prepared candidate side: the page
+side — the 100 TB side — is never shuffled by the cascade at all. Each
+arm is a map-side join feeding the min-struct aggregate, whose map-side
+partial combine means the only full shuffle in the plan is ~one row per
+page. At planet scale (10^8 POIs) the identical plan degrades
+gracefully: drop the broadcast hints and the cell-bucketed candidate
+layout turns the arms into co-located shuffle joins keyed on
+(brand, cell), with AQE skew-join splitting mega-cells. The 12-row brand
+dim is always broadcast.
 """
 
 from __future__ import annotations
@@ -137,44 +148,85 @@ def _prep_pois(pois: DataFrame, brand_specs: list) -> DataFrame:
     )
 
 
-def match_cascade(pages_geo: DataFrame, pois: DataFrame, common: DataFrame) -> DataFrame:
+def match_cascade(
+    pages_geo: DataFrame,
+    pois: DataFrame,
+    common: DataFrame,
+    brand_rows: list | None = None,
+) -> DataFrame:
     """All pages × candidate OSM POIs → best match per page.
 
     ``pages_geo``: output of :func:`..extract.geotag.geotag_pages`.
     Returns one row per matched page: page_id, osm_id, node_type, stage,
     priority, distance (meters, full precision — round at the edge).
+    ``brand_rows``: optional local copy of the dimension rows (mappings
+    with pc_id/search_rx/avoid_rx/poi_type/d_perfect) — skips the
+    driver-side collect() job when the caller already holds them.
     """
     # 12-row dimension: plan-time constants (regex set, max radius), not a
     # data dependency — same trick as the reference's pc_id→type dict
     # (online_poi_matching.py:44-45), but resolved once per plan.
-    common_rows = common.collect()
+    common_rows = brand_rows if brand_rows is not None else common.collect()
     brand_specs = [
         (r["pc_id"], r["search_rx"], r["avoid_rx"], r["poi_type"]) for r in common_rows
     ]
     max_radius = max(r["d_perfect"] for r in common_rows)
-    # The 4 arms all consume the same (pages ⋈ common) and prepared-POI
-    # frames; persist them so the regex extraction / brand tagging runs
-    # once, not once per arm. On the production pipeline this is the
-    # extract-stage checkpoint (plans/pipeline.py); here it is the
-    # in-plan equivalent for standalone use.
+    # No persist() inside the operator: caching is the CALLER's checkpoint
+    # decision (bench.py / scaling_bench.py / plans/pipeline.py persist the
+    # geotagged extract). An operator-internal persist leaks one cache
+    # entry per invocation — under storage pressure the LRU evicts dead
+    # MEMORY_AND_DISK blocks *to disk*, and repeated cascade calls turn
+    # into an I/O storm. Re-deriving this slim projection from the
+    # caller's cached extract is a broadcast join + lower() per arm —
+    # memory-bandwidth cheap.
+    #
+    # Slim projection: the arms touch only the join keys, coordinates, and
+    # per-brand radii — url/name/raw-address columns are dead weight the
+    # optimizer could not prune through a persist boundary.
     p = with_common(pages_geo, common).select(
-        "*",
+        "page_id",
+        "lat",
+        "lon",
+        "ref",
+        "csn",
+        "pc_id",
+        "ref_name",
+        "d_perfect",
+        "d_safe",
+        "d_unsafe",
+        "avoid_rx",
         F.lower(F.col("city")).alias("lc_city"),
         F.lower(F.col("street")).alias("lc_street"),
         F.lower(F.col("housenumber")).alias("lc_hn"),
         F.lower(F.col("csn")).alias("lc_csn"),
-    ).persist()
-    o = _prep_pois(pois, brand_specs).persist()
+    )
+    # Candidate side: pages ≫ pois by construction (10^12 pages vs the OSM
+    # POI extract — ~10^6 rows for a country, a few hundred MB columnar),
+    # so every arm BROADCASTS the prepared candidates: the page side — the
+    # 100 TB side — is never shuffled by the cascade at all; each arm is a
+    # map-side join feeding the partial (map-combined) min-struct
+    # aggregate, and the only full shuffle in the whole plan is ~one row
+    # per page into that aggregate. At planet scale (10^8 POIs) the same
+    # plan degrades gracefully: drop the hint and the cell-bucketed layout
+    # turns the arms into co-located shuffle joins instead.
+    o = _prep_pois(pois, brand_specs)
 
     dist = haversine_m(F.col("lat"), F.col("lon"), F.col("o_lat"), F.col("o_lon"))
-    # hot-path predicates: integer array_contains only (see _prep_pois);
-    # type_predicate/regexes were folded into the candidate-side arrays
-    type_ok = F.array_contains(F.col("type_hits"), F.col("pc_id"))
-    name_ok = F.array_contains(F.col("cand_brands"), F.col("pc_id"))
     avoid_ok = F.when(
         F.col("avoid_rx").isNotNull(),
         ~F.coalesce(F.array_contains(F.col("avoid_hits"), F.col("pc_id")), F.lit(False)),
     ).otherwise(F.lit(True))
+
+    # Every arm folds brand eligibility INTO its equi-join key by exploding
+    # the candidate-side eligibility arrays (see _prep_pois): o_type for
+    # tag-predicate arms (s1, s5b), o_name for tag ∧ name-regex arms
+    # (s3, s4, s5a). Joining on (pc_id, <attribute keys>) means only
+    # brand-compatible pairs ever materialize — with synthetic/real hot
+    # address keys the alternative (join on address, filter brand after)
+    # emits orders of magnitude more intermediate rows, and that memory
+    # traffic was the measured scaling bottleneck.
+    o_type = o.withColumn("cand_pc", F.explode("type_hits"))
+    o_name = o.withColumn("cand_pc", F.explode("cand_brands"))
 
     def arm(df: DataFrame, stage: int, priority: int) -> DataFrame:
         return df.select(
@@ -188,21 +240,22 @@ def match_cascade(pages_geo: DataFrame, pois: DataFrame, common: DataFrame) -> D
 
     # -- stage 1: additional-ref equality (930) — pure equi-join, no radius
     s1 = arm(
-        p.where(F.col("ref").isNotNull() & F.col("ref_name").isNotNull())
-        .join(o.where(F.col("ref_value").isNotNull()), F.col("ref") == F.col("ref_value"))
-        .where(type_ok),
+        p.where(F.col("ref").isNotNull() & F.col("ref_name").isNotNull()).join(
+            F.broadcast(o_type.where(F.col("ref_value").isNotNull())),
+            (F.col("ref") == F.col("ref_value")) & (F.col("pc_id") == F.col("cand_pc")),
+        ),
         1,
         PRIO_REF,
     )
 
     # -- stage 3: name + conscriptionnumber + city (965)
     s3 = arm(
-        p.where(F.col("csn").isNotNull())
-        .join(
-            o.where(F.col("lc_o_csn").isNotNull()),
-            (F.col("lc_csn") == F.col("lc_o_csn")) & (F.col("lc_city") == F.col("lc_o_city")),
-        )
-        .where(name_ok),
+        p.where(F.col("csn").isNotNull()).join(
+            F.broadcast(o_name.where(F.col("lc_o_csn").isNotNull())),
+            (F.col("lc_csn") == F.col("lc_o_csn"))
+            & (F.col("lc_city") == F.col("lc_o_city"))
+            & (F.col("pc_id") == F.col("cand_pc")),
+        ),
         3,
         PRIO_NAME_CSN_CITY,
     )
@@ -210,50 +263,87 @@ def match_cascade(pages_geo: DataFrame, pois: DataFrame, common: DataFrame) -> D
     # -- stage 4: name + city + street + housenumber (940)
     s4 = arm(
         p.join(
-            o,
+            F.broadcast(o_name),
             (F.col("lc_city") == F.col("lc_o_city"))
             & (F.col("lc_street") == F.col("lc_o_street"))
-            & (F.col("lc_hn") == F.col("lc_o_hn")),
-        ).where(name_ok),
+            & (F.col("lc_hn") == F.col("lc_o_hn"))
+            & (F.col("pc_id") == F.col("cand_pc")),
+        ),
         4,
         PRIO_NAME_FULL_ADDR,
     )
 
-    # -- stage 5: the radius query — coarse-cell 3×3 ring join, 5 arms at once
-    mult = coarse_mult_for_radius(max_radius)
-    probe = explode_ring3x3(p, "lat", "lon", mult, out="probe_cell")
-    cand = o.withColumn("cand_cell", coarse_cell_id(F.col("o_lat"), F.col("o_lon"), mult))
-    joined = probe.join(cand, F.col("probe_cell") == F.col("cand_cell"))
-
-    # materialize distance/street/hn checks ONCE as columns — inlining the
-    # haversine into each tier predicate quintuples the codegen'd
-    # expression and blows Janino's 64 KB method limit (interpreted
-    # fallback on the hot path)
+    # -- stage 5: the radius query — (brand, cell) equi-joins.
+    #
+    # The naive form (cell-only join + post-join brand predicate) joins
+    # every page against every candidate in its 3×3 ring — ~670 candidates
+    # per page at hotspot densities, i.e. the join OUTPUT is the shuffle
+    # bottleneck at 10^12 pages. Folding the brand predicate INTO the join
+    # key fixes that: the candidate side explodes its per-POI eligibility
+    # array into (brand, cell) keys, so the join emits only
+    # brand-compatible pairs. Two arms, because the tiers have radically
+    # different radii:
+    #
+    #   5a (named tiers 950/970/980): key = (pc_id, cell@radius(d_perfect)).
+    #      Exploding cand_brands (type ∧ name-regex, ~1 brand/POI) makes
+    #      every post-join name/type predicate unnecessary.
+    #   5b (no-name tier 990, d < d_unsafe = 5 m): key =
+    #      (pc_id ∈ type_hits, cell@radius(d_unsafe)) — the 5 m radius
+    #      permits a ~25× finer grid than d_perfect's, shrinking ring
+    #      candidate sets by the same factor.
+    #
+    # A candidate that qualifies for a named tier may now ALSO emit a 990
+    # row from 5b (the old single-arm when-chain suppressed it); that row
+    # sorts strictly after the named row in the min-struct, so winners are
+    # unchanged.
     d = F.col("distance")
-    prio5 = (
-        F.when(name_ok & F.col("s_eq") & F.col("h_eq") & (d < F.col("d_perfect")), PRIO_NAME_STREET_HN)
-        .when(name_ok & (F.col("s_eq") | F.col("h_eq")) & (d < F.col("d_safe")), PRIO_NAME_PARTIAL)
-        .when(name_ok & (d < F.col("d_safe")), PRIO_NAME_ONLY)
-        .when(avoid_ok & (d < F.col("d_unsafe")), PRIO_NONAME)
+
+    mult_named = coarse_mult_for_radius(max_radius)
+    probe_a = explode_ring3x3(p, "lat", "lon", mult_named, out="probe_cell")
+    cand_a = o_name.withColumn(
+        "cand_cell", coarse_cell_id(F.col("o_lat"), F.col("o_lon"), mult_named)
     )
-    s5 = (
-        joined.where(type_ok)
+    prio_a = (
+        F.when(F.col("s_eq") & F.col("h_eq") & (d < F.col("d_perfect")), PRIO_NAME_STREET_HN)
+        .when((F.col("s_eq") | F.col("h_eq")) & (d < F.col("d_safe")), PRIO_NAME_PARTIAL)
+        .when(d < F.col("d_safe"), PRIO_NAME_ONLY)
+    )
+    s5a = (
+        probe_a.join(
+            F.broadcast(cand_a),
+            (F.col("probe_cell") == F.col("cand_cell")) & (F.col("pc_id") == F.col("cand_pc")),
+        )
         .withColumn("distance", dist)
         .withColumn("s_eq", F.col("lc_street") == F.col("lc_o_street"))
         .withColumn("h_eq", F.col("lc_hn") == F.col("lc_o_hn"))
-        .withColumn("priority", prio5)
+        .withColumn("priority", prio_a)
         .where(F.col("priority").isNotNull())
         .select(
-            "page_id",
-            "osm_id",
-            "node_type",
-            F.lit(5).alias("stage"),
-            "priority",
-            "distance",
+            "page_id", "osm_id", "node_type",
+            F.lit(5).alias("stage"), "priority", "distance",
         )
     )
 
-    all_arms = s1.unionByName(s3).unionByName(s4).unionByName(s5)
+    min_unsafe = max(r["d_unsafe"] for r in common_rows)
+    mult_nn = coarse_mult_for_radius(min_unsafe)
+    probe_b = explode_ring3x3(p, "lat", "lon", mult_nn, out="probe_cell")
+    cand_b = o_type.withColumn(
+        "cand_cell", coarse_cell_id(F.col("o_lat"), F.col("o_lon"), mult_nn)
+    )
+    s5b = (
+        probe_b.join(
+            F.broadcast(cand_b),
+            (F.col("probe_cell") == F.col("cand_cell")) & (F.col("pc_id") == F.col("cand_pc")),
+        )
+        .withColumn("distance", dist)
+        .where(avoid_ok & (d < F.col("d_unsafe")))
+        .select(
+            "page_id", "osm_id", "node_type",
+            F.lit(5).alias("stage"), F.lit(PRIO_NONAME).alias("priority"), "distance",
+        )
+    )
+
+    all_arms = s1.unionByName(s3).unionByName(s4).unionByName(s5a).unionByName(s5b)
 
     # "first non-empty stage wins; within stage ORDER BY priority, distance"
     # (poi_base.py:720-786) + deterministic osm_id tie-break.
@@ -276,13 +366,18 @@ def match_cascade(pages_geo: DataFrame, pois: DataFrame, common: DataFrame) -> D
     )
 
 
-def match_pages(pages_geo: DataFrame, pois: DataFrame, common: DataFrame) -> DataFrame:
+def match_pages(
+    pages_geo: DataFrame,
+    pois: DataFrame,
+    common: DataFrame,
+    brand_rows: list | None = None,
+) -> DataFrame:
     """Full outcome table: every geotagged page, matched or new.
 
     ``poi_new`` mirrors the reference's unmatched → new-POI flag
     (``libs/online_poi_matching.py:64, 334``).
     """
-    best = match_cascade(pages_geo, pois, common)
+    best = match_cascade(pages_geo, pois, common, brand_rows=brand_rows)
     return (
         pages_geo.select("page_id", "url", "name", "lat", "lon", "cell_id")
         .join(best, "page_id", "left")

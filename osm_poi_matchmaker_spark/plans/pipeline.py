@@ -24,7 +24,10 @@ def build_poi_pipeline(root: str, sf_dir: str) -> CheckpointedPipeline:
 
     def s_match(spark: SparkSession, outputs):
         return match_pages(
-            outputs["extract"], synth.osm_pois(spark, sf_dir), synth.poi_common_df(spark)
+            outputs["extract"],
+            synth.osm_pois(spark, sf_dir),
+            synth.poi_common_df(spark),
+            brand_rows=synth.BRAND_ROWS,
         )
 
     def s_export_prep(spark: SparkSession, outputs):

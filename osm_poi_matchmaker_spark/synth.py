@@ -84,6 +84,12 @@ def poi_common_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(BRANDS, COMMON_SCHEMA)
 
 
+# Plan-time view of the brand dimension: the cascade resolves regex sets and
+# radii as literals while building the plan (match.py), so callers that know
+# the dimension locally can skip the driver-side collect() job.
+BRAND_ROWS = [dict(zip(COMMON_SCHEMA.fieldNames(), row)) for row in BRANDS]
+
+
 # ---------------------------------------------------------------------------
 # Materialization: in production `pages` / `osm_pois` are stored Iceberg
 # tables; here we derive them once per scale factor and cache as parquet so
