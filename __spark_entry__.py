@@ -481,6 +481,28 @@ def _q_raster_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage_join(pts, mask).select("page_id", "cell_id", "covered", "poly_id")
 
 
+def _q_addr_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-match enrichment (online_poi_matching.py:64-199): matched
+    pages' address fields overwritten with OSM truth — keyed join to the
+    OSM table, PIP postcode of the OSM point, smart_postcode_check
+    preference chain, per-field overwrite + changed_from_osm flag."""
+    from osm_poi_matchmaker_spark.operators.enrich import enrich_matched_from_osm
+    from osm_poi_matchmaker_spark.operators.match import match_cascade
+
+    pg = _pages_geo(spark, sf_dir).where(
+        F.col("lat").isNotNull() & F.col("lon").isNotNull()
+    )
+    pois = synth.osm_pois(spark, sf_dir)
+    best = match_cascade(pg, pois, synth.poi_common_df(spark), brand_rows=synth.BRAND_ROWS)
+    return enrich_matched_from_osm(
+        pg,
+        best,
+        pois,
+        synth.postcode_polygons_df(spark, sf_dir),
+        synth.city_dim_df(spark, sf_dir),
+    )
+
+
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization via built-in session_window (the stateful
     applyInPandasWithState twin is exercised in tests/test_sessions.py)."""
@@ -496,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_histogram": _q_cell_histogram,
         "match_cascade": _q_match_cascade,
         "match_lineage": _q_match_lineage,
+        "addr_overwrite": _q_addr_overwrite,
         "match_rollup": _q_match_rollup,
         "knn_nearest": _q_knn_nearest,
         "dedup_exact": _q_dedup_exact,
@@ -538,6 +561,65 @@ _CELL = synth_sql.CELL_SQL.format(lat="lat", lon="lon")
 _GEO_FILTER = "lat IS NOT NULL AND lon IS NOT NULL"
 
 
+def _addr_overwrite_oracle_sql(match_base: str) -> str:
+    """DuckDB twin of operators/enrich.enrich_matched_from_osm."""
+
+    def pc(x: str) -> str:  # smart_postcode_check sentinel skip
+        return f"NULLIF(NULLIF(NULLIF(NULLIF({x}, ''), '0'), 'None'), 'NaN')"
+
+    def ow(osm_c: str, cur: str) -> str:
+        return (
+            f"CASE WHEN osm_id IS NOT NULL AND {osm_c} IS NOT NULL AND {osm_c} <> '' "
+            f"THEN {osm_c} ELSE {cur} END AS {cur}"
+        )
+
+    def ch(osm_c: str, cur: str) -> str:
+        return (
+            f"({osm_c} IS NOT NULL AND {osm_c} <> '' AND {osm_c} IS DISTINCT FROM {cur})"
+        )
+
+    coord = "osm_id IS NOT NULL AND o_lat <> lat AND o_lon <> lon"
+    return (
+        f"{match_base}, "
+        "dim AS (SELECT DISTINCT CONCAT('City', CAST(s_suppkey % 50 AS STRING)) AS city,"
+        " CAST(1000 + s_suppkey % 50 AS STRING) AS provider_postcode FROM supplier), "
+        "m AS (SELECT px.page_id, px.lat, px.lon, px.city, px.street, px.housenumber,"
+        " px.csn, b.osm_id, b.node_type"
+        f" FROM pages_x px LEFT JOIN best b ON px.page_id = b.page_id WHERE {_GEO_FILTER}), "
+        "mo AS (SELECT m.*, o.addr_city AS o_city, o.addr_street AS o_street,"
+        " o.addr_housenumber AS o_hn, o.addr_conscriptionnumber AS o_csn,"
+        " o.addr_postcode AS o_pc, o.lat AS o_lat, o.lon AS o_lon"
+        " FROM m LEFT JOIN pois o ON m.osm_id = o.osm_id AND m.node_type = o.node_type), "
+        # The postcode tiles form a regular 5x5 grid, so the PIP lookup is
+        # closed-form tile arithmetic here (no boundary hits possible: page
+        # coords have 5 decimals, tile edges 6). The equivalent range JOIN
+        # (o_lat BETWEEN lat_min AND lat_min+0.58 ...) intermittently spun
+        # forever in DuckDB's IE_JOIN when the left side carries NULLs from
+        # the unmatched-pages LEFT JOIN — avoid it.
+        "mq AS (SELECT mo.*, CASE WHEN"
+        " FLOOR((mo.o_lat - 45.699995) / 0.58) BETWEEN 0 AND 4 AND"
+        " FLOOR((mo.o_lon - 16.099995) / 1.36) BETWEEN 0 AND 4"
+        " THEN CAST(1000 + CAST(FLOOR((mo.o_lat - 45.699995) / 0.58) AS INT) * 5"
+        " + CAST(FLOOR((mo.o_lon - 16.099995) / 1.36) AS INT) AS STRING)"
+        " END AS q_pc FROM mo), "
+        "md AS (SELECT mq.*, d.provider_postcode FROM mq LEFT JOIN dim d ON mq.city = d.city) "
+        "SELECT page_id, osm_id, osm_id IS NULL AS poi_new, "
+        f"CASE WHEN {coord} THEN o_lat ELSE lat END AS lat, "
+        f"CASE WHEN {coord} THEN o_lon ELSE lon END AS lon, "
+        "CASE WHEN osm_id IS NOT NULL THEN "
+        f"COALESCE({pc('o_pc')}, {pc('q_pc')}, {pc('provider_postcode')}) "
+        "ELSE provider_postcode END AS postcode, "
+        f"{ow('o_city', 'city')}, "
+        f"{ow('o_street', 'street')}, "
+        f"{ow('o_hn', 'housenumber')}, "
+        f"{ow('o_csn', 'csn')}, "
+        "(osm_id IS NOT NULL AND ("
+        f"{ch('o_hn', 'housenumber')} OR {ch('o_city', 'city')} OR "
+        f"{ch('o_street', 'street')} OR {ch('o_csn', 'csn')}"
+        ")) AS changed_from_osm FROM md"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     base = synth_sql.base_ctes()
     match_base = base + "," + synth_sql.match_arms_sql()
@@ -575,6 +657,7 @@ def oracle_sql() -> dict[str, str]:
             f"      FROM pages_x px LEFT JOIN best b ON px.page_id = b.page_id WHERE {_GEO_FILTER}) "
             "GROUP BY 1"
         ),
+        "addr_overwrite": _addr_overwrite_oracle_sql(match_base),
         "knn_nearest": (
             f"{base} SELECT page_id, osm_id, ROUND(distance, 2) AS distance_m FROM ("
             f"  SELECT px.page_id, o.osm_id, {hav_px} AS distance "

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..geo import fix_hu_coordinates
+from ..geo import with_fixed_hu_coordinates
 from ..tiling import cell_id
 
 # Extraction patterns — mirrored verbatim in the DuckDB oracle (synth_sql.py).
@@ -76,10 +76,18 @@ def geotag_pages(pages: DataFrame, lang: str = "hu") -> DataFrame:
         _rx(t, RX_CSN).alias("csn"),
         _rx(t, RX_REF).alias("ref"),
     )
-    lat_fixed, lon_fixed = fix_hu_coordinates(F.col("lat"), F.col("lon"))
-    return (
-        df.withColumn("lat", lat_fixed)
-        .withColumn("lon", lon_fixed)
-        .where(F.col("lat").isNotNull() & F.col("lon").isNotNull())
-        .withColumn("cell_id", cell_id(F.col("lat"), F.col("lon")))
+    # Drop non-geotagged rows on the RAW pair, not the fixed one: the fixed
+    # coordinates are NULL exactly when the raw pair is NULL/zero
+    # (check_hu_boundary's bad-input rule), and a filter phrased on the
+    # FIXED columns gets pushed below the projections with its aliases
+    # substituted — inlining the whole regexp+swap+repoint chain into the
+    # predicate, which is what blew Janino's 64KB codegen limit.
+    raw_ok = (
+        F.col("lat").isNotNull()
+        & F.col("lon").isNotNull()
+        & (F.col("lat") != 0.0)
+        & (F.col("lon") != 0.0)
+    )
+    return with_fixed_hu_coordinates(df.where(raw_ok)).withColumn(
+        "cell_id", cell_id(F.col("lat"), F.col("lon"))
     )

@@ -61,6 +61,28 @@ def parse_coordinate(raw: Column) -> Column:
     return F.when(extracted == "", None).otherwise(extracted.cast("double"))
 
 
+def _repoint(c: Column) -> Column:
+    """Missing-decimal-point fix (reference ``libs/geo.py:81-90``).
+
+    The reference slices the SOURCE STRING: ``'{}.{}'.format(s[:2], s[3:])``
+    — keep 2 digits, DROP the 3rd, dot, rest — and if the result carries
+    more than one dot it keeps only the integer part
+    (``'.'.join(parts[0:1])``, :83-86 — a quirk preserved here). Sources
+    hit this path with integer strings like ``'47123456'``, so integral
+    doubles are rendered via bigint (``cast<string>`` on a double would
+    give ``'4.7123456E7'`` and slice garbage)."""
+    digits = F.when(c == F.floor(c), c.cast("bigint").cast("string")).otherwise(
+        c.cast("string")
+    )
+    tail = digits.substr(F.lit(4), F.length(digits))
+    return F.when(
+        c > 200.0,
+        F.when(tail.contains("."), F.substring(digits, 1, 2))
+        .otherwise(F.concat(F.substring(digits, 1, 2), F.lit("."), tail))
+        .cast("double"),
+    ).otherwise(c)
+
+
 def fix_hu_coordinates(lat: Column, lon: Column) -> tuple[Column, Column]:
     """Vectorized ``check_hu_boundary`` (reference ``libs/geo.py:71-93``).
 
@@ -69,16 +91,12 @@ def fix_hu_coordinates(lat: Column, lon: Column) -> tuple[Column, Column]:
     2. Missing decimal point (e.g. ``47123456`` for ``47.123456``): value
        > 200 → re-insert the point after the 2nd digit.
     Zero/NULL coordinates → NULL (reference returns (None, None)).
+
+    Both returned expressions read the INPUT columns — assign them in one
+    ``select`` (atomically), never via chained ``withColumn`` where the
+    second assignment would resolve against the already-swapped first.
+    Prefer :func:`with_fixed_hu_coordinates` which stages this safely.
     """
-
-    def _repoint(c: Column) -> Column:
-        s = c.cast("string")
-        # '47123456.0' → '47.123456...' ; mirrors '{}.{}'.format(s[:2], s[3:])
-        tail = s.substr(F.lit(4), F.length(s))
-        return F.when(
-            c > 200.0, F.concat(F.substring(s, 1, 2), F.lit("."), tail).cast("double")
-        ).otherwise(c)
-
     bad = lat.isNull() | lon.isNull() | (lat == 0.0) | (lon == 0.0)
     swapped = lat < 44.0
     lat1 = F.when(swapped, lon).otherwise(lat)
@@ -86,6 +104,32 @@ def fix_hu_coordinates(lat: Column, lon: Column) -> tuple[Column, Column]:
     return (
         F.when(bad, None).otherwise(_repoint(lat1)),
         F.when(bad, None).otherwise(_repoint(lon1)),
+    )
+
+
+def with_fixed_hu_coordinates(df, lat: str = "lat", lon: str = "lon"):
+    """``check_hu_boundary`` over a DataFrame, staged across two projections.
+
+    Stage 1 nulls bad pairs and swaps atomically (both outputs read the raw
+    inputs — the previous single-chain form resolved the lon swap against
+    the already-swapped lat); stage 2 applies the decimal-repoint. The
+    stage boundary also keeps each generated method small: inlining the
+    swap CASE into every repoint reference blew Janino's 64KB codegen
+    limit and forced interpreted execution (Spark keeps the projections
+    separate because the swapped columns are expensive and referenced more
+    than once, so CollapseProject declines to merge them).
+    """
+    la, lo = F.col(lat), F.col(lon)
+    bad = la.isNull() | lo.isNull() | (la == 0.0) | (lo == 0.0)
+    swapped = la < 44.0
+    others = [c for c in df.columns if c not in (lat, lon)]
+    df = df.select(
+        *others,
+        F.when(bad, None).otherwise(F.when(swapped, lo).otherwise(la)).alias(lat),
+        F.when(bad, None).otherwise(F.when(swapped, la).otherwise(lo)).alias(lon),
+    )
+    return df.select(
+        *others, _repoint(F.col(lat)).alias(lat), _repoint(F.col(lon)).alias(lon)
     )
 
 

@@ -101,10 +101,14 @@ _CACHE_ROOT = os.environ.get(
     "OPM_SYNTH_CACHE", os.path.join(tempfile.gettempdir(), "opm_synth_cache")
 )
 
+# Bump when any synthetic-table schema/derivation changes — busts the
+# materialized parquet cache (old files would silently miss new columns).
+_SCHEMA_VERSION = 2
+
 
 def _materialize(spark: SparkSession, sf_dir: str, name: str, builder) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(_CACHE_ROOT, tag, name)
+    path = os.path.join(_CACHE_ROOT, tag, f"{name}_v{_SCHEMA_VERSION}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         # write enough files that downstream scans parallelize — a single
@@ -350,6 +354,12 @@ def osm_pois_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(a % 37 == 0, F.concat(a.cast("string"), F.lit("/2"))).alias(
                 "addr_conscriptionnumber"
             ),
+            # addr:postcode tag: present on 1/4 of POIs, a '0' sentinel on
+            # another 1/4 (exercises smart_postcode_check's skip list,
+            # online_poi_matching.py:443-448), absent otherwise
+            F.when(a % 4 == 0, (F.lit(1000) + a % 25).cast("string"))
+            .when(a % 4 == 1, F.lit("0"))
+            .alias("addr_postcode"),
             F.when(brand == 9, F.concat(F.lit("MAV"), (a % 97).cast("string"))).alias("ref_value"),
             (lat_e5.cast("double") / 100000.0).alias("lat"),
             (lon_e5.cast("double") / 100000.0).alias("lon"),

@@ -95,6 +95,8 @@ def pois_cte() -> str:
         f"CONCAT('Street ', CAST({a} % 30 AS STRING)) AS addr_street, "
         f"CAST(CASE WHEN {a} % 11 = 0 THEN ({a} + 1) % 40 + 1 ELSE {a} % 40 + 1 END AS STRING) AS addr_housenumber, "
         f"CASE WHEN {a} % 37 = 0 THEN CONCAT(CAST({a} AS STRING), '/2') END AS addr_conscriptionnumber, "
+        f"CASE WHEN {a} % 4 = 0 THEN CAST(1000 + {a} % 25 AS STRING) "
+        f"WHEN {a} % 4 = 1 THEN '0' END AS addr_postcode, "
         f"CASE WHEN {a} % 12 = 9 THEN CONCAT('MAV', CAST({a} % 97 AS STRING)) END AS ref_value, "
         f"CAST({lat_j} AS DOUBLE) / 100000.0 AS lat, "
         f"CAST({lon_j} AS DOUBLE) / 100000.0 AS lon "
