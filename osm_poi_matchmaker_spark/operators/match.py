@@ -104,7 +104,28 @@ def _prep_pois(pois: DataFrame, brand_specs: list) -> DataFrame:
     plus pre-lowercased address keys, so the 10^7-row hot path is integer
     ``array_contains`` + direct string equality only.
     """
-    name_lc = F.lower(F.col("name"))
+    # Stage the lowered name as a REAL column first: ``name_lc`` is
+    # referenced by all ~24 rlike whens below, and inlining the lower()
+    # into each (what a single select produces) re-runs the ICU case
+    # mapping per reference — thread dumps showed Lower.execBinaryICU as
+    # the top CPU frame of the build side. A multi-referenced non-cheap
+    # alias is a projection boundary CollapseProject won't merge away.
+    staged = pois.select(
+        "osm_id",
+        "node_type",
+        "shop",
+        "amenity",
+        "railway",
+        "ref_value",
+        "lat",
+        "lon",
+        F.lower(F.col("addr_city")).alias("lc_o_city"),
+        F.lower(F.col("addr_street")).alias("lc_o_street"),
+        F.lower(F.col("addr_housenumber")).alias("lc_o_hn"),
+        F.lower(F.col("addr_conscriptionnumber")).alias("lc_o_csn"),
+        F.lower(F.col("name")).alias("name_lc"),
+    )
+    name_lc = F.col("name_lc")
 
     def type_ok(ptype: str):
         return type_predicate(
@@ -132,13 +153,13 @@ def _prep_pois(pois: DataFrame, brand_specs: list) -> DataFrame:
         if avoid_pairs
         else F.array().cast("array<int>")
     )
-    return pois.select(
+    return staged.select(
         "osm_id",
         "node_type",
-        F.lower(F.col("addr_city")).alias("lc_o_city"),
-        F.lower(F.col("addr_street")).alias("lc_o_street"),
-        F.lower(F.col("addr_housenumber")).alias("lc_o_hn"),
-        F.lower(F.col("addr_conscriptionnumber")).alias("lc_o_csn"),
+        "lc_o_city",
+        "lc_o_street",
+        "lc_o_hn",
+        "lc_o_csn",
         "ref_value",
         F.col("lat").alias("o_lat"),
         F.col("lon").alias("o_lon"),

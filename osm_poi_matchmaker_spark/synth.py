@@ -80,8 +80,26 @@ HOT_LAT_E5, HOT_LON_E5 = 4749790, 1904020  # "Budapest" hotspot center
 
 
 def poi_common_df(spark: SparkSession) -> DataFrame:
-    """~12-row brand dimension — always broadcast (J1, create_db.py:253-256)."""
-    return spark.createDataFrame(BRANDS, COMMON_SCHEMA)
+    """~12-row brand dimension — always broadcast (J1, create_db.py:253-256).
+
+    Built as a SQL VALUES literal, NOT ``createDataFrame(rows)``: the
+    latter plans as a Python-RDD scan (``Scan ExistingRDD``), and every
+    broadcast rebuild of the dimension then spins up Python workers —
+    thread dumps of the match job showed tasks serialized on
+    ``SparkEnv.createPythonWorker``. A VALUES literal is a JVM-side
+    LocalRelation: no Python anywhere in the cascade's hot path.
+    """
+
+    def lit(v):
+        if v is None:
+            return "CAST(NULL AS STRING)"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(int(v))
+
+    rows = ", ".join("(" + ", ".join(lit(v) for v in row) + ")" for row in BRANDS)
+    cols = ", ".join(COMMON_SCHEMA.fieldNames())
+    return spark.sql(f"SELECT * FROM (VALUES {rows}) AS t({cols})")
 
 
 # Plan-time view of the brand dimension: the cascade resolves regex sets and
@@ -173,13 +191,13 @@ def water_polygons_df(spark: SparkSession) -> DataFrame:
     one overlapping the Budapest hotspot, two rural."""
     # bounds carry a 5e-6 offset (same trick as the postcode grid) so no
     # integer-micro-degree point sits exactly on an edge
-    rows = [
-        (0, 47.492995, 47.503005, 19.024995, 19.045005),
-        (1, 46.199995, 46.400005, 17.499995, 17.900005),
-        (2, 47.799995, 48.000005, 20.499995, 20.800005),
-    ]
-    df = spark.createDataFrame(
-        rows, "poly_id int, lat_min double, lat_max double, lon_min double, lon_max double"
+    # VALUES literal (JVM LocalRelation) — same reason as poi_common_df
+    df = spark.sql(
+        "SELECT * FROM (VALUES"
+        " (0, 47.492995D, 47.503005D, 19.024995D, 19.045005D),"
+        " (1, 46.199995D, 46.400005D, 17.499995D, 17.900005D),"
+        " (2, 47.799995D, 48.000005D, 20.499995D, 20.800005D)"
+        ") AS t(poly_id, lat_min, lat_max, lon_min, lon_max)"
     )
     wkt = F.concat(
         F.lit("POLYGON(("),
