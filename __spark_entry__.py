@@ -56,7 +56,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _q_geotag_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pages_geo(spark, sf_dir).select(
-        "page_id", "url", "name", "lat", "lon", "city", "street", "housenumber", "csn", "ref"
+        "page_id", "url", "name", "lat", "lon", "city", "street",
+        "housenumber", "csn", "ref", "uname",
     )
 
 
@@ -626,7 +627,7 @@ def oracle_sql() -> dict[str, str]:
     hav_px = synth_sql.HAV.replace("p.lat", "px.lat").replace("p.lon", "px.lon")
     return {
         "geotag_extract": (
-            f"{base} SELECT page_id, url, name, lat, lon, city, street, housenumber, csn, ref "
+            f"{base} SELECT page_id, url, name, lat, lon, city, street, housenumber, csn, ref, uname "
             f"FROM pages_x WHERE {_GEO_FILTER}"
         ),
         "cell_assign": (
@@ -706,7 +707,10 @@ def oracle_sql() -> dict[str, str]:
             "        CAST(1000 + s_suppkey % 50 AS STRING) AS city_post_code FROM supplier), "
             "inp AS (SELECT page_id,"
             "  CASE WHEN page_id % 7 = 0 THEN replace(city, 'City', 'Cty')"
-            "       WHEN page_id % 11 = 0 THEN CONCAT(city, 'x') ELSE city END AS city,"
+            # || not CONCAT: DuckDB's CONCAT skips NULLs (NULL||'x' -> 'x')
+            # while Spark's concat propagates them — pages without a city
+            # (the k%17/k%19 address classes) must stay NULL on both sides
+            "       WHEN page_id % 11 = 0 THEN (city || 'x') ELSE city END AS city,"
             "  CAST(1000 + (page_id + CASE WHEN page_id % 13 = 0 THEN 1 ELSE 0 END) % 50 AS STRING) AS postcode"
             f"  FROM pages_x WHERE {_GEO_FILTER}), "
             "j AS (SELECT i.page_id, d.city_id, d.city_name, d.city_post_code,"

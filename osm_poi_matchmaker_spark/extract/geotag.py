@@ -28,6 +28,7 @@ RX_STREET = r"(Street [0-9]+) "
 RX_HN = r"Street [0-9]+ ([0-9]+)"
 RX_CSN = r"hrsz ([0-9]+/[0-9]+)"
 RX_REF = r"ref (MAV[0-9]+)"
+RX_UNAME = r"uniq (.*)$"
 
 
 def _rx(col, pattern: str):
@@ -75,6 +76,7 @@ def geotag_pages(pages: DataFrame, lang: str = "hu") -> DataFrame:
         _rx(t, RX_HN).alias("housenumber"),
         _rx(t, RX_CSN).alias("csn"),
         _rx(t, RX_REF).alias("ref"),
+        _rx(t, RX_UNAME).alias("uname"),
     )
     # Drop non-geotagged rows on the RAW pair, not the fixed one: the fixed
     # coordinates are NULL exactly when the raw pair is NULL/zero

@@ -10,6 +10,7 @@ the anti-pattern this engine exists to remove.
 Spark rebuild: ALL pages are matched in one plan —
 
   stage 1 (prio 930): additional-ref equality        (``poi_base.py:251-279``)
+  stage 2 (prio 930): unique-name exact equality     (``poi_base.py:312-338``)
   stage 3 (prio 965): name ~ rx ∧ csn = ∧ city =     (``poi_base.py:376-406``)
   stage 4 (prio 940): name ∧ city ∧ street ∧ hn      (``poi_base.py:444-475``)
   stage 5: the radius query, 5 arms in one join      (``poi_base.py:519-719``)
@@ -19,10 +20,7 @@ Spark rebuild: ALL pages are matched in one plan —
       prio 980: name,                dist < d_safe
       prio 990: ¬avoid-name,         dist < d_unsafe
 
-(stage 2 — the unique-name tier, ``poi_base.py:312-338`` — activates only
-for brands with a unique-name regex; none in the synthetic dimension yet.)
-
-Stages 1/3/4 are distance-free attribute joins → plain shuffle equi-joins
+Stages 1/2/3/4 are distance-free attribute joins → plain shuffle equi-joins
 on composite keys. Stage 5 is a radius join → coarse-cell 3×3 ring joins
 keyed on (brand, cell): the candidate side explodes its precomputed
 per-POI brand-eligibility arrays (see _prep_pois) so brand compatibility
@@ -60,6 +58,7 @@ from ..tiling import coarse_cell_id, coarse_mult_for_radius, explode_ring3x3
 
 # Priorities exactly as the reference assigns them (dao/poi_base.py:254-683).
 PRIO_REF = 930
+PRIO_UNIQUE_NAME = 930  # stage 2 — same priority as stage 1; stage order breaks the tie
 PRIO_NAME_CSN_CITY = 965
 PRIO_NAME_FULL_ADDR = 940
 PRIO_NAME_STREET_HN = 950
@@ -161,6 +160,7 @@ def _prep_pois(pois: DataFrame, brand_specs: list) -> DataFrame:
         "lc_o_hn",
         "lc_o_csn",
         "ref_value",
+        "name_lc",
         F.col("lat").alias("o_lat"),
         F.col("lon").alias("o_lon"),
         type_hits.alias("type_hits"),
@@ -216,6 +216,7 @@ def match_cascade(
         "d_safe",
         "d_unsafe",
         "avoid_rx",
+        F.lower(F.col("uname")).alias("lc_uname"),
         F.lower(F.col("city")).alias("lc_city"),
         F.lower(F.col("street")).alias("lc_street"),
         F.lower(F.col("housenumber")).alias("lc_hn"),
@@ -267,6 +268,17 @@ def match_cascade(
         ),
         1,
         PRIO_REF,
+    )
+
+    # -- stage 2: unique-name exact equality (930, poi_base.py:312-338) —
+    # LOWER(name) = LOWER(:unique_name) under the tag predicate, no radius
+    s2 = arm(
+        p.where(F.col("lc_uname").isNotNull()).join(
+            F.broadcast(o_type),
+            (F.col("lc_uname") == F.col("name_lc")) & (F.col("pc_id") == F.col("cand_pc")),
+        ),
+        2,
+        PRIO_UNIQUE_NAME,
     )
 
     # -- stage 3: name + conscriptionnumber + city (965)
@@ -364,7 +376,9 @@ def match_cascade(
         )
     )
 
-    all_arms = s1.unionByName(s3).unionByName(s4).unionByName(s5a).unionByName(s5b)
+    all_arms = (
+        s1.unionByName(s2).unionByName(s3).unionByName(s4).unionByName(s5a).unionByName(s5b)
+    )
 
     # "first non-empty stage wins; within stage ORDER BY priority, distance"
     # (poi_base.py:720-786) + deterministic osm_id tie-break.

@@ -24,6 +24,13 @@ POI is jittered by class ``a % 7``:
     cls 5  → ~33 m but decoy name        (name predicates must reject)
     cls 6  → ~1.5 km east                (kNN range behavior)
 
+Address-completeness classes (page side): ``k%17==3`` pages carry no
+address, ``k%19==11`` pages street+housenumber but no city — without
+them the dense synthetic address keys let stage 4 match every page and
+the radius tiers (950/970/980/990) never win. Unique-name landmarks:
+``k%53==0`` pages name a "Hall {0..4}" (stage-2 tier), ``a%41==0`` POIs
+carry the matching exact names.
+
 40% of pages/POIs cluster in a 4×6 km "Budapest" hotspot (mega-cell skew per
 BASELINE.json north_rule — exercises AQE skew handling and salting).
 """
@@ -121,7 +128,7 @@ _CACHE_ROOT = os.environ.get(
 
 # Bump when any synthetic-table schema/derivation changes — busts the
 # materialized parquet cache (old files would silently miss new columns).
-_SCHEMA_VERSION = 2
+_SCHEMA_VERSION = 5
 
 
 def _materialize(spark: SparkSession, sf_dir: str, name: str, builder) -> DataFrame:
@@ -292,7 +299,25 @@ def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     hn = (k % 40 + 1).cast("string")
     csn = F.when(k % 37 == 0, F.concat(k.cast("string"), F.lit("/2")))
     ref = F.when(k % 12 == 9, F.concat(F.lit("MAV"), (k % 97).cast("string")))
+    # unique-name landmark (stage-2 cascade tier, poi_base.py:312-338):
+    # 1/53 of pages name a "Hall {0..4}" landmark matched by exact
+    # lowercased name equality against the POI side
+    uname = F.when(k % 53 == 0, F.concat(F.lit("Hall "), (k % 5).cast("string")))
 
+    # Address completeness classes: without them every page stage-4
+    # matches (the 600-cycle address collisions always supply a same-brand
+    # same-address POI) and the radius tiers (950/970/980/990) never WIN —
+    # leaving the cascade's distance semantics unvalidated by the oracle.
+    #   k%17==3 → no address at all   (name+radius tiers decide)
+    #   k%19==11 → street+hn, no city (tier 950 street∧hn < d_perfect)
+    # the leading space lives inside the non-empty branches: a bare
+    # "addr: " tail would leave trailing whitespace that the HTML
+    # prettify roundtrip strips, breaking byte parity
+    addr = (
+        F.when(k % 17 == 3, F.lit(""))
+        .when(k % 19 == 11, F.concat(F.lit(" "), street, F.lit(" "), hn))
+        .otherwise(F.concat(F.lit(" "), city, F.lit(", "), street, F.lit(" "), hn))
+    )
     text = F.concat(
         F.lit("POI "),
         name,
@@ -300,14 +325,11 @@ def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         lat_e5.cast("string"),
         F.lit(","),
         lon_e5.cast("string"),
-        F.lit(" | addr: "),
-        city,
-        F.lit(", "),
-        street,
-        F.lit(" "),
-        hn,
+        F.lit(" | addr:"),
+        addr,
         F.when(csn.isNotNull(), F.concat(F.lit(" hrsz "), csn)).otherwise(F.lit("")),
         F.when(ref.isNotNull(), F.concat(F.lit(" ref "), ref)).otherwise(F.lit("")),
+        F.when(uname.isNotNull(), F.concat(F.lit(" uniq "), uname)).otherwise(F.lit("")),
     )
     return (
         spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -345,6 +367,9 @@ def osm_pois_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = F.when(cls == 5, F.concat(F.lit("Random Bolt "), a.cast("string"))).otherwise(base_name)
     # avoid-name decoys: some OTP rows are "OTP Travel" (tier-990 exclusion)
     name = F.when((brand == 11) & (a % 3 == 0), F.lit("OTP Travel")).otherwise(name)
+    # unique-name landmarks (stage-2 tier): POIs named "Hall {0..4}",
+    # matched by exact lowercased equality from the page's uniq token
+    name = F.when(a % 41 == 0, F.concat(F.lit("Hall "), (a % 5).cast("string"))).otherwise(name)
     # case variants — the cascade matches names case-insensitively (poi_base.py:193-211)
     name = F.when(a % 29 == 0, F.upper(name)).otherwise(name)
 

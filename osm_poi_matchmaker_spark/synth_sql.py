@@ -39,12 +39,17 @@ def _brand_name(k: str) -> str:
 def pages_cte() -> str:
     k = "c_custkey"
     name = _brand_name(k)
+    addr = (
+        f"(CASE WHEN {k} % 17 = 3 THEN '' "
+        f"WHEN {k} % 19 = 11 THEN CONCAT(' Street ', CAST({k} % 30 AS STRING), ' ', CAST({k} % 40 + 1 AS STRING)) "
+        f"ELSE CONCAT(' City', CAST({k} % 50 AS STRING), ', Street ', CAST({k} % 30 AS STRING), ' ', CAST({k} % 40 + 1 AS STRING)) END)"
+    )
     text = (
         f"CONCAT('POI ', {name}, ' | geo:', CAST({_lat_e5(k)} AS STRING), ',', "
-        f"CAST({_lon_e5(k)} AS STRING), ' | addr: City', CAST({k} % 50 AS STRING), "
-        f"', Street ', CAST({k} % 30 AS STRING), ' ', CAST({k} % 40 + 1 AS STRING), "
+        f"CAST({_lon_e5(k)} AS STRING), ' | addr:', {addr}, "
         f"CASE WHEN {k} % 37 = 0 THEN CONCAT(' hrsz ', CAST({k} AS STRING), '/2') ELSE '' END, "
-        f"CASE WHEN {k} % 12 = 9 THEN CONCAT(' ref MAV', CAST({k} % 97 AS STRING)) ELSE '' END)"
+        f"CASE WHEN {k} % 12 = 9 THEN CONCAT(' ref MAV', CAST({k} % 97 AS STRING)) ELSE '' END, "
+        f"CASE WHEN {k} % 53 = 0 THEN CONCAT(' uniq Hall ', CAST({k} % 5 AS STRING)) ELSE '' END)"
     )
     return (
         "pages AS (SELECT "
@@ -66,7 +71,8 @@ PAGES_X_CTE = r"""pages_x AS (
     NULLIF(regexp_extract(text, '(Street [0-9]+) ', 1), '') AS street,
     NULLIF(regexp_extract(text, 'Street [0-9]+ ([0-9]+)', 1), '') AS housenumber,
     NULLIF(regexp_extract(text, 'hrsz ([0-9]+/[0-9]+)', 1), '') AS csn,
-    NULLIF(regexp_extract(text, 'ref (MAV[0-9]+)', 1), '') AS ref
+    NULLIF(regexp_extract(text, 'ref (MAV[0-9]+)', 1), '') AS ref,
+    NULLIF(regexp_extract(text, 'uniq (.*)$', 1), '') AS uname
   FROM pages WHERE lang = 'hu')"""
 
 
@@ -76,6 +82,7 @@ def pois_cte() -> str:
     base_name = _brand_name(a)
     name = f"(CASE WHEN {a} % 7 = 5 THEN CONCAT('Random Bolt ', CAST({a} AS STRING)) ELSE {base_name} END)"
     name = f"(CASE WHEN {a} % 12 = 11 AND {a} % 3 = 0 THEN 'OTP Travel' ELSE {name} END)"
+    name = f"(CASE WHEN {a} % 41 = 0 THEN CONCAT('Hall ', CAST({a} % 5 AS STRING)) ELSE {name} END)"
     name = f"(CASE WHEN {a} % 29 = 0 THEN UPPER({name}) ELSE {name} END)"
     lat_j = (
         f"({_lat_e5(a)} + CASE {a} % 7 WHEN 1 THEN 8 WHEN 2 THEN 40 WHEN 3 THEN 180 "
@@ -159,6 +166,10 @@ arms AS (
   SELECT p.page_id, o.osm_id, o.node_type, 1 AS stage, 930 AS priority, {HAV} AS distance
   FROM p JOIN pois o ON p.ref = o.ref_value
   WHERE p.ref IS NOT NULL AND p.ref_name IS NOT NULL AND o.ref_value IS NOT NULL AND {TPRED}
+  UNION ALL
+  SELECT p.page_id, o.osm_id, o.node_type, 2, 930, {HAV}
+  FROM p JOIN pois o ON lower(p.uname) = lower(o.name)
+  WHERE p.uname IS NOT NULL AND {TPRED}
   UNION ALL
   SELECT p.page_id, o.osm_id, o.node_type, 3, 965, {HAV}
   FROM p JOIN pois o

@@ -40,8 +40,12 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def amplified_pages_path(sf_dir: str, amplify: int) -> str:
+    from osm_poi_matchmaker_spark import synth
+
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(_CACHE_ROOT, f"{tag}_x{amplify}")
+    # _SCHEMA_VERSION in the path: an amplified copy of a stale pages
+    # schema must not survive a synth change
+    return os.path.join(_CACHE_ROOT, f"{tag}_x{amplify}_v{synth._SCHEMA_VERSION}")
 
 
 def build_amplified_input(sf_dir: str, amplify: int) -> str:
