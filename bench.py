@@ -61,50 +61,65 @@ def main() -> None:
     pois.count()
     common = synth.poi_common_df(spark)
 
-    timings: dict[str, float] = {}
-    rows: dict[str, int] = {}
+    def run_pipeline() -> tuple[dict, dict]:
+        """One full pass of the staged pipeline; fresh persists each call so
+        every pass pays every stage's full compute."""
+        timings: dict[str, float] = {}
+        rows: dict[str, int] = {}
 
-    def stage(name: str, df) -> None:
-        t0 = time.time()
-        rows[name] = force(df)
-        timings[name] = round(time.time() - t0, 3)
+        def stage(name: str, df) -> None:
+            t0 = time.time()
+            rows[name] = force(df)
+            timings[name] = round(time.time() - t0, 3)
 
-    # stage 1: geotag extraction (pandas-UDF parse of every page) — the
-    # persisted frame is the pipeline's extract checkpoint
-    pages_geo = geotag_pages(synth.pages(spark, sf_dir)).persist()
-    stage(
-        "geotag_extract",
-        pages_geo.select(
-            "page_id", "url", "name", "lat", "lon", "city", "street", "housenumber", "csn", "ref"
-        ),
-    )
+        # stage 1: geotag extraction (pandas-UDF parse of every page) — the
+        # persisted frame is the pipeline's extract checkpoint
+        pages_geo = geotag_pages(synth.pages(spark, sf_dir)).persist()
+        stage(
+            "geotag_extract",
+            pages_geo.select(
+                "page_id", "url", "name", "lat", "lon", "city", "street",
+                "housenumber", "csn", "ref",
+            ),
+        )
 
-    # stage 2: tile-occupancy histogram over the extract checkpoint
-    stage(
-        "cell_histogram",
-        pages_geo.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_pages")),
-    )
+        # stage 2: tile-occupancy histogram over the extract checkpoint
+        stage(
+            "cell_histogram",
+            pages_geo.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_pages")),
+        )
 
-    # stage 3: the match cascade — persisted as the match checkpoint
-    matched = match_pages(pages_geo, pois, common, brand_rows=synth.BRAND_ROWS).persist()
-    stage(
-        "match_cascade",
-        matched.select(
-            "page_id", "osm_id", "node_type", "stage", "priority",
-            F.round("distance", 2).alias("distance_m"), "poi_new",
-        ),
-    )
+        # stage 3: the match cascade — persisted as the match checkpoint
+        matched = match_pages(pages_geo, pois, common, brand_rows=synth.BRAND_ROWS).persist()
+        stage(
+            "match_cascade",
+            matched.select(
+                "page_id", "osm_id", "node_type", "stage", "priority",
+                F.round("distance", 2).alias("distance_m"), "poi_new",
+            ),
+        )
 
-    # stage 4: per-partition lineage metrics over the match checkpoint
-    stage("match_lineage", match_lineage(matched))
+        # stage 4: per-partition lineage metrics over the match checkpoint
+        stage("match_lineage", match_lineage(matched))
 
-    # stage 5: ring-expansion nearest-POI assignment
-    stage(
-        "knn_nearest",
-        nearest_poi_expanding(pages_geo, pois, radii=(250.0, 2000.0)).select(
-            "page_id", "osm_id", F.round("distance", 2).alias("distance_m")
-        ),
-    )
+        # stage 5: ring-expansion nearest-POI assignment
+        stage(
+            "knn_nearest",
+            nearest_poi_expanding(pages_geo, pois, radii=(250.0, 2000.0)).select(
+                "page_id", "osm_id", F.round("distance", 2).alias("distance_m")
+            ),
+        )
+        matched.unpersist(blocking=True)
+        pages_geo.unpersist(blocking=True)
+        return timings, rows
+
+    # Steady-state protocol (mirrors scaling_bench.py): one warmup pass pays
+    # the per-JVM one-time costs — whole-stage-codegen compile + C2 JIT,
+    # measured at ~8x the warm cost for the identical job — which amortize
+    # to zero over a production run; the reported pass is the second one,
+    # which still pays every stage's full compute (fresh persists per pass).
+    run_pipeline()
+    timings, rows = run_pipeline()
 
     total = round(sum(timings.values()), 3)
     match_sec = timings.get("match_cascade", total) or total
