@@ -48,12 +48,22 @@ def fuzzy_street_match(
     from ..tiling import coarse_cell_id, coarse_mult_for_radius, explode_ring3x3
 
     mult = coarse_mult_for_radius(radius_m)
-    probe = explode_ring3x3(
-        points.select(point_key, "lat", "lon", "street"), "lat", "lon", mult
+    # Ring replication on the road (candidate) side — symmetric-offset
+    # equivalence (see match.py stage 5): the point side is page-derived
+    # (the 10^12-row side) and must cross the cell-keyed join at one row
+    # per point; roads (≪ pages) carry the 9×.
+    probe = points.select(point_key, "lat", "lon", "street").withColumn(
+        "probe_cell", coarse_cell_id(F.col("lat"), F.col("lon"), mult)
     )
-    cand = roads.select(
-        "road_id", "road_name", F.col("lat").alias("r_lat"), F.col("lon").alias("r_lon")
-    ).withColumn("cand_cell", coarse_cell_id(F.col("r_lat"), F.col("r_lon"), mult))
+    cand = explode_ring3x3(
+        roads.select(
+            "road_id", "road_name", F.col("lat").alias("r_lat"), F.col("lon").alias("r_lon")
+        ),
+        "r_lat",
+        "r_lon",
+        mult,
+        out="cand_cell",
+    )
 
     dist = haversine_m(F.col("lat"), F.col("lon"), F.col("r_lat"), F.col("r_lon"))
     sim = trigram_similarity(F.col("street"), F.col("road_name"))
@@ -108,12 +118,27 @@ def fuzzy_city_match(
         .when(lev <= max_lev, 3)
         .when(zip_eq, 4)
     )
-    w = Window.partitionBy(input_key).orderBy("tier", "lev", "city_id")
+    # Winner per input as min(struct) rather than a row_number window:
+    # map-side partial combining ships one candidate per input through the
+    # shuffle instead of every tier-qualifying (input, city) pair — in a
+    # zip-dense dim the tier-4 arm alone can qualify dozens of cities per
+    # input. (tier, lev, city_id) is the window's exact ordering; city_id
+    # is unique so the trailing carried fields never decide.
+    best = F.min(
+        F.struct("tier", "lev", "city_id", "city_name", "city_post_code")
+    ).alias("b")
     return (
         joined.withColumn("tier", tier)
         .where(F.col("tier").isNotNull())
         .withColumn("lev", lev)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(input_key, "city_id", "city_name", "city_post_code", "tier", "lev")
+        .groupBy(input_key)
+        .agg(best)
+        .select(
+            input_key,
+            F.col("b.city_id").alias("city_id"),
+            F.col("b.city_name").alias("city_name"),
+            F.col("b.city_post_code").alias("city_post_code"),
+            F.col("b.tier").alias("tier"),
+            F.col("b.lev").alias("lev"),
+        )
     )

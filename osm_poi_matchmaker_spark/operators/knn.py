@@ -5,12 +5,15 @@ The reference's only kNN is a scipy ``cdist`` argmin over in-memory arrays
 analogue: "k-ring cell-expansion kNN for nearest-POI assignment".
 
 Strategy: a radius-bounded nearest-1 (or nearest-k) join. The coarse cell
-size is picked so a 3×3 ring covers the radius (tiling.coarse_mult_for_radius)
-→ constant 9× probe fan-out, join on the cell key, haversine post-filter,
-then a min-by window. Points with no candidate inside the radius are
-reported unmatched (left join, NULL osm_id) — at planetary scale an
-unbounded nearest-neighbor would force ring escalation loops; bounding the
-search radius keeps the plan a single shuffle.
+size is picked so a 3×3 ring covers the radius (tiling.coarse_mult_for_radius);
+the 9× ring replication lives on the SMALL candidate side (symmetric-offset
+equivalence, same argument as operators/match.py stage 5), so each point
+probes the broadcast with its own single cell. Haversine post-filter, then
+a min-struct aggregate (k=1) or min-by window (k>1). Points with no
+candidate inside the radius are reported unmatched (left join, NULL osm_id)
+— at planetary scale an unbounded nearest-neighbor would force ring
+escalation loops; bounding the search radius keeps the plan a single
+shuffle of ~one row per point.
 """
 
 from __future__ import annotations
@@ -38,19 +41,48 @@ def nearest_poi(
     the misses).
     """
     mult = coarse_mult_for_radius(radius_m)
-    probe = explode_ring3x3(
-        points.select(point_key, "lat", "lon"), "lat", "lon", mult, out="probe_cell"
+    # Ring explode on the candidate side + broadcast: pois is the small side
+    # (country-level OSM extract, ~10^6 rows; 9× replicated is still a few
+    # hundred MB columnar), points is the 10^12-row side — it must flow
+    # through the join at one row per point, unshuffled. At planet scale
+    # (10^8 POIs) drop the hint: the cell key turns this into a co-located
+    # shuffle join, same as match.py's degradation path.
+    probe = points.select(point_key, "lat", "lon").withColumn(
+        "probe_cell", coarse_cell_id(F.col("lat"), F.col("lon"), mult)
     )
-    cand = pois.select(
-        "osm_id", F.col("lat").alias("o_lat"), F.col("lon").alias("o_lon")
-    ).withColumn("cand_cell", coarse_cell_id(F.col("o_lat"), F.col("o_lon"), mult))
+    cand = explode_ring3x3(
+        pois.select(
+            "osm_id", F.col("lat").alias("o_lat"), F.col("lon").alias("o_lon")
+        ),
+        "o_lat",
+        "o_lon",
+        mult,
+        out="cand_cell",
+    )
 
     dist = haversine_m(F.col("lat"), F.col("lon"), F.col("o_lat"), F.col("o_lon"))
     joined = (
-        probe.join(cand, F.col("probe_cell") == F.col("cand_cell"))
+        probe.join(F.broadcast(cand), F.col("probe_cell") == F.col("cand_cell"))
         .withColumn("distance", dist)
         .where(F.col("distance") < F.lit(float(radius_m)))
     )
+    if k == 1:
+        # min(struct) instead of a row_number window: the aggregate gets
+        # map-side partial combining, so each shuffle partition ships one
+        # candidate per point instead of every in-radius pair (same trick
+        # as match.py's winner selection; identical ordering semantics —
+        # struct lexicographic order = ORDER BY distance, osm_id).
+        best = F.min(F.struct("distance", "osm_id")).alias("b")
+        return (
+            joined.groupBy(point_key)
+            .agg(best)
+            .select(
+                point_key,
+                F.col("b.osm_id").alias("osm_id"),
+                F.col("b.distance").alias("distance"),
+                F.lit(1).alias("knn_rank"),
+            )
+        )
     w = Window.partitionBy(point_key).orderBy("distance", "osm_id")
     return (
         joined.withColumn("knn_rank", F.row_number().over(w))

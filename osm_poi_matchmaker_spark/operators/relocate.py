@@ -13,15 +13,16 @@ centroid→POI line with the building outline via
 the centroid→POI segment itself — same determinism, same inputs,
 documented deviation.)
 
-Spark rebuild: a coarse-cell ring join (60 m radius) + street/hn equality
-+ nearest-1 window, then pure-arithmetic coordinate interpolation.
+Spark rebuild: a coarse-cell ring join (60 m radius, ring replication on
+the building side) with street/hn equality folded into the join keys +
+nearest-1 min-struct aggregate, then pure-arithmetic coordinate
+interpolation.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..geo import haversine_m
 from ..tiling import coarse_cell_id, coarse_mult_for_radius, explode_ring3x3
@@ -46,32 +47,57 @@ def relocate_new_pois(
     Only rows with a qualifying building are returned (reference leaves
     the POI untouched otherwise)."""
     mult = coarse_mult_for_radius(radius_m)
-    probe = explode_ring3x3(
-        new_pois.select(point_key, "name", "lat", "lon", "street", "housenumber"),
-        "lat",
-        "lon",
+    # Ring explode on the building (candidate) side — symmetric-offset
+    # equivalence, same argument as match.py stage 5: the new-POI side is
+    # the page-derived big side and flows through the cell-keyed join at
+    # one row each; buildings (≪ pages) carry the 9×. Street + housenumber
+    # equality is part of the join condition so Catalyst extracts all three
+    # as hash keys — only same-address pairs materialize.
+    probe = new_pois.select(
+        point_key, "name", "lat", "lon", "street", "housenumber"
+    ).withColumn("probe_cell", coarse_cell_id(F.col("lat"), F.col("lon"), mult))
+    cand = explode_ring3x3(
+        buildings.select(
+            "building_id",
+            "b_street",
+            "b_housenumber",
+            F.col("lat").alias("b_lat"),
+            F.col("lon").alias("b_lon"),
+        ),
+        "b_lat",
+        "b_lon",
         mult,
+        out="cand_cell",
     )
-    cand = buildings.select(
-        "building_id",
-        "b_street",
-        "b_housenumber",
-        F.col("lat").alias("b_lat"),
-        F.col("lon").alias("b_lon"),
-    ).withColumn("cand_cell", coarse_cell_id(F.col("b_lat"), F.col("b_lon"), mult))
 
     dist = haversine_m(F.col("lat"), F.col("lon"), F.col("b_lat"), F.col("b_lon"))
     joined = (
-        probe.join(cand, F.col("probe_cell") == F.col("cand_cell"))
-        .where(
-            (F.lower(F.col("street")) == F.lower(F.col("b_street")))
-            & (F.lower(F.col("housenumber")) == F.lower(F.col("b_housenumber")))
+        probe.join(
+            cand,
+            (F.col("probe_cell") == F.col("cand_cell"))
+            & (F.lower(F.col("street")) == F.lower(F.col("b_street")))
+            & (F.lower(F.col("housenumber")) == F.lower(F.col("b_housenumber"))),
         )
         .withColumn("distance", dist)
         .where(F.col("distance") < F.lit(radius_m))
     )
-    w = Window.partitionBy(point_key).orderBy("distance", "building_id")
-    best = joined.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    # Nearest-1 as min(struct): map-side partial combine ships one winner
+    # per point per shuffle partition (vs a row_number window shuffling
+    # every in-radius same-address pair). building_id is unique, so the
+    # (distance, building_id) prefix decides; the rest is carried payload.
+    best_s = F.min(
+        F.struct("distance", "building_id", "b_lat", "b_lon", "name", "lat", "lon")
+    ).alias("b")
+    best = joined.groupBy(point_key).agg(best_s).select(
+        point_key,
+        F.col("b.building_id").alias("building_id"),
+        F.col("b.b_lat").alias("b_lat"),
+        F.col("b.b_lon").alias("b_lon"),
+        F.col("b.name").alias("name"),
+        F.col("b.lat").alias("lat"),
+        F.col("b.lon").alias("lon"),
+        F.col("b.distance").alias("distance"),
+    )
     ibp = interpolation_fraction(F.col("name"))
     return best.select(
         point_key,
