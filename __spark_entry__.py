@@ -422,14 +422,32 @@ def _q_poi_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → decode+featurize via
-    mapInPandas (decode stubbed — no codecs in this environment — so this
-    is a rows-only check; determinism is pytest-verified)."""
+    mapInPandas. The decode stub is md5-seeded (operators/multimodal.py),
+    so the full 16-float feature vector is value-checkable: each float is
+    digest_byte/255 in float32, recovered exactly by round(x*255) and
+    re-hexed — feat_hex equality against DuckDB's md5() proves every byte
+    of every vector survived the Arrow round-trip."""
     from osm_poi_matchmaker_spark.operators.multimodal import (
+        FEATURE_DIM,
         decode_and_featurize,
         synth_assets,
     )
 
-    return decode_and_featurize(synth_assets(synth.pages(spark, sf_dir)))
+    decoded = decode_and_featurize(synth_assets(synth.pages(spark, sf_dir)))
+    feat_hex = F.lower(
+        F.concat_ws(
+            "",
+            *[
+                F.lpad(
+                    F.hex(F.round(F.col("feature")[i] * 255).cast("int")), 2, "0"
+                )
+                for i in range(FEATURE_DIM)
+            ],
+        )
+    )
+    return decoded.select(
+        "asset_id", "kind", "width", "height", feat_hex.alias("feat_hex")
+    )
 
 
 def _q_poi_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,7 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "building_relocation": _q_building_relocation,
         "qc_in_water": _q_qc_in_water,
         "poi_fuzzy_dedup": _q_poi_fuzzy_dedup,
-        "asset_features": _q_asset_features,  # rows-only (stubbed decode)
+        "asset_features": _q_asset_features,
     }
 
 
@@ -799,6 +817,18 @@ def oracle_sql() -> dict[str, str]:
             f"  FROM pages_x WHERE {_GEO_FILTER}) "
             "SELECT p.page_id, p.cell_id, m.poly_id IS NOT NULL AS covered, m.poly_id "
             "FROM pts p LEFT JOIN mask m ON p.cell_id = m.cell_id"
+        ),
+        # asset_features: the decode stub is md5(payload)-seeded and
+        # payload = UTF-8 of '<html><body><p>' || text || '</p></body></html>'
+        # (synth.pages_df), so DuckDB's md5() reproduces the full feature
+        # vector; kind/width/height re-derive synth_assets' arithmetic.
+        "asset_features": (
+            f"{base} SELECT page_id AS asset_id, "
+            "CASE page_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "
+            "CAST(64 + page_id % 512 AS INT) AS width, "
+            "CAST(64 + (page_id * 7) % 512 AS INT) AS height, "
+            "md5(CONCAT('<html><body><p>', text, '</p></body></html>')) AS feat_hex "
+            "FROM pages"
         ),
         "fuzzy_street": _fuzzy_street_oracle_sql(),
         "poi_fuzzy_dedup": _poi_fuzzy_dedup_oracle_sql(),

@@ -41,6 +41,15 @@ def test_match_broadcasts_brand_dim(spark):
 def test_knn_no_cartesian(spark):
     plan = plan_of(entry_mod._q_knn_nearest(spark, SF), mode="simple")
     assert "CartesianProduct" not in plan
+    # candidate side is broadcast — the point side crosses the join
+    # unshuffled, one probe row per point
+    assert "BroadcastHashJoin" in plan
+    # the 3x3 ring replication (Generate/explode) must sit on the candidate
+    # side, never on the probe side: every explode in the plan produces
+    # cand_cell
+    gen_lines = [l for l in plan.splitlines() if "Generate" in l]
+    assert gen_lines, "expected the ring explode in the plan"
+    assert all("cand_cell" in l for l in gen_lines), gen_lines
 
 
 def test_pricing_agg_partial_aggregation(spark):
