@@ -48,10 +48,12 @@ def fuzzy_street_match(
     from ..tiling import coarse_cell_id, coarse_mult_for_radius, explode_ring3x3
 
     mult = coarse_mult_for_radius(radius_m)
-    # Ring replication on the road (candidate) side — symmetric-offset
-    # equivalence (see match.py stage 5): the point side is page-derived
-    # (the 10^12-row side) and must cross the cell-keyed join at one row
-    # per point; roads (≪ pages) carry the 9×.
+    # Ring replication on the road (candidate) side: this join is
+    # shuffle-shaped at scale (no broadcast hint; roads auto-broadcast
+    # only at test scale), and in a shuffle join the exploded side must
+    # be the small one — probe-side explode would put 9× of the
+    # page-derived side through the exchange (see match.py stage 5 for
+    # the full tradeoff; its broadcast path makes the opposite choice).
     probe = points.select(point_key, "lat", "lon", "street").withColumn(
         "probe_cell", coarse_cell_id(F.col("lat"), F.col("lon"), mult)
     )

@@ -6,10 +6,12 @@ analogue: "k-ring cell-expansion kNN for nearest-POI assignment".
 
 Strategy: a radius-bounded nearest-1 (or nearest-k) join. The coarse cell
 size is picked so a 3×3 ring covers the radius (tiling.coarse_mult_for_radius);
-the 9× ring replication lives on the SMALL candidate side (symmetric-offset
-equivalence, same argument as operators/match.py stage 5), so each point
-probes the broadcast with its own single cell. Haversine post-filter, then
-a min-struct aggregate (k=1) or min-by window (k>1). Points with no
+the 9× ring replication lives on the PROBE side, pipelined in-task into a
+broadcast probe of the unexploded candidate table — the measured-faster
+layout for the broadcast path (see operators/match.py stage 5 for the
+control-bracketed A/B; a 9×-exploded broadcast hash relation costs more
+than the 9 extra cheap probes save). Haversine post-filter, then a
+min-struct aggregate (k=1) or min-by window (k>1). Points with no
 candidate inside the radius are reported unmatched (left join, NULL osm_id)
 — at planetary scale an unbounded nearest-neighbor would force ring
 escalation loops; bounding the search radius keeps the plan a single
@@ -41,24 +43,21 @@ def nearest_poi(
     the misses).
     """
     mult = coarse_mult_for_radius(radius_m)
-    # Ring explode on the candidate side + broadcast: pois is the small side
-    # (country-level OSM extract, ~10^6 rows; 9× replicated is still a few
-    # hundred MB columnar), points is the 10^12-row side — it must flow
-    # through the join at one row per point, unshuffled. At planet scale
-    # (10^8 POIs) drop the hint: the cell key turns this into a co-located
-    # shuffle join, same as match.py's degradation path.
-    probe = points.select(point_key, "lat", "lon").withColumn(
-        "probe_cell", coarse_cell_id(F.col("lat"), F.col("lon"), mult)
+    # Probe-side ring explode + broadcast of the UNexploded candidates:
+    # pois is the small side (country-level OSM extract, ~10^6 rows, a few
+    # hundred MB columnar) so it broadcasts; the 9 probe rows per point
+    # are generated and consumed inside the same task (no shuffle), and
+    # the hash relation stays 9× smaller than a candidate-side explode
+    # would make it — the measured-faster tradeoff (match.py stage 5 A/B).
+    # At planet scale (10^8 POIs) drop the hint AND move the explode to
+    # the candidate side: in the resulting co-located shuffle join the
+    # exploded side must be the small one.
+    probe = explode_ring3x3(
+        points.select(point_key, "lat", "lon"), "lat", "lon", mult, out="probe_cell"
     )
-    cand = explode_ring3x3(
-        pois.select(
-            "osm_id", F.col("lat").alias("o_lat"), F.col("lon").alias("o_lon")
-        ),
-        "o_lat",
-        "o_lon",
-        mult,
-        out="cand_cell",
-    )
+    cand = pois.select(
+        "osm_id", F.col("lat").alias("o_lat"), F.col("lon").alias("o_lon")
+    ).withColumn("cand_cell", coarse_cell_id(F.col("o_lat"), F.col("o_lon"), mult))
 
     dist = haversine_m(F.col("lat"), F.col("lon"), F.col("o_lat"), F.col("o_lon"))
     joined = (

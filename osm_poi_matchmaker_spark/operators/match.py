@@ -26,10 +26,11 @@ keyed on (brand, cell): the candidate side explodes its precomputed
 per-POI brand-eligibility arrays (see _prep_pois) so brand compatibility
 is a JOIN KEY, not a post-join filter — the join emits only compatible
 pairs instead of every page×candidate pair sharing a cell. The 3×3 ring
-replication also lives on the candidate side (symmetric-offset
-equivalence — see the stage-5 comment), so each page contributes ONE
-probe row per arm while the small broadcast side carries the 9×. The
-named tiers (950/970/980) ring at the d_perfect-sized grid; the no-name
+replication lives on the probe side — measured faster than a 9×-fatter
+broadcast hash relation at every parallelism level tried; see the
+stage-5 comment for the A/B numbers and for why the SHUFFLE degradation
+path flips that choice. The named tiers (950/970/980) ring at the
+d_perfect-sized grid; the no-name
 tier (990, d < 5 m) rings at a ~25× finer grid its tiny radius permits. The
 haversine + tier predicates evaluate post-join as codegen'd column
 expressions. A min-struct aggregate (stage → priority → distance →
@@ -334,21 +335,33 @@ def match_cascade(
     # unchanged.
     d = F.col("distance")
 
-    # The RING EXPLODE lives on the CANDIDATE side, not the page side: a
-    # point is within one ring-step of a candidate's cell iff the candidate
-    # is within one ring-step of the point's cell (the 3×3 offset set is
-    # symmetric), so replicating each broadcast candidate into its 9
-    # neighbor cells and probing with the page's OWN cell produces the
-    # identical pair set as exploding the page side 9× — but the 10^12-row
-    # side now flows through the join at 1 row per page instead of 9 (per
-    # arm). The broadcast grows 9×, which is noise at candidate scale
-    # (10^6 rows, a few hundred MB columnar). Measured on the 3.84M-page
-    # bench: match-stage wall time −35% at 32 cores.
+    # The RING EXPLODE lives on the PROBE (page) side. Both sides are
+    # valid — a point is within one ring-step of a candidate's cell iff
+    # the candidate is within one ring-step of the point's cell, so
+    # exploding either side produces the identical pair set — and the
+    # choice is a measured tradeoff, not a principle:
+    #
+    #   * BROADCAST path (this plan): probe-side explode keeps the hash
+    #     relation 9× smaller and cache-resident; the 9 extra probes per
+    #     page are pipelined in-task (no shuffle — the explode feeds the
+    #     broadcast probe directly) and mostly hit empty cells. A
+    #     control-bracketed interleaved A/B of the full 3.84M-page job at
+    #     8 pinned cores measured probe-side at 74.8/83.2/99.1 s vs
+    #     candidate-side at 101.2/87.0/90.7 s (min 74.8 vs 87.0, each
+    #     pass bracketed by a pure-CPU host-drift control) — the fat
+    #     9×-exploded hash relation costs more than the extra probes
+    #     save, at every parallelism level tried (2/8/32).
+    #   * SHUFFLE path (the 10^8-POI degradation, hint dropped): the
+    #     explode MUST move to the candidate side — probe-side explode
+    #     would put 9× of the 10^12-row side through the exchange;
+    #     candidate-side puts 9× of the small side. fuzzy.py/relocate.py,
+    #     which are shuffle-shaped at scale, explode candidate-side for
+    #     exactly that reason.
     mult_named = coarse_mult_for_radius(max_radius)
-    probe_a = p.withColumn(
-        "probe_cell", coarse_cell_id(F.col("lat"), F.col("lon"), mult_named)
+    probe_a = explode_ring3x3(p, "lat", "lon", mult_named, out="probe_cell")
+    cand_a = o_name.withColumn(
+        "cand_cell", coarse_cell_id(F.col("o_lat"), F.col("o_lon"), mult_named)
     )
-    cand_a = explode_ring3x3(o_name, "o_lat", "o_lon", mult_named, out="cand_cell")
     prio_a = (
         F.when(F.col("s_eq") & F.col("h_eq") & (d < F.col("d_perfect")), PRIO_NAME_STREET_HN)
         .when((F.col("s_eq") | F.col("h_eq")) & (d < F.col("d_safe")), PRIO_NAME_PARTIAL)
@@ -372,10 +385,10 @@ def match_cascade(
 
     min_unsafe = max(r["d_unsafe"] for r in common_rows)
     mult_nn = coarse_mult_for_radius(min_unsafe)
-    probe_b = p.withColumn(
-        "probe_cell", coarse_cell_id(F.col("lat"), F.col("lon"), mult_nn)
+    probe_b = explode_ring3x3(p, "lat", "lon", mult_nn, out="probe_cell")
+    cand_b = o_type.withColumn(
+        "cand_cell", coarse_cell_id(F.col("o_lat"), F.col("o_lon"), mult_nn)
     )
-    cand_b = explode_ring3x3(o_type, "o_lat", "o_lon", mult_nn, out="cand_cell")
     s5b = (
         probe_b.join(
             F.broadcast(cand_b),

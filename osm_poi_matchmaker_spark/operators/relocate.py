@@ -47,12 +47,14 @@ def relocate_new_pois(
     Only rows with a qualifying building are returned (reference leaves
     the POI untouched otherwise)."""
     mult = coarse_mult_for_radius(radius_m)
-    # Ring explode on the building (candidate) side — symmetric-offset
-    # equivalence, same argument as match.py stage 5: the new-POI side is
-    # the page-derived big side and flows through the cell-keyed join at
-    # one row each; buildings (≪ pages) carry the 9×. Street + housenumber
-    # equality is part of the join condition so Catalyst extracts all three
-    # as hash keys — only same-address pairs materialize.
+    # Ring explode on the building (candidate) side: shuffle-shaped at
+    # scale (no broadcast hint — buildings are ~10^8 rows planet-wide), so
+    # the exploded side must be the small one; probe-side explode would
+    # put 9× of the page-derived side through the exchange (match.py
+    # stage 5 documents the tradeoff; its broadcast path chooses the
+    # opposite). Street + housenumber equality is part of the join
+    # condition so Catalyst extracts all three as hash keys — only
+    # same-address pairs materialize.
     probe = new_pois.select(
         point_key, "name", "lat", "lon", "street", "housenumber"
     ).withColumn("probe_cell", coarse_cell_id(F.col("lat"), F.col("lon"), mult))

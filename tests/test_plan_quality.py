@@ -44,12 +44,13 @@ def test_knn_no_cartesian(spark):
     # candidate side is broadcast — the point side crosses the join
     # unshuffled, one probe row per point
     assert "BroadcastHashJoin" in plan
-    # the 3x3 ring replication (Generate/explode) must sit on the candidate
-    # side, never on the probe side: every explode in the plan produces
-    # cand_cell
+    # broadcast path → the 3x3 ring replication (Generate/explode) sits on
+    # the probe side (pipelined in-task, keeps the hash relation 9x
+    # smaller — see operators/match.py stage-5 A/B): every explode in the
+    # plan produces probe_cell
     gen_lines = [l for l in plan.splitlines() if "Generate" in l]
     assert gen_lines, "expected the ring explode in the plan"
-    assert all("cand_cell" in l for l in gen_lines), gen_lines
+    assert all("probe_cell" in l for l in gen_lines), gen_lines
 
 
 def test_pricing_agg_partial_aggregation(spark):
