@@ -481,6 +481,65 @@ def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (beyond reference, SURVEY §2.3 J11): attribute each
+    'view' event to the latest prior-or-equal 'click' of the same user —
+    one shuffle per key, no quadratic within-key blow-up
+    (operators/temporal.py). DuckDB's native ASOF JOIN is the oracle."""
+    from osm_poi_matchmaker_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    return asof_join(
+        views,
+        clicks,
+        keys=["user_id"],
+        left_time="ts",
+        right_time="click_ts",
+        carry=["click_id", "click_ts", "click_value"],
+        prefix="",
+    )
+
+
+def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join (beyond reference): every 'error' event
+    falling inside the half-open 30-minute window after a 'click' of the
+    same user. Time-bucketed equi-join (the time-axis analogue of the
+    spatial tiling layer), exact predicate post-filter."""
+    from osm_poi_matchmaker_spark.operators.temporal import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), "ts"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+        )
+    )
+    return range_join(
+        errors,
+        clicks,
+        keys=["user_id"],
+        point_time="ts",
+        start="w_start",
+        end="w_end",
+        bucket_width_s=1800,
+    ).select("user_id", "click_id", "error_id", "ts", "w_start")
+
+
 def _q_raster_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster↔vector (north_rule): boundary rectangles rasterized to a
     per-cell mask (cell covered iff its center is inside), joined back
@@ -564,6 +623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_histogram_salted": _q_cell_histogram_salted,
         "events_windowed": _q_events_windowed,
         "events_sessionize": _q_events_sessionize,
+        "events_asof": _q_events_asof,
+        "events_range_join": _q_events_range_join,
         "raster_coverage": _q_raster_coverage,
         "fuzzy_street": _q_fuzzy_street,
         "poi_hash": _q_poi_hash,
@@ -794,6 +855,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         "events_sessionize": _sessions_oracle_sql(),
+        # DuckDB's native ASOF JOIN (inclusive >=) oracles the union+window
+        # implementation; clicks are unique per (user_id, ts) in the
+        # synthetic data so the match is deterministic.
+        "events_asof": (
+            "WITH v AS (SELECT user_id, event_id, ts, value FROM events"
+            " WHERE event_type = 'view'),"
+            " c AS (SELECT user_id, event_id AS click_id, ts AS click_ts,"
+            " value AS click_value FROM events WHERE event_type = 'click') "
+            "SELECT v.user_id, v.ts, v.event_id, v.value,"
+            " c.click_id, c.click_ts, c.click_value "
+            "FROM v ASOF LEFT JOIN c"
+            " ON v.user_id = c.user_id AND v.ts >= c.click_ts"
+        ),
+        "events_range_join": (
+            "WITH e AS (SELECT user_id, event_id AS error_id, ts FROM events"
+            " WHERE event_type = 'error'),"
+            " c AS (SELECT user_id, event_id AS click_id, ts AS w_start,"
+            " ts + INTERVAL 30 MINUTE AS w_end FROM events"
+            " WHERE event_type = 'click') "
+            "SELECT e.user_id, c.click_id, e.error_id, e.ts, c.w_start "
+            "FROM e JOIN c ON e.user_id = c.user_id"
+            " AND c.w_start <= e.ts AND e.ts < c.w_end"
+        ),
         "raster_coverage": (
             f"{base}, polys AS ("
             "  SELECT CAST(n_nationkey AS INT) AS poly_id,"
