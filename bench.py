@@ -64,6 +64,12 @@ def main() -> None:
     def run_pipeline() -> tuple[dict, dict]:
         """One full pass of the staged pipeline; fresh persists each call so
         every pass pays every stage's full compute."""
+        # Spark caches by logical-plan equality: the expanding kNN's
+        # round-persists (operators/knn.py) from the PREVIOUS pass would
+        # be silently reused by this pass's identical plan, measuring a
+        # cache hit instead of the work. Drop all cached frames first —
+        # this pass's own persists are built fresh below.
+        spark.catalog.clearCache()
         timings: dict[str, float] = {}
         rows: dict[str, int] = {}
 
