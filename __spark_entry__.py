@@ -581,6 +581,43 @@ def _q_addr_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_osm_xml_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 OSM-XML sink (libs/file_output.py:317-784) as an oracle-checked
+    render: one ``<node>`` fragment per match-output row, matched rows
+    keeping their osm_id and new POIs getting negative DECREASING ids in
+    pinned page_id order (file_output.py:337,764). Coordinates are
+    rendered as e5-grid integers so the Spark and DuckDB string casts
+    agree byte-for-byte (double→string formatting differs between
+    engines; the synthetic placement grid is exact at e5)."""
+    from osm_poi_matchmaker_spark.plans.export import osm_xml_nodes
+
+    m = (
+        _match(spark, sf_dir)
+        .withColumn("lat_s", F.round(F.col("lat") * 100000).cast("long").cast("string"))
+        .withColumn("lon_s", F.round(F.col("lon") * 100000).cast("long").cast("string"))
+    )
+    return osm_xml_nodes(m, tag_cols=["name", "url"], lat="lat_s", lon="lon_s")
+
+
+def _q_geojson_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 GeoJSON sink (libs/file_output.py:237-314) as an oracle-checked
+    render: one Feature string per match-output row via ``to_json`` —
+    JVM-side Jackson, no Python in the plan. Nullable props are coalesced
+    (name→'', osm_id→-1) because Spark's to_json omits null fields while
+    DuckDB emits them; the double→JSON shortest-repr of the two engines
+    agrees byte-for-byte (verified over the full grid)."""
+    from osm_poi_matchmaker_spark.plans.export import geojson_feature
+
+    m = (
+        _match(spark, sf_dir)
+        .withColumn("name_c", F.coalesce("name", F.lit("")))
+        .withColumn("osm_id_c", F.coalesce("osm_id", F.lit(-1)))
+    )
+    return m.select(
+        "page_id", geojson_feature(m, ["name_c", "osm_id_c"]).alias("feature")
+    )
+
+
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization via built-in session_window (the stateful
     applyInPandasWithState twin is exercised in tests/test_sessions.py)."""
@@ -632,6 +669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_in_water": _q_qc_in_water,
         "poi_fuzzy_dedup": _q_poi_fuzzy_dedup,
         "asset_features": _q_asset_features,
+        "osm_xml_render": _q_osm_xml_render,
+        "geojson_render": _q_geojson_render,
     }
 
 
@@ -738,6 +777,35 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1"
         ),
         "addr_overwrite": _addr_overwrite_oracle_sql(match_base),
+        "osm_xml_render": (
+            f"{match_base} "
+            "SELECT page_id, poi_new, "
+            "'<node id=\"' || CAST(xml_id AS VARCHAR) || '\" lat=\"' || lat_s || "
+            "'\" lon=\"' || lon_s || '\">' || chr(10) || "
+            "COALESCE('  <tag k=\"name\" v=\"' || name || '\"/>' || chr(10), '') || "
+            "COALESCE('  <tag k=\"url\" v=\"' || url || '\"/>' || chr(10), '') || "
+            "'</node>' AS xml FROM ("
+            "  SELECT px.page_id, (b.page_id IS NULL) AS poi_new, px.name, px.url,"
+            "    CAST(CAST(ROUND(px.lat * 100000) AS BIGINT) AS VARCHAR) AS lat_s,"
+            "    CAST(CAST(ROUND(px.lon * 100000) AS BIGINT) AS VARCHAR) AS lon_s,"
+            "    CASE WHEN b.page_id IS NOT NULL THEN b.osm_id"
+            "         ELSE -ROW_NUMBER() OVER ("
+            "            PARTITION BY (b.page_id IS NULL) ORDER BY px.page_id) END AS xml_id"
+            "  FROM pages_x px LEFT JOIN best b ON px.page_id = b.page_id"
+            f"  WHERE {_GEO_FILTER.replace('lat', 'px.lat').replace('lon', 'px.lon')})"
+        ),
+        "geojson_render": (
+            f"{match_base} "
+            "SELECT px.page_id, to_json(struct_pack("
+            "  type := 'Feature',"
+            "  geometry := struct_pack(type := 'Point', coordinates := [px.lon, px.lat]),"
+            "  properties := struct_pack("
+            "    name_c := COALESCE(px.name, ''),"
+            "    osm_id_c := COALESCE(b.osm_id, -1))"
+            "))::VARCHAR AS feature "
+            "FROM pages_x px LEFT JOIN best b ON px.page_id = b.page_id "
+            f"WHERE {_GEO_FILTER.replace('lat', 'px.lat').replace('lon', 'px.lon')}"
+        ),
         "knn_nearest": (
             f"{base} SELECT page_id, osm_id, ROUND(distance, 2) AS distance_m FROM ("
             f"  SELECT px.page_id, o.osm_id, {hav_px} AS distance "
