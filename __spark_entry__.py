@@ -618,6 +618,60 @@ def _q_geojson_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_opening_hours_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10/A3 opening-hours compiler (libs/opening_hours.py:17-155) over a
+    deterministic class grid derived from customer keys: same-hours weeks
+    (consecutive-run render), mixed weekday/Saturday weeks, non-stop,
+    closed (open==close → None), ragged Mo,We,Su sets, and 00:00-24:00
+    weeks (string-collapse path) — each crossed with the lunch-break split
+    and the PH open/off suffix. Runs the Arrow-batched pandas UDF; the
+    oracle carries the closed-form expected string per class."""
+    from osm_poi_matchmaker_spark.functions.spark_udfs import opening_hours_udf
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("k")
+    )
+    cls = F.col("k") % 6
+    ho = F.format_string("%02d:00", (F.lit(6) + F.col("k") % 4).cast("int"))
+    null_s = F.lit(None).cast("string")
+
+    def day_open(d: int):
+        return (
+            F.when(cls == 0, ho)
+            .when(cls == 1, F.lit("08:00") if d != 6 else null_s)
+            .when(cls == 3, ho)
+            .when(cls == 4, ho if d in (0, 2, 6) else null_s)
+            .when(cls == 5, F.lit("00:00"))
+            .otherwise(null_s)
+        )
+
+    def day_close(d: int):
+        c1 = F.lit("17:00") if d < 5 else (F.lit("12:00") if d == 5 else null_s)
+        return (
+            F.when(cls == 0, F.lit("18:00"))
+            .when(cls == 1, c1)
+            .when(cls == 3, ho)
+            .when(cls == 4, F.lit("18:00") if d in (0, 2, 6) else null_s)
+            .when(cls == 5, F.lit("24:00"))
+            .otherwise(null_s)
+        )
+
+    has_lunch = F.col("k") % 7 == 3
+    return c.select(
+        F.col("k").alias("cust_id"),
+        opening_hours_udf(
+            cls == 2,
+            F.array(*[day_open(d) for d in range(7)]),
+            F.array(*[day_close(d) for d in range(7)]),
+            F.when(has_lunch, F.lit("12:00")).otherwise(null_s),
+            F.when(has_lunch, F.lit("12:30")).otherwise(null_s),
+            F.when(F.col("k") % 3 == 0, F.lit(True)).when(
+                F.col("k") % 3 == 1, F.lit(False)
+            ),
+        ).alias("opening_hours"),
+    )
+
+
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization via built-in session_window (the stateful
     applyInPandasWithState twin is exercised in tests/test_sessions.py)."""
@@ -671,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asset_features": _q_asset_features,
         "osm_xml_render": _q_osm_xml_render,
         "geojson_render": _q_geojson_render,
+        "opening_hours_compile": _q_opening_hours_compile,
     }
 
 
@@ -805,6 +860,30 @@ def oracle_sql() -> dict[str, str]:
             "))::VARCHAR AS feature "
             "FROM pages_x px LEFT JOIN best b ON px.page_id = b.page_id "
             f"WHERE {_GEO_FILTER.replace('lat', 'px.lat').replace('lon', 'px.lon')}"
+        ),
+        "opening_hours_compile": (
+            "WITH oh AS (SELECT c_custkey AS k, c_custkey % 6 AS cls,"
+            "  printf('%02d:00', 6 + c_custkey % 4) AS ho,"
+            "  (c_custkey % 7 = 3) AS has_lunch,"
+            "  CASE WHEN c_custkey % 3 = 0 THEN '; PH open'"
+            "       WHEN c_custkey % 3 = 1 THEN '; PH off' ELSE '' END AS ph"
+            "  FROM customer) "
+            "SELECT k AS cust_id, CASE cls"
+            "  WHEN 0 THEN (CASE WHEN has_lunch"
+            "    THEN 'Mo-Su ' || ho || '-12:00,12:30-18:00'"
+            "    ELSE 'Mo-Su ' || ho || '-18:00' END) || ph"
+            "  WHEN 1 THEN (CASE WHEN has_lunch"
+            "    THEN 'Mo-Fr 08:00-12:00,12:30-17:00; Sa 08:00-12:00,12:30-12:00'"
+            "    ELSE 'Mo-Fr 08:00-17:00; Sa 08:00-12:00' END) || ph"
+            "  WHEN 2 THEN '24/7'"
+            "  WHEN 3 THEN NULL"
+            "  WHEN 4 THEN (CASE WHEN has_lunch"
+            "    THEN 'Mo,We,Su ' || ho || '-12:00,12:30-18:00'"
+            "    ELSE 'Mo,We,Su ' || ho || '-18:00' END) || ph"
+            "  WHEN 5 THEN (CASE WHEN has_lunch"
+            "    THEN 'Mo-Su 00:00-12:00,12:30-24:00' || ph"
+            "    ELSE '24/7' || ph END)"
+            "  END AS opening_hours FROM oh"
         ),
         "knn_nearest": (
             f"{base} SELECT page_id, osm_id, ROUND(distance, 2) AS distance_m FROM ("
