@@ -233,6 +233,83 @@ def _q_hu_address_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Reference golden rows (test/test_address.py:239-316) for the scalar
+# cleaner family — clean_string (F1), clean_city (F5), clean_postcode,
+# clean_url (F8), clean_phone_to_str (F7).
+_SCALAR_CLEANER_GOLDENS = [
+    ("string", "  ablak  zsiráf   ", "ablak zsiráf"),
+    ("string", "    ", None),
+    ("string", "None", None),
+    ("string", "   None   ", None),
+    ("string", " NULL", None),
+    ("string", " NULLNone", None),
+    ("string", " \n\nNULLNone", None),
+    ("string", "\n", None),
+    ("string", "\t", None),
+    ("city", "Bük", "Bük"),
+    ("city", "Csanádapáca", "Csanádapáca"),
+    ("city", "Szentendre", "Szentendre"),
+    ("city", "Budapest I. Kerület", "Budapest"),
+    ("city", "Budapest Xxiii. Kerület", "Budapest"),
+    ("city", "Mikolc", "Miskolc"),
+    ("city", "Iinárcs", "Inárcs"),
+    ("postcode", "1111", "1111"),
+    ("postcode", "    1111     ", "1111"),
+    ("postcode", "1111    ", "1111"),
+    ("postcode", " ", None),
+    ("postcode", "0", None),
+    ("postcode", "None", None),
+    ("url", "  https://examle.com//tests//url//   ", "https://examle.com/tests/url"),
+    ("url", "  https://examle.com/////tests///url     ", "https://examle.com/tests/url"),
+    ("phone", "0684/330-734, 0630/2374-712", "+36 84 330 734;+36 30 237 4712"),
+    ("phone", "06-20-200-4000", "+36 20 200 4000"),
+    ("phone", "62464024", "+36 62 464 024"),
+    ("phone", " 3684330 - 734", "+36 84 330 734"),
+    (
+        "phone",
+        "06205089009(Központi Telszám: Benzinkút, Motel, Kávézó, Szobafoglalás)",
+        "+36 20 508 9009",
+    ),
+    ("phone", "  ", None),
+    ("phone", "+36303035698", "+36 30 303 5698"),
+]
+
+
+def _q_scalar_cleaners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F5/F7/F8 scalar cleaners (libs/address.py:518-727) as one Spark
+    plan: per-kind dispatch over Arrow-batched pandas UDFs; the oracle
+    carries the reference's golden outputs."""
+    from osm_poi_matchmaker_spark.functions.spark_udfs import (
+        clean_city_udf,
+        clean_phone_udf,
+        clean_postcode_udf,
+        clean_string_udf,
+        clean_url_udf,
+    )
+
+    src = spark.createDataFrame(
+        [(k, o) for k, o, _ in _SCALAR_CLEANER_GOLDENS], ["kind", "original"]
+    )
+    cleaned = (
+        F.when(F.col("kind") == "string", clean_string_udf("original"))
+        .when(F.col("kind") == "city", clean_city_udf("original"))
+        .when(F.col("kind") == "postcode", clean_postcode_udf("original"))
+        .when(F.col("kind") == "url", clean_url_udf("original"))
+        .otherwise(clean_phone_udf("original"))
+    )
+    return src.select("kind", "original", cleaned.alias("cleaned"))
+
+
+def _scalar_cleaners_oracle_sql() -> str:
+    def lit(v):
+        return "CAST(NULL AS STRING)" if v is None else "'" + v.replace("'", "''") + "'"
+
+    rows = ", ".join(
+        f"({lit(k)}, {lit(o)}, {lit(c)})" for k, o, c in _SCALAR_CLEANER_GOLDENS
+    )
+    return "SELECT * FROM (VALUES " + rows + ") AS t(kind, original, cleaned)"
+
+
 def _waxeye_goldens() -> list:
     import json as _json
 
@@ -726,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_xml_render": _q_osm_xml_render,
         "geojson_render": _q_geojson_render,
         "opening_hours_compile": _q_opening_hours_compile,
+        "scalar_cleaners": _q_scalar_cleaners,
     }
 
 
@@ -912,6 +990,7 @@ def oracle_sql() -> dict[str, str]:
             f"{base} SELECT page_id, TRUE AS text_matches FROM pages"
         ),
         "hu_address_extract": _hu_address_oracle_sql(),
+        "scalar_cleaners": _scalar_cleaners_oracle_sql(),
         "hu_address_parse": _hu_address_parse_oracle_sql(),
         "pip_postcode": (
             f"{base}, polys AS ("
