@@ -310,6 +310,129 @@ def _scalar_cleaners_oracle_sql() -> str:
     return "SELECT * FROM (VALUES " + rows + ") AS t(kind, original, cleaned)"
 
 
+# Coordinate-hygiene cases (P8/P9, libs/geo.py:25-93): normal, swapped
+# lat/lon, comma decimals, missing decimal point (>200 repoint with the
+# reference's drop-3rd-char slice), unparseable, zero.
+_COORD_CASES = [
+    (1, "47.4979", "19.0402"),
+    (2, "19.0402", "47.4979"),
+    (3, "47,4979", "19,0402"),
+    (4, "47123456", "19054321"),
+    (5, "invalid", "19.04"),
+    (6, "0", "19.04"),
+    (7, "46,41", "20,33"),
+    (8, "203.5", "19.05"),
+]
+
+
+def _q_coord_fixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P9 coordinate hygiene (libs/geo.py check_geom + check_hu_boundary)
+    as pure column expressions; the oracle INDEPENDENTLY recomputes the
+    same semantics in DuckDB SQL (regex parse, lat/lon swap, >200
+    decimal-repoint with the reference's drop-3rd-char slice quirk)."""
+    from osm_poi_matchmaker_spark.geo import (
+        parse_coordinate,
+        with_fixed_hu_coordinates,
+    )
+
+    src = spark.createDataFrame(_COORD_CASES, ["case_id", "raw_lat", "raw_lon"])
+    df = src.select(
+        "case_id",
+        parse_coordinate(F.col("raw_lat")).alias("lat"),
+        parse_coordinate(F.col("raw_lon")).alias("lon"),
+    )
+    return with_fixed_hu_coordinates(df)
+
+
+def _coord_fixes_oracle_sql() -> str:
+    rows = ", ".join(f"({i}, '{la}', '{lo}')" for i, la, lo in _COORD_CASES)
+
+    def parse(c):
+        return (
+            f"CAST(NULLIF(regexp_extract(replace(trim({c}), ',', '.'), "
+            f"'(\\d{{1,3}}.\\d{{2,5}})', 1), '') AS DOUBLE)"
+        )
+
+    def repoint(c):
+        d = (
+            f"(CASE WHEN {c} = floor({c}) THEN CAST(CAST({c} AS BIGINT) AS VARCHAR) "
+            f"ELSE CAST({c} AS VARCHAR) END)"
+        )
+        return (
+            f"CASE WHEN {c} > 200.0 THEN "
+            f"CASE WHEN substr({d}, 4) LIKE '%.%' THEN CAST(substr({d}, 1, 2) AS DOUBLE) "
+            f"ELSE CAST(substr({d}, 1, 2) || '.' || substr({d}, 4) AS DOUBLE) END "
+            f"ELSE {c} END"
+        )
+
+    return (
+        f"WITH src AS (SELECT * FROM (VALUES {rows}) t(case_id, raw_lat, raw_lon)), "
+        f"p AS (SELECT case_id, {parse('raw_lat')} AS lat, {parse('raw_lon')} AS lon FROM src), "
+        "s1 AS (SELECT case_id, "
+        "  CASE WHEN bad THEN NULL WHEN lat < 44.0 THEN lon ELSE lat END AS lat, "
+        "  CASE WHEN bad THEN NULL WHEN lat < 44.0 THEN lat ELSE lon END AS lon "
+        "  FROM (SELECT *, (lat IS NULL OR lon IS NULL OR lat = 0.0 OR lon = 0.0) AS bad FROM p)) "
+        f"SELECT case_id, {repoint('lat')} AS lat, {repoint('lon')} AS lon FROM s1"
+    )
+
+
+# Reference smart_postcode_check goldens (test/test_online_poi_matching.py:17-71).
+_SMART_POSTCODE_CASES = [
+    ("9737", "9737", "9737", "9737"),
+    ("9737", "9737", "9739", "9737"),
+    ("9737", "9737", "9740", "9737"),
+    ("9737", "9737", "9741", "9737"),
+    ("9737", "9738", "9737", "9738"),
+    ("9737", "9738", "9742", "9738"),
+    ("9737", "9738", "9750", "9738"),
+    ("1029", "1028", "1029", "1028"),
+    ("1029", "1028", "1040", "1028"),
+    ("1029", "1029", "1030", "1029"),
+    ("1028", "1028", "1029", "1028"),
+    ("5662", "5662", "5555", "5662"),
+    ("1036", "1032", "1037", "1032"),
+    ("1024", "0", "0", "1024"),
+]
+
+
+def _q_smart_postcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 postcode preference chain (online_poi_matching.py:402-465) as an
+    Arrow-batched UDF over the reference's 14 golden triples."""
+    from osm_poi_matchmaker_spark.functions.spark_udfs import smart_postcode_udf
+
+    src = spark.createDataFrame(
+        [(p, o, q) for p, o, q, _ in _SMART_POSTCODE_CASES],
+        ["poi_pc", "osm_pc", "query_pc"],
+    )
+    return src.select(
+        "poi_pc", "osm_pc", "query_pc",
+        smart_postcode_udf("poi_pc", "osm_pc", "query_pc").alias("result"),
+    )
+
+
+def _q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 delimited-feed source (libs/pandas.py:18-50) — distributed
+    spark.read.csv with schema inference; the oracle is DuckDB's own
+    independent read_csv of the same fixture."""
+    from osm_poi_matchmaker_spark.sources.readers import read_csv_source
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "sample.tsv"
+    )
+    return read_csv_source(spark, path, sep="\t")
+
+
+def _q_gtfs_stops_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 GTFS stops source (dataproviders/hu_mav.py:55-106); the fixture
+    feed is fixed, so the oracle carries its literal rows."""
+    from osm_poi_matchmaker_spark.sources.readers import read_gtfs_stops
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "gtfs.zip"
+    )
+    return read_gtfs_stops(spark, path)
+
+
 def _waxeye_goldens() -> list:
     import json as _json
 
@@ -804,6 +927,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_render": _q_geojson_render,
         "opening_hours_compile": _q_opening_hours_compile,
         "scalar_cleaners": _q_scalar_cleaners,
+        "coord_fixes": _q_coord_fixes,
+        "smart_postcode": _q_smart_postcode,
+        "csv_source": _q_csv_source,
+        "gtfs_stops_source": _q_gtfs_stops_source,
     }
 
 
@@ -991,6 +1118,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hu_address_extract": _hu_address_oracle_sql(),
         "scalar_cleaners": _scalar_cleaners_oracle_sql(),
+        "coord_fixes": _coord_fixes_oracle_sql(),
+        "smart_postcode": (
+            "SELECT * FROM (VALUES "
+            + ", ".join(
+                f"('{p}', '{o}', '{q}', '{r}')" for p, o, q, r in _SMART_POSTCODE_CASES
+            )
+            + ") AS t(poi_pc, osm_pc, query_pc, result)"
+        ),
+        "csv_source": (
+            "SELECT * FROM read_csv('"
+            + os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "tests", "fixtures", "sample.tsv",
+            )
+            + "', delim='\t', header=true)"
+        ),
+        "gtfs_stops_source": (
+            "SELECT * FROM (VALUES "
+            "('S1', 'Budapest-Nyugati', 47.5106, 19.0568), "
+            "('S2', 'Szeged', 46.2419, 20.1439)"
+            ") AS t(stop_id, stop_name, stop_lat, stop_lon)"
+        ),
         "hu_address_parse": _hu_address_parse_oracle_sql(),
         "pip_postcode": (
             f"{base}, polys AS ("
