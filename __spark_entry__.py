@@ -433,6 +433,85 @@ def _q_gtfs_stops_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_gtfs_stops(spark, path)
 
 
+# F17/F18 goldens (libs/compare_strings.py:14-26, libs/file_output_helper.py:13-29;
+# reference tests test_file_output_helper.py:15-36).
+_OSM_MISC_CASES = [
+    ("compare", None, "x", " NEW "),
+    ("compare", "", "x", " NEW "),
+    ("compare", "x", None, " DEL "),
+    ("compare", "x", "", " DEL "),
+    ("compare", "x", "y", " MOD "),
+    ("compare", "x", "x", " EQU "),
+    ("compare", None, None, " EQU "),
+    ("url_tag", "https://www.mkb.hu", "", "https://www.mkb.hu"),
+    ("url_tag", "https://www.mkb.hu", None, "https://www.mkb.hu"),
+    ("url_tag", "", "", None),
+    ("url_tag", None, "", None),
+    ("url_tag", "", None, None),
+    ("url_tag", None, None, None),
+    (
+        "url_tag",
+        "https://www.mkb.hu",
+        "https://lny.io/MKB-WEB-HEREND",
+        "https://lny.io/mkb-web-herend",
+    ),
+]
+
+
+def _q_osm_misc_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 compare_strings as a pure column expression (preserving the
+    reference's str(None)=='None' equality quirk) + F18 url_tag_generator
+    via its Arrow UDF, over the reference golden rows."""
+    from osm_poi_matchmaker_spark.functions.spark_udfs import url_tag_udf
+
+    src = spark.createDataFrame(
+        [(k, a, b) for k, a, b, _ in _OSM_MISC_CASES], ["kind", "a", "b"]
+    )
+    a, b = F.col("a"), F.col("b")
+    a_empty = a.isNull() | (a == "")
+    b_empty = b.isNull() | (b == "")
+    cmp_expr = (
+        F.when(a_empty & ~b_empty, " NEW ")
+        .when(~a_empty & b_empty, " DEL ")
+        .when(
+            F.coalesce(a, F.lit("None")) == F.coalesce(b, F.lit("None")), " EQU "
+        )
+        .otherwise(" MOD ")
+    )
+    result = F.when(F.col("kind") == "compare", cmp_expr).otherwise(
+        url_tag_udf("a", "b")
+    )
+    return src.select("kind", "a", "b", result.alias("result"))
+
+
+def _osm_misc_oracle_sql() -> str:
+    def lit(v):
+        return "CAST(NULL AS STRING)" if v is None else "'" + v.replace("'", "''") + "'"
+
+    rows = ", ".join(
+        f"({lit(k)}, {lit(a)}, {lit(b)}, {lit(r)})" for k, a, b, r in _OSM_MISC_CASES
+    )
+    return "SELECT * FROM (VALUES " + rows + ") AS t(kind, a, b, result)"
+
+
+def _q_geojson_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 GeoJSON FeatureCollection source with the HU country/bbox filter
+    (dataproviders/hu_alltheplaces.py:66-160); the oracle is DuckDB's own
+    independent JSON parse of the same fixture plus the same filter."""
+    from osm_poi_matchmaker_spark.sources.readers import read_geojson_features
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "sample.geojson",
+    )
+    feats = read_geojson_features(spark, path, hu_only=True)
+    return feats.select(
+        "lat", "lon",
+        F.col("properties.name").alias("name"),
+        F.col("properties.addr_country").alias("addr_country"),
+    )
+
+
 def _waxeye_goldens() -> list:
     import json as _json
 
@@ -931,6 +1010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smart_postcode": _q_smart_postcode,
         "csv_source": _q_csv_source,
         "gtfs_stops_source": _q_gtfs_stops_source,
+        "geojson_source": _q_geojson_source,
+        "osm_misc_goldens": _q_osm_misc_goldens,
     }
 
 
@@ -1139,6 +1220,21 @@ def oracle_sql() -> dict[str, str]:
             "('S1', 'Budapest-Nyugati', 47.5106, 19.0568), "
             "('S2', 'Szeged', 46.2419, 20.1439)"
             ") AS t(stop_id, stop_name, stop_lat, stop_lon)"
+        ),
+        "osm_misc_goldens": _osm_misc_oracle_sql(),
+        "geojson_source": (
+            "SELECT * FROM ("
+            "  SELECT CAST(f.geometry.coordinates[2] AS DOUBLE) AS lat,"
+            "         CAST(f.geometry.coordinates[1] AS DOUBLE) AS lon,"
+            "         f.properties.name AS name,"
+            "         f.properties.addr_country AS addr_country"
+            "  FROM (SELECT unnest(features) AS f FROM read_json_auto('"
+            + os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "tests", "fixtures", "sample.geojson",
+            )
+            + "'))) WHERE addr_country = 'HU' OR (addr_country IS NULL"
+            "  AND lat BETWEEN 45.7 AND 48.6 AND lon BETWEEN 16.1 AND 22.9)"
         ),
         "hu_address_parse": _hu_address_parse_oracle_sql(),
         "pip_postcode": (
