@@ -26,6 +26,19 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer shape: contraction suffixes, space-prefixed
+# letter/digit/punctuation runs, residual whitespace. Both Java regex
+# (Spark) and RE2 (DuckDB oracle) read this dialect identically.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish regex token count (training-data token accounting): the
+    number of pre-tokenizer matches, a stable proxy for BPE token cost
+    without shipping a vocabulary."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+
+
 def char_count(text: Column) -> Column:
     return F.length(text)
 
@@ -88,6 +101,7 @@ def doc_stats(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataF
     return docs.select(
         F.col(key),
         token_count(t).alias("n_tokens"),
+        bpe_token_count(t).alias("n_bpe_tokens"),
         char_count(t).alias("n_chars_measured"),
         F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
         F.round(punct_ratio(t), 6).alias("punct_ratio"),

@@ -108,6 +108,9 @@ def doc_stats_sql() -> str:
     return f"""
 SELECT doc_id,
        {n} AS n_tokens,
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'
+       )) AS n_bpe_tokens,
        length(text) AS n_chars_measured,
        ROUND({sw_ratio}, 6) AS stopword_ratio,
        ROUND({pr_ratio}, 6) AS punct_ratio,
