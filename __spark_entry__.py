@@ -125,6 +125,16 @@ def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_stats(_docs(spark, sf_dir))
 
 
+def _q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp-style rolling hash over each document's token stream —
+    the incrementally-composable fingerprint for chunked/streaming ingest
+    (beyond the reference, per the training-data-pipeline brief)."""
+    from osm_poi_matchmaker_spark.functions.textstats import rolling_fingerprint
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("rhash"))
+
+
 def _q_ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     return similarity.brute_force_topk(emb.where(F.col("vec_id") % 50 == 0), emb, k=5)
@@ -1012,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gtfs_stops_source": _q_gtfs_stops_source,
         "geojson_source": _q_geojson_source,
         "osm_misc_goldens": _q_osm_misc_goldens,
+        "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
     }
 
 
@@ -1184,6 +1195,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": oracles_docs.minhash_lsh_sql(num_perm=8, bands=4),
         "dedup_simhash": oracles_docs.simhash_sql(),
         "doc_stats": oracles_docs.doc_stats_sql(),
+        "doc_rolling_fingerprint": oracles_docs.rolling_fingerprint_sql(),
         "ann_topk_exact": oracles_docs.ann_exact_sql(k=5, query_mod=50),
         "ann_topk_lsh": oracles_docs.ann_lsh_sql(k=5, bits=8, query_mod=50),
         "ann_topk_ivf": oracles_docs.ann_ivf_sql(

@@ -96,6 +96,27 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(F.concat_ws(" ", tokens(F.lower(text))))
 
 
+def rolling_fingerprint(text: Column) -> Column:
+    """Polynomial (Rabin-Karp-style) rolling hash over the lowercased
+    token stream: fold ``h = (h*1000003 + v(tok)) mod 2^31-1`` with a
+    cheap per-token value (first/last char codes + length). Unlike the
+    md5 fingerprint this composes incrementally — the streaming/chunked
+    ingest path can extend it without re-reading the document. Pure
+    ``transform``/``aggregate`` column expressions, no Python."""
+    toks = tokens(F.lower(text))
+    vals = F.transform(
+        toks,
+        lambda t: (
+            F.ascii(t) * 131 + F.length(t) * 7 + F.ascii(F.substring(t, -1, 1))
+        ).cast("long"),
+    )
+    return F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * 1000003 + v) % 2147483647,
+    )
+
+
 def doc_stats(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
     t = F.col(text)
     return docs.select(

@@ -121,6 +121,20 @@ SELECT doc_id,
 FROM documents"""
 
 
+def rolling_fingerprint_sql() -> str:
+    ltoks = _TOKS.format(t="lower(text)")
+    vals = (
+        f"list_transform({ltoks}, t -> CAST(ascii(t) * 131 + length(t) * 7"
+        " + ascii(substr(t, -1, 1)) AS BIGINT))"
+    )
+    return (
+        "SELECT doc_id, list_reduce("
+        f"list_prepend(CAST(0 AS BIGINT), {vals}), "
+        "(acc, v) -> (acc * 1000003 + v) % 2147483647) AS rhash "
+        "FROM documents"
+    )
+
+
 _DOT = (
     "list_sum(list_transform(list_zip({a}, {b}), "
     "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
