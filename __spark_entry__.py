@@ -443,6 +443,34 @@ def _q_gtfs_stops_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_gtfs_stops(spark, path)
 
 
+# F19 goldens — expected values captured by executing the reference
+# is_complex_opening_hours (libs/file_output.py:84-101), incl. its two
+# quirks (bare 'SH' matches 'sh' substrings; the day-range digit pattern
+# fires on ordinary time ranges).
+_COMPLEX_OH_CASES = [
+    ("24/7", False),
+    ("Mo-Fr 08:00-17:00", True),
+    ("Mo-Su sunrise-sunset", True),
+    ("by appointment", True),
+    ("Jan-Feb off", True),
+    ("Mar 15-31: closed", True),
+    ("Winter 10:00-16:00", True),
+    ("We shop hours", True),
+    ("Mo 1-6", True),
+    ("PH off", False),
+    ("Mo-We", False),
+    ("closed", False),
+]
+
+
+def _q_complex_opening_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19 complex-opening-hours heuristic as one rlike expression."""
+    from osm_poi_matchmaker_spark.functions.tags import is_complex_opening_hours
+
+    src = spark.createDataFrame([(oh,) for oh, _ in _COMPLEX_OH_CASES], ["oh"])
+    return src.select("oh", is_complex_opening_hours("oh").alias("is_complex"))
+
+
 # F17/F18 goldens (libs/compare_strings.py:14-26, libs/file_output_helper.py:13-29;
 # reference tests test_file_output_helper.py:15-36).
 _OSM_MISC_CASES = [
@@ -1023,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_source": _q_geojson_source,
         "osm_misc_goldens": _q_osm_misc_goldens,
         "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
+        "complex_opening_hours": _q_complex_opening_hours,
     }
 
 
@@ -1234,6 +1263,13 @@ def oracle_sql() -> dict[str, str]:
             ") AS t(stop_id, stop_name, stop_lat, stop_lon)"
         ),
         "osm_misc_goldens": _osm_misc_oracle_sql(),
+        "complex_opening_hours": (
+            "SELECT * FROM (VALUES "
+            + ", ".join(
+                f"('{oh}', {str(x).upper()})" for oh, x in _COMPLEX_OH_CASES
+            )
+            + ") AS t(oh, is_complex)"
+        ),
         "geojson_source": (
             "SELECT * FROM ("
             "  SELECT CAST(f.geometry.coordinates[2] AS DOUBLE) AS lat,"

@@ -68,3 +68,24 @@ def merge_tags_udf(
         ],
         dtype="object",
     )
+
+
+# F19 — complex-opening-hours heuristic (libs/file_output.py:84-101).
+# The reference searches each pattern case-insensitively; two behavioral
+# quirks are preserved: bare 'SH' matches any 'sh' substring, and the
+# \d{1,2}-\d{1,2} day-range pattern also fires on ordinary time ranges
+# like '08:00-17:00' (both verified against the reference implementation).
+COMPLEX_OH_PATTERNS = (
+    r"sunrise", r"sunset", r"by appointment", r"SH",
+    r"\bJan\b", r"\bFeb\b", r"\bMar\b", r"\bApr\b", r"\bMay\b", r"\bJun\b",
+    r"\bJul\b", r"\bAug\b", r"\bSep\b", r"\bOct\b", r"\bNov\b", r"\bDec\b",
+    r"\b\d{1,2}-\d{1,2}\b", r"Winter", r"Summer",
+)
+
+COMPLEX_OH_RE = "(?i)" + "|".join(f"(?:{p})" for p in COMPLEX_OH_PATTERNS)
+
+
+def is_complex_opening_hours(oh) -> "F.Column":
+    """F19 as a single rlike column expression (JVM-side, codegen'd)."""
+    col = F.col(oh) if isinstance(oh, str) else oh
+    return col.rlike(COMPLEX_OH_RE)
