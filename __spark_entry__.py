@@ -471,6 +471,35 @@ def _q_complex_opening_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.select("oh", is_complex_opening_hours("oh").alias("is_complex"))
 
 
+# F11 goldens (libs/address.py:237-263 JS-variable extraction).
+_JS_VAR_CASES = [
+    (
+        '<html><script>\n var stores = {"a": 1, "b": [2]} ;\n</script><p>x</p></html>',
+        "stores",
+        '{"a": 1, "b": [2]}',
+    ),
+    ("<p>no scripts</p>", "stores", None),
+    (
+        '<html><script>var other = 1;</script><script>var pois = [{"id": 7}];</script></html>',
+        "pois",
+        '[{"id": 7}]',
+    ),
+]
+
+
+def _q_js_var_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 JS-variable extraction from HTML (script-tag walk + payload
+    slice) via its Arrow UDF over golden pages."""
+    from osm_poi_matchmaker_spark.extract.html import js_var_udf
+
+    src = spark.createDataFrame(
+        [(h, v) for h, v, _ in _JS_VAR_CASES], ["html", "varname"]
+    )
+    return src.select(
+        "varname", js_var_udf("html", "varname").alias("payload")
+    )
+
+
 # F17/F18 goldens (libs/compare_strings.py:14-26, libs/file_output_helper.py:13-29;
 # reference tests test_file_output_helper.py:15-36).
 _OSM_MISC_CASES = [
@@ -1052,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_misc_goldens": _q_osm_misc_goldens,
         "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
         "complex_opening_hours": _q_complex_opening_hours,
+        "js_var_extract": _q_js_var_extract,
     }
 
 
@@ -1263,6 +1293,17 @@ def oracle_sql() -> dict[str, str]:
             ") AS t(stop_id, stop_name, stop_lat, stop_lon)"
         ),
         "osm_misc_goldens": _osm_misc_oracle_sql(),
+        "js_var_extract": (
+            "SELECT * FROM (VALUES "
+            + ", ".join(
+                "('{}', {})".format(
+                    v, "CAST(NULL AS STRING)" if p is None
+                    else "'" + p.replace("'", "''") + "'"
+                )
+                for _, v, p in _JS_VAR_CASES
+            )
+            + ") AS t(varname, payload)"
+        ),
         "complex_opening_hours": (
             "SELECT * FROM (VALUES "
             + ", ".join(

@@ -150,3 +150,15 @@ def prettify_udf(html: pd.Series) -> pd.Series:
 @F.pandas_udf(T.StringType())
 def html_text_udf(html: pd.Series) -> pd.Series:
     return html.map(html_to_text, na_action="ignore")
+
+
+@F.pandas_udf(T.StringType())
+def js_var_udf(html: pd.Series, varname: pd.Series) -> pd.Series:
+    """F11: first ``var <name> = {...};`` payload per page (Arrow-batched)."""
+    return pd.Series(
+        [
+            extract_javascript_variable(h, v) if h is not None else None
+            for h, v in zip(html, varname)
+        ],
+        dtype="object",
+    )
