@@ -500,6 +500,60 @@ def _q_js_var_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zipcodes_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 postal-code XML dim source (dataproviders/hu_generic.py:60-77);
+    the fixture is fixed, so the oracle carries its literal rows."""
+    from osm_poi_matchmaker_spark.sources.readers import read_zipcodes_xml
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "zipcodes.xml",
+    )
+    return read_zipcodes_xml(spark, path)
+
+
+# F20 tag-merge goldens (libs/file_output.py:442-694 semantics; the same
+# cases as tests/test_tags.py): layer precedence, contact:* rewrite,
+# existing-contact preservation, email/website lowercasing, addr-tag drop,
+# None-value skip.
+_TAG_MERGE_CASES = [
+    (1, {"shop": "old", "name": "Live"}, {"shop": "convenience"}, {"name": "X"},
+     False, "name=X|shop=convenience"),
+    (2, {"phone": "+36 1 234 5678"}, None, None, False,
+     "contact:phone=+36 1 234 5678"),
+    (3, {"phone": "OLD", "contact:phone": "KEEP"}, None, None, False,
+     "contact:phone=KEEP"),
+    (4, {"website": "HTTPS://X.HU/A", "email": "A@B.HU"}, None, None, False,
+     "contact:email=a@b.hu|contact:website=https://x.hu/a"),
+    (5, {"addr:city": "Bp", "name": "X"}, None, None, True, "name=X"),
+    (6, {"a": None}, {"b": "1"}, None, False, "b=1"),
+]
+
+
+def _q_tag_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 tag-map merge + contact rewrite over MapType columns via the
+    Arrow UDF; the merged map renders as a sorted k=v join so the hash
+    compare is order-insensitive."""
+    from osm_poi_matchmaker_spark.functions.tags import merge_tags_udf
+
+    src = spark.createDataFrame(
+        [(i, lv, cm, ov, da) for i, lv, cm, ov, da, _ in _TAG_MERGE_CASES],
+        "case_id int, live map<string,string>, common map<string,string>, "
+        "override map<string,string>, drop_addr boolean",
+    )
+    merged = merge_tags_udf("live", "common", "override", "drop_addr")
+    rendered = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(merged),
+                lambda e: F.concat(e.key, F.lit("="), e.value),
+            )
+        ),
+        "|",
+    )
+    return src.select("case_id", rendered.alias("merged"))
+
+
 # F17/F18 goldens (libs/compare_strings.py:14-26, libs/file_output_helper.py:13-29;
 # reference tests test_file_output_helper.py:15-36).
 _OSM_MISC_CASES = [
@@ -1082,6 +1136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
         "complex_opening_hours": _q_complex_opening_hours,
         "js_var_extract": _q_js_var_extract,
+        "zipcodes_xml_source": _q_zipcodes_xml_source,
+        "tag_merge": _q_tag_merge,
     }
 
 
@@ -1293,6 +1349,15 @@ def oracle_sql() -> dict[str, str]:
             ") AS t(stop_id, stop_name, stop_lat, stop_lon)"
         ),
         "osm_misc_goldens": _osm_misc_oracle_sql(),
+        "zipcodes_xml_source": (
+            "SELECT * FROM (VALUES ('1011', 'Budapest'), ('9737', 'Buk')) "
+            "AS t(city_post_code, city_name)"
+        ),
+        "tag_merge": (
+            "SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, '{exp}')" for i, *_, exp in _TAG_MERGE_CASES)
+            + ") AS t(case_id, merged)"
+        ),
         "js_var_extract": (
             "SELECT * FROM (VALUES "
             + ", ".join(
