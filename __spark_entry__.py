@@ -554,6 +554,52 @@ def _q_tag_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.select("case_id", rendered.alias("merged"))
 
 
+# F15 relationer goldens (libs/osm.py:69-81; reference test_osm.py:16-31).
+_RELATIONER_CASES = [
+    (1, ["w25291279", "outer", "w25291280", "inner"],
+     '[{"type":"way","ref":"25291279","role":"outer"},'
+     '{"type":"way","ref":"25291280","role":"inner"}]'),
+    (2, ["r555643", "", "r555642", ""],
+     '[{"type":"relation","ref":"555643","role":""},'
+     '{"type":"relation","ref":"555642","role":""}]'),
+    (3, ["n123", "admin_centre"],
+     '[{"type":"node","ref":"123","role":"admin_centre"}]'),
+    (4, ["x9", "oddball"], '[{"type":"unknown","ref":"9","role":"oddball"}]'),
+    (5, [], "[]"),
+]
+
+
+def _q_relation_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 relation-member decoder as pure array expressions: pair up the
+    flat [ref, role, ...] list with sequence+transform, decode the n/w/r
+    prefix with a CASE chain, render to_json for a stable compare — no
+    Python in the plan."""
+    src = spark.createDataFrame(
+        [(i, m) for i, m, _ in _RELATIONER_CASES],
+        "case_id int, members array<string>",
+    )
+    m = F.col("members")
+    n_pairs = F.floor(F.size(m) / 2).cast("int")
+    # sequence is guarded so empty lists stay empty (sequence(0,-1) would
+    # infer a negative step).
+    pairs = F.when(
+        n_pairs > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_pairs - 1),
+            lambda i: F.struct(
+                F.when(F.substring(F.element_at(m, i * 2 + 1), 1, 1) == "n", "node")
+                .when(F.substring(F.element_at(m, i * 2 + 1), 1, 1) == "w", "way")
+                .when(F.substring(F.element_at(m, i * 2 + 1), 1, 1) == "r", "relation")
+                .otherwise("unknown")
+                .alias("type"),
+                F.substring(F.element_at(m, i * 2 + 1), 2, 2147483647).alias("ref"),
+                F.element_at(m, i * 2 + 2).alias("role"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<type:string,ref:string,role:string>>"))
+    return src.select("case_id", F.to_json(pairs).alias("members_json"))
+
+
 # F17/F18 goldens (libs/compare_strings.py:14-26, libs/file_output_helper.py:13-29;
 # reference tests test_file_output_helper.py:15-36).
 _OSM_MISC_CASES = [
@@ -1138,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_var_extract": _q_js_var_extract,
         "zipcodes_xml_source": _q_zipcodes_xml_source,
         "tag_merge": _q_tag_merge,
+        "relation_members": _q_relation_members,
     }
 
 
@@ -1352,6 +1399,13 @@ def oracle_sql() -> dict[str, str]:
         "zipcodes_xml_source": (
             "SELECT * FROM (VALUES ('1011', 'Budapest'), ('9737', 'Buk')) "
             "AS t(city_post_code, city_name)"
+        ),
+        "relation_members": (
+            "SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({i}, '{exp}')" for i, _, exp in _RELATIONER_CASES
+            )
+            + ") AS t(case_id, members_json)"
         ),
         "tag_merge": (
             "SELECT * FROM (VALUES "
