@@ -173,6 +173,52 @@ def _q_pip_postcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("page_id", "poly_id", "postcode")
 
 
+def _q_ordered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/W4: deterministic scan order (poi_base.py:98-111 — geo scan
+    WHERE geom IS NOT NULL ORDER BY 4 address columns). The reference's
+    incidental residual order is pinned with page_id as the final sort
+    key (SURVEY §7 parity-trap note). The global row_number materializes
+    the order so the driver's order-insensitive hash still verifies it;
+    production export paths use orderBy alone (range-partitioned sort,
+    no single-task rank bottleneck)."""
+    from pyspark.sql import Window
+
+    pg = _pages_geo(spark, sf_dir).where(
+        F.col("lat").isNotNull() & F.col("lon").isNotNull()
+    )
+    w = Window.orderBy(
+        F.col("city").asc_nulls_first(),
+        F.col("street").asc_nulls_first(),
+        F.col("housenumber").asc_nulls_first(),
+        F.col("page_id"),
+    )
+    return pg.select(
+        "page_id", "city", "street", "housenumber",
+        F.row_number().over(w).alias("scan_rank"),
+    )
+
+
+def _q_pip_city(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: city-name lookup by point-in-polygon against admin_level=8
+    boundaries (libs/osm.py:92-109), preserving BOTH reference quirks:
+    the probe point is built ``ST_MakePoint(:lat,:lon)`` — latitude on
+    the x axis, a swapped probe (libs/osm.py:97) — and ties are broken
+    ``ORDER BY name LIMIT 1`` (:98). Only the legacy swapped-axis
+    polygons can ever contain the swapped probe; the normal-orientation
+    rows never match — the observable consequence of the bug."""
+    from osm_poi_matchmaker_spark.operators.pip import point_in_polygon
+
+    polys = synth.admin_polygons_df(spark, sf_dir)
+    located = point_in_polygon(
+        _pages_geo(spark, sf_dir), polys, swap_xy=True, order_by="name"
+    )
+    return located.join(
+        F.broadcast(polys.select("poly_id", F.col("name").alias("city_name"))),
+        "poly_id",
+        "left",
+    ).select("page_id", "city_name")
+
+
 def _q_fuzzy_city(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8: dirty (city, postcode) → city dimension via the tiered fuzzy
     cascade. Inputs are deterministically dirtied extraction outputs."""
@@ -1149,6 +1195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hu_address_extract": _q_hu_address_extract,
         "hu_address_parse": _q_hu_address_parse,
         "pip_postcode": _q_pip_postcode,
+        "pip_city": _q_pip_city,
+        "ordered_scan": _q_ordered_scan,
         "fuzzy_city": _q_fuzzy_city,
         "agg_pricing_summary": _q_agg_pricing_summary,
         "top_orders_window": _q_top_orders_window,
@@ -1457,6 +1505,35 @@ def oracle_sql() -> dict[str, str]:
             "  ON px.lat >= p.lat_min AND px.lat <= p.lat_min + 0.58"
             " AND px.lon >= p.lon_min AND px.lon <= p.lon_min + 1.36 "
             f"WHERE {_GEO_FILTER.replace('lat', 'px.lat').replace('lon', 'px.lon')}"
+        ),
+        "ordered_scan": (
+            f"{base} "
+            "SELECT page_id, city, street, housenumber,"
+            " ROW_NUMBER() OVER (ORDER BY city ASC NULLS FIRST,"
+            "   street ASC NULLS FIRST, housenumber ASC NULLS FIRST,"
+            "   page_id) AS scan_rank "
+            f"FROM pages_x WHERE {_GEO_FILTER}"
+        ),
+        "pip_city": (
+            f"{base}, polys AS ("
+            "  SELECT CONCAT('City', lpad(CAST(n_nationkey AS VARCHAR), 2, '0')) AS name,"
+            "         45.699995 + CAST(FLOOR(n_nationkey / 5.0) AS INT) * 0.58 AS x_min,"
+            "         16.099995 + (n_nationkey % 5) * 1.36 AS y_min,"
+            "         0.70 AS dx, 1.36 AS dy"
+            "  FROM nation"
+            "  UNION ALL"
+            "  SELECT CONCAT('Normal', CAST(r_regionkey AS VARCHAR)) AS name,"
+            "         16.099995 + r_regionkey * 1.36 AS x_min,"
+            "         45.699995 + r_regionkey * 0.58 AS y_min,"
+            "         1.36 AS dx, 0.58 AS dy"
+            "  FROM region) "
+            # swapped probe (libs/osm.py:97): latitude tested on the x axis
+            "SELECT px.page_id, min(p.name) AS city_name "
+            "FROM pages_x px LEFT JOIN polys p"
+            "  ON px.lat >= p.x_min AND px.lat <= p.x_min + p.dx"
+            " AND px.lon >= p.y_min AND px.lon <= p.y_min + p.dy "
+            f"WHERE {_GEO_FILTER.replace('lat', 'px.lat').replace('lon', 'px.lon')} "
+            "GROUP BY px.page_id"
         ),
         "fuzzy_city": (
             f"{base}, "

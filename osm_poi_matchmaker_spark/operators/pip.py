@@ -79,14 +79,26 @@ def point_in_polygon(
     point_key: str = "page_id",
     poly_id: str = "poly_id",
     wkt_col: str = "way_wkt",
+    swap_xy: bool = False,
+    order_by: str | None = None,
 ) -> DataFrame:
     """(point_key, lat, lon) × broadcast polygons → (point_key, poly_id).
 
     Points with no containing polygon get poly_id = -1 (kept, so callers
     can distinguish 'outside every boundary' — reference returns None
     there, libs/osm.py:47).
+
+    ``swap_xy`` preserves the reference's J5 city-lookup quirk: the probe
+    point is built ``ST_MakePoint(:lat,:lon)`` — latitude on the x axis
+    (libs/osm.py:97) — so containment tests the SWAPPED point. ``order_by``
+    names a polygon column; candidates are tested in ascending order of it,
+    so the first hit reproduces ``ORDER BY name LIMIT 1`` (libs/osm.py:98).
     """
-    poly_rows = [(r[poly_id], r[wkt_col]) for r in polygons.select(poly_id, wkt_col).collect()]
+    if order_by is not None:
+        collected = polygons.select(poly_id, wkt_col, order_by).orderBy(order_by, poly_id).collect()
+    else:
+        collected = polygons.select(poly_id, wkt_col).collect()
+    poly_rows = [(r[poly_id], r[wkt_col]) for r in collected]
     spark = points.sparkSession
     bc = spark.sparkContext.broadcast(poly_rows)
     schema = T.StructType(
@@ -99,8 +111,11 @@ def point_in_polygon(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         index = PolygonIndex(bc.value)
         for pdf in batches:
+            xs, ys = (
+                ("lat", "lon") if swap_xy else ("lon", "lat")
+            )
             located = index.locate(
-                pdf["lon"].to_numpy("float64"), pdf["lat"].to_numpy("float64")
+                pdf[xs].to_numpy("float64"), pdf[ys].to_numpy("float64")
             )
             yield pd.DataFrame(
                 {point_key: pdf[point_key].to_numpy("int64"), "poly_id": located.astype("int32")}

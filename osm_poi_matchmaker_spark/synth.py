@@ -233,6 +233,56 @@ def city_dim_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rect_wkt(x_min, y_min, x_max, y_max):
+    def _f(c):
+        return F.format_number(c, 6).cast("string")
+
+    return F.concat(
+        F.lit("POLYGON(("),
+        _f(x_min), F.lit(" "), _f(y_min), F.lit(","),
+        _f(x_max), F.lit(" "), _f(y_min), F.lit(","),
+        _f(x_max), F.lit(" "), _f(y_max), F.lit(","),
+        _f(x_min), F.lit(" "), _f(y_max), F.lit(","),
+        _f(x_min), F.lit(" "), _f(y_min),
+        F.lit("))"),
+    )
+
+
+def admin_polygons_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """admin_level='8' boundary rows for the J5 city lookup (libs/osm.py:92-109).
+
+    Two populations, built to make the reference's swapped-probe quirk
+    (``ST_MakePoint(:lat,:lon)`` — latitude on x, libs/osm.py:97) observable:
+
+    * 25 "legacy" cells from ``nation`` whose x axis carries LATITUDE —
+      the only rows a swapped probe can ever fall inside. Each cell's x
+      span (0.70°) overlaps the next row's (step 0.58°), so boundary-strip
+      points are contained by two cells and the ``ORDER BY name LIMIT 1``
+      tie-break (libs/osm.py:98) decides.
+    * 5 normal-orientation rows from ``region`` (x = longitude, like real
+      planet_osm_polygon) that the swapped probe can NEVER hit — the
+      observable consequence of the reference bug, preserved.
+    """
+    n = F.col("n_nationkey")
+    row_i, col_i = F.floor(n / 5).cast("int"), (n % 5).cast("int")
+    x_min = F.lit(PC_LAT0) + row_i * F.lit(PC_DLAT)
+    y_min = F.lit(PC_LON0) + col_i * F.lit(PC_DLON)
+    legacy = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        n.cast("int").alias("poly_id"),
+        F.concat(F.lit("City"), F.lpad(n.cast("string"), 2, "0")).alias("name"),
+        _rect_wkt(x_min, y_min, x_min + F.lit(0.70), y_min + F.lit(PC_DLON)).alias("way_wkt"),
+    )
+    r = F.col("r_regionkey")
+    nx_min = F.lit(PC_LON0) + r * F.lit(PC_DLON)
+    ny_min = F.lit(PC_LAT0) + r * F.lit(PC_DLAT)
+    normal = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        (r + 100).cast("int").alias("poly_id"),
+        F.concat(F.lit("Normal"), r.cast("string")).alias("name"),
+        _rect_wkt(nx_min, ny_min, nx_min + F.lit(PC_DLON), ny_min + F.lit(PC_DLAT)).alias("way_wkt"),
+    )
+    return legacy.unionByName(normal)
+
+
 def postcode_polygons_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n_nationkey")
     row_i, col_i = F.floor(n / 5).cast("int"), n % 5
