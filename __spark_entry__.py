@@ -173,6 +173,19 @@ def _q_pip_postcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("page_id", "poly_id", "postcode")
 
 
+def _q_osm_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: the reference's OSM timestamp renderings (libs/osm.py:84-89
+    osm_timestamp_now '%Y-%m-%dT%H:%M:%SZ'; libs/file_output.py:80-82
+    TIMESTAMP_FORMAT/DATE_FORMAT) as pure date_format expressions over
+    the events table (now() replaced by a stored column — deterministic)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("osm_timestamp"),
+        F.date_format("ts", "yyyy-MM-dd").alias("osm_date"),
+    )
+
+
 def _q_ordered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/W4: deterministic scan order (poi_base.py:98-111 — geo scan
     WHERE geom IS NOT NULL ORDER BY 4 address columns). The reference's
@@ -1197,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_postcode": _q_pip_postcode,
         "pip_city": _q_pip_city,
         "ordered_scan": _q_ordered_scan,
+        "osm_timestamps": _q_osm_timestamps,
         "fuzzy_city": _q_fuzzy_city,
         "agg_pricing_summary": _q_agg_pricing_summary,
         "top_orders_window": _q_top_orders_window,
@@ -1505,6 +1519,12 @@ def oracle_sql() -> dict[str, str]:
             "  ON px.lat >= p.lat_min AND px.lat <= p.lat_min + 0.58"
             " AND px.lon >= p.lon_min AND px.lon <= p.lon_min + 1.36 "
             f"WHERE {_GEO_FILTER.replace('lat', 'px.lat').replace('lon', 'px.lon')}"
+        ),
+        "osm_timestamps": (
+            "SELECT event_id,"
+            " strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS osm_timestamp,"
+            " strftime(ts, '%Y-%m-%d') AS osm_date"
+            " FROM events"
         ),
         "ordered_scan": (
             f"{base} "
