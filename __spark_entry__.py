@@ -173,6 +173,40 @@ def _q_pip_postcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("page_id", "poly_id", "postcode")
 
 
+def _q_way_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: way-nodes lookup (poi_base.py:136-142) — matched way ids
+    equi-joined to the planet_osm_ways analogue, node array exploded
+    with position (the reference fetches these lists per matched way,
+    online_poi_matching.py:213-223; here it is one set-wide join)."""
+    m = (
+        _match(spark, sf_dir)
+        .where(F.col("node_type") == "way")
+        .select("page_id", "osm_id")
+    )
+    ways = synth.ways_df(spark, sf_dir)
+    return m.join(ways, m.osm_id == ways.way_id).select(
+        "page_id", "osm_id", F.posexplode("nodes").alias("pos", "node_id")
+    )
+
+
+_INT_SANITIZE_CASES = [
+    "725.0", "725", "7.25", "abc", "", "   ", None, "725.", ".5",
+    "1.2.3", "-5", "0042", "9 9", "1e3", "0", "00.00",
+]
+
+
+def _q_int_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21: clean_integer_fields (data_handlers.py:41-108) as a column
+    expression, over its quirk cases — '7.25'→7 (int(float())), '.5'→0,
+    '-5'→NULL (no sign survives isdigit), '1e3'→NULL."""
+    from osm_poi_matchmaker_spark.functions.spark_udfs import clean_integer_expr
+
+    src = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(_INT_SANITIZE_CASES)], ["case_id", "raw"]
+    )
+    return src.select("case_id", "raw", clean_integer_expr(F.col("raw")).alias("cleaned"))
+
+
 def _q_osm_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F14: the reference's OSM timestamp renderings (libs/osm.py:84-89
     osm_timestamp_now '%Y-%m-%dT%H:%M:%SZ'; libs/file_output.py:80-82
@@ -1211,6 +1245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_city": _q_pip_city,
         "ordered_scan": _q_ordered_scan,
         "osm_timestamps": _q_osm_timestamps,
+        "way_nodes": _q_way_nodes,
+        "int_sanitize": _q_int_sanitize,
         "fuzzy_city": _q_fuzzy_city,
         "agg_pricing_summary": _q_agg_pricing_summary,
         "top_orders_window": _q_top_orders_window,
@@ -1519,6 +1555,26 @@ def oracle_sql() -> dict[str, str]:
             "  ON px.lat >= p.lat_min AND px.lat <= p.lat_min + 0.58"
             " AND px.lon >= p.lon_min AND px.lon <= p.lon_min + 1.36 "
             f"WHERE {_GEO_FILTER.replace('lat', 'px.lat').replace('lon', 'px.lon')}"
+        ),
+        "way_nodes": (
+            f"{match_base}, "
+            "ways AS (SELECT CAST(p_partkey AS BIGINT) AS way_id FROM part"
+            "  WHERE p_partkey % 3 = 1), "
+            "positions AS (SELECT r_regionkey AS pos FROM region) "
+            "SELECT b.page_id, b.osm_id, p.pos, b.osm_id * 10 + p.pos AS node_id "
+            "FROM best b JOIN ways w ON b.osm_id = w.way_id"
+            " JOIN positions p ON p.pos <= b.osm_id % 4 + 1 "
+            "WHERE b.node_type = 'way'"
+        ),
+        "int_sanitize": (
+            "SELECT * FROM (VALUES"
+            " (0, '725.0', 725), (1, '725', 725), (2, '7.25', 7),"
+            " (3, 'abc', NULL), (4, '', NULL), (5, '   ', NULL),"
+            " (6, NULL, NULL), (7, '725.', 725), (8, '.5', 0),"
+            " (9, '1.2.3', NULL), (10, '-5', NULL), (11, '0042', 42),"
+            " (12, '9 9', NULL), (13, '1e3', NULL), (14, '0', 0),"
+            " (15, '00.00', 0)"
+            ") AS t(case_id, raw, cleaned)"
         ),
         "osm_timestamps": (
             "SELECT event_id,"

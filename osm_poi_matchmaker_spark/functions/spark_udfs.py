@@ -132,3 +132,21 @@ def opening_hours_udf(
             )
         )
     return pd.Series(out, dtype="object")
+
+
+def clean_integer_expr(c):
+    """F21: ``clean_integer_fields`` (data_handlers.py:41-108) as a pure
+    column expression — no Python in the plan.
+
+    Reference rules for string inputs: strip()=='' → NULL; accepted iff
+    ``value.replace('.', '', 1).isdigit()`` (ASCII digits with at most one
+    dot anywhere, NO sign — negatives are rejected, a reference quirk);
+    accepted values go through ``int(float(value))`` so '7.25' → 7 and
+    '.5' → 0. Everything else → NULL.
+    """
+    digitish = c.rlike(r"^\d*\.?\d*$") & c.rlike(r"\d")
+    return (
+        F.when(c.isNull() | (F.trim(c) == ""), F.lit(None).cast("int"))
+        .when(digitish, F.floor(c.cast("double")).cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+    )

@@ -233,6 +233,28 @@ def city_dim_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ways_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """planet_osm_ways analogue (id, nodes bigint[]) for the S6 way-nodes
+    lookup (poi_base.py:136-142; consumed post-match by
+    online_poi_matching.py:213-223). One row per way-typed candidate
+    (p_partkey % 3 == 1, mirroring osm_pois_df's node_type derivation);
+    the node list is a deterministic function of the way id so the DuckDB
+    oracle can regenerate it."""
+    a = F.col("p_partkey")
+    way = a.cast("long")
+    return (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .where(a % 3 == 1)
+        .select(
+            way.alias("way_id"),
+            F.transform(
+                F.sequence(F.lit(0), (a % 4 + 1).cast("int")),
+                lambda i: way * 10 + i,
+            ).alias("nodes"),
+        )
+    )
+
+
 def _rect_wkt(x_min, y_min, x_max, y_max):
     def _f(c):
         return F.format_number(c, 6).cast("string")
