@@ -80,3 +80,31 @@ def test_sessionize_single_shuffle(spark):
     plan = plan_of(entry_mod._q_events_sessionize(spark, SF), mode="simple")
     assert plan.count("Exchange") <= 2  # key shuffle (+AQE read), no extra
     assert "CartesianProduct" not in plan
+
+
+def test_pip_city_no_point_shuffle(spark):
+    # J4/J5 PIP: polygons are broadcast (driver-collected), the point side
+    # streams through mapInPandas and the name join is broadcast — the
+    # page-derived side must never cross an exchange
+    plan = plan_of(entry_mod._q_pip_city(spark, SF), mode="simple")
+    # BroadcastExchange of the tiny polygon dim is fine; a shuffle is not
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_way_nodes_explode_after_join(spark):
+    # S6: the node array explodes AFTER the way join (one row per matched
+    # way crosses the join, not nodes-per-way rows) and never degenerates
+    # into a cross product
+    plan = plan_of(entry_mod._q_way_nodes(spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+    gen = [l for l in plan.splitlines() if "Generate posexplode" in l]
+    assert gen, "expected posexplode in the plan"
+
+
+def test_int_sanitize_pure_codegen(spark):
+    # F21 must stay a column expression: no Python evaluation in the plan
+    plan = plan_of(entry_mod._q_int_sanitize(spark, SF), mode="simple")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
