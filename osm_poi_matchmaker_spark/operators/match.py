@@ -45,10 +45,12 @@ side — the 100 TB side — is never shuffled by the cascade at all. Each
 arm is a map-side join feeding the min-struct aggregate, whose map-side
 partial combine means the only full shuffle in the plan is ~one row per
 page. At planet scale (10^8 POIs) the identical plan degrades
-gracefully: drop the broadcast hints and the cell-bucketed candidate
-layout turns the arms into co-located shuffle joins keyed on
-(brand, cell), with AQE skew-join splitting mega-cells. The 12-row brand
-dim is always broadcast.
+gracefully: ``match_cascade(..., broadcast_candidates=False)`` drops the
+hints (→ shuffle equi-joins on the same composite keys, AQE skew-join
+splitting mega-cells) and moves the ring explode to the candidate side
+so 9× of the SMALL side crosses the exchange. Winners are identical on
+both paths (test_match_priority.py::test_shuffle_path_identical_winners).
+The 12-row brand dim is always broadcast.
 """
 
 from __future__ import annotations
@@ -178,6 +180,7 @@ def match_cascade(
     pois: DataFrame,
     common: DataFrame,
     brand_rows: list | None = None,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """All pages × candidate OSM POIs → best match per page.
 
@@ -187,6 +190,14 @@ def match_cascade(
     ``brand_rows``: optional local copy of the dimension rows (mappings
     with pc_id/search_rx/avoid_rx/poi_type/d_perfect) — skips the
     driver-side collect() job when the caller already holds them.
+    ``broadcast_candidates``: True (default) = the country-scale plan,
+    every arm broadcasts the prepared candidate side and the ring explode
+    sits probe-side. False = the planet-scale degradation (10^8 POIs, a
+    candidate side too big to broadcast): the arms become shuffle
+    equi-joins on the same composite keys, and the ring explode moves to
+    the CANDIDATE side so 9× of the small side — never of the 10^12-row
+    page side — crosses the exchange. Winners are identical either way
+    (tested); only the physical strategy changes.
     """
     # 12-row dimension: plan-time constants (regex set, max radius), not a
     # data dependency — same trick as the reference's pc_id→type dict
@@ -237,6 +248,11 @@ def match_cascade(
     # turns the arms into co-located shuffle joins instead.
     o = _prep_pois(pois, brand_specs)
 
+    def _cand(df: DataFrame) -> DataFrame:
+        # broadcast hint only on the country-scale path; without it the
+        # optimizer picks sort-merge/shuffled-hash on the composite keys
+        return F.broadcast(df) if broadcast_candidates else df
+
     dist = haversine_m(F.col("lat"), F.col("lon"), F.col("o_lat"), F.col("o_lon"))
     avoid_ok = F.when(
         F.col("avoid_rx").isNotNull(),
@@ -267,7 +283,7 @@ def match_cascade(
     # -- stage 1: additional-ref equality (930) — pure equi-join, no radius
     s1 = arm(
         p.where(F.col("ref").isNotNull() & F.col("ref_name").isNotNull()).join(
-            F.broadcast(o_type.where(F.col("ref_value").isNotNull())),
+            _cand(o_type.where(F.col("ref_value").isNotNull())),
             (F.col("ref") == F.col("ref_value")) & (F.col("pc_id") == F.col("cand_pc")),
         ),
         1,
@@ -278,7 +294,7 @@ def match_cascade(
     # LOWER(name) = LOWER(:unique_name) under the tag predicate, no radius
     s2 = arm(
         p.where(F.col("lc_uname").isNotNull()).join(
-            F.broadcast(o_type),
+            _cand(o_type),
             (F.col("lc_uname") == F.col("name_lc")) & (F.col("pc_id") == F.col("cand_pc")),
         ),
         2,
@@ -288,7 +304,7 @@ def match_cascade(
     # -- stage 3: name + conscriptionnumber + city (965)
     s3 = arm(
         p.where(F.col("csn").isNotNull()).join(
-            F.broadcast(o_name.where(F.col("lc_o_csn").isNotNull())),
+            _cand(o_name.where(F.col("lc_o_csn").isNotNull())),
             (F.col("lc_csn") == F.col("lc_o_csn"))
             & (F.col("lc_city") == F.col("lc_o_city"))
             & (F.col("pc_id") == F.col("cand_pc")),
@@ -300,7 +316,7 @@ def match_cascade(
     # -- stage 4: name + city + street + housenumber (940)
     s4 = arm(
         p.join(
-            F.broadcast(o_name),
+            _cand(o_name),
             (F.col("lc_city") == F.col("lc_o_city"))
             & (F.col("lc_street") == F.col("lc_o_street"))
             & (F.col("lc_hn") == F.col("lc_o_hn"))
@@ -358,10 +374,17 @@ def match_cascade(
     #     which are shuffle-shaped at scale, explode candidate-side for
     #     exactly that reason.
     mult_named = coarse_mult_for_radius(max_radius)
-    probe_a = explode_ring3x3(p, "lat", "lon", mult_named, out="probe_cell")
-    cand_a = o_name.withColumn(
-        "cand_cell", coarse_cell_id(F.col("o_lat"), F.col("o_lon"), mult_named)
-    )
+    if broadcast_candidates:
+        probe_a = explode_ring3x3(p, "lat", "lon", mult_named, out="probe_cell")
+        cand_a = o_name.withColumn(
+            "cand_cell", coarse_cell_id(F.col("o_lat"), F.col("o_lon"), mult_named)
+        )
+    else:
+        # shuffle path: 9× the SMALL side crosses the exchange
+        probe_a = p.withColumn(
+            "probe_cell", coarse_cell_id(F.col("lat"), F.col("lon"), mult_named)
+        )
+        cand_a = explode_ring3x3(o_name, "o_lat", "o_lon", mult_named, out="cand_cell")
     prio_a = (
         F.when(F.col("s_eq") & F.col("h_eq") & (d < F.col("d_perfect")), PRIO_NAME_STREET_HN)
         .when((F.col("s_eq") | F.col("h_eq")) & (d < F.col("d_safe")), PRIO_NAME_PARTIAL)
@@ -369,7 +392,7 @@ def match_cascade(
     )
     s5a = (
         probe_a.join(
-            F.broadcast(cand_a),
+            _cand(cand_a),
             (F.col("probe_cell") == F.col("cand_cell")) & (F.col("pc_id") == F.col("cand_pc")),
         )
         .withColumn("distance", dist)
@@ -385,13 +408,19 @@ def match_cascade(
 
     min_unsafe = max(r["d_unsafe"] for r in common_rows)
     mult_nn = coarse_mult_for_radius(min_unsafe)
-    probe_b = explode_ring3x3(p, "lat", "lon", mult_nn, out="probe_cell")
-    cand_b = o_type.withColumn(
-        "cand_cell", coarse_cell_id(F.col("o_lat"), F.col("o_lon"), mult_nn)
-    )
+    if broadcast_candidates:
+        probe_b = explode_ring3x3(p, "lat", "lon", mult_nn, out="probe_cell")
+        cand_b = o_type.withColumn(
+            "cand_cell", coarse_cell_id(F.col("o_lat"), F.col("o_lon"), mult_nn)
+        )
+    else:
+        probe_b = p.withColumn(
+            "probe_cell", coarse_cell_id(F.col("lat"), F.col("lon"), mult_nn)
+        )
+        cand_b = explode_ring3x3(o_type, "o_lat", "o_lon", mult_nn, out="cand_cell")
     s5b = (
         probe_b.join(
-            F.broadcast(cand_b),
+            _cand(cand_b),
             (F.col("probe_cell") == F.col("cand_cell")) & (F.col("pc_id") == F.col("cand_pc")),
         )
         .withColumn("distance", dist)
@@ -432,13 +461,17 @@ def match_pages(
     pois: DataFrame,
     common: DataFrame,
     brand_rows: list | None = None,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Full outcome table: every geotagged page, matched or new.
 
     ``poi_new`` mirrors the reference's unmatched → new-POI flag
     (``libs/online_poi_matching.py:64, 334``).
     """
-    best = match_cascade(pages_geo, pois, common, brand_rows=brand_rows)
+    best = match_cascade(
+        pages_geo, pois, common, brand_rows=brand_rows,
+        broadcast_candidates=broadcast_candidates,
+    )
     return (
         pages_geo.select("page_id", "url", "name", "lat", "lon", "cell_id")
         .join(best, "page_id", "left")

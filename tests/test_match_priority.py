@@ -127,3 +127,65 @@ def test_match_pages_flags_new(spark, result):
     out = match_pages(pages, pois, synth.poi_common_df(spark),
                       brand_rows=synth.BRAND_ROWS).collect()
     assert len(out) == 1 and out[0]["poi_new"] is True
+
+
+def test_shuffle_path_identical_winners(spark):
+    """The planet-scale degradation (broadcast_candidates=False → shuffle
+    equi-joins, candidate-side ring explode) must pick exactly the same
+    winners as the broadcast plan — only the physical strategy changes."""
+    import __spark_entry__ as entry_mod
+    from osm_poi_matchmaker_spark.extract.geotag import geotag_pages
+
+    sf = "/root/testdata/sf0.001"
+    pg = geotag_pages(synth.pages(spark, sf))
+    pois = synth.osm_pois(spark, sf)
+    common = synth.poi_common_df(spark)
+    a = match_cascade(pg, pois, common, brand_rows=synth.BRAND_ROWS).collect()
+    b = match_cascade(
+        pg, pois, common, brand_rows=synth.BRAND_ROWS, broadcast_candidates=False
+    ).collect()
+    key = lambda r: r["page_id"]
+    assert sorted(map(tuple, a), key=lambda t: t[0]) == sorted(map(tuple, b), key=lambda t: t[0])
+    assert len(a) > 0
+
+
+def test_shuffle_path_plan_shape(spark):
+    """With the hint dropped the arms must become shuffle joins (no
+    candidate broadcast) and every ring explode must sit candidate-side."""
+    import contextlib, io
+    from osm_poi_matchmaker_spark.extract.geotag import geotag_pages
+
+    sf = "/root/testdata/sf0.001"
+    # At sf0.001 the optimizer auto-broadcasts the tiny candidate side even
+    # without the hint (correctly). Planet-scale candidate stats exceed the
+    # threshold, so simulate that by disabling auto-broadcast — the hint-free
+    # plan must then be shuffle-joined, which is the property under test.
+    thresholds = ("spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    saved = {k: spark.conf.get(k, None) for k in thresholds}
+    try:
+        for k in thresholds:
+            spark.conf.set(k, "-1")
+        pg = geotag_pages(synth.pages(spark, sf))
+        df = match_cascade(
+            pg, synth.osm_pois(spark, sf), synth.poi_common_df(spark),
+            brand_rows=synth.BRAND_ROWS, broadcast_candidates=False,
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="simple")
+        plan = buf.getvalue()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    # ring explodes are the explode(transform([...offsets...])) generators;
+    # the brand-eligibility explodes (cand_pc) are candidate-side by
+    # construction and not what this asserts
+    ring_lines = [l for l in plan.splitlines() if "explode(transform(" in l]
+    assert ring_lines, "expected ring explodes in the plan"
+    assert all("cand_cell" in l for l in ring_lines), ring_lines
+    assert not any("probe_cell" in l for l in ring_lines), ring_lines
