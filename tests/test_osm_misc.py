@@ -88,3 +88,45 @@ def test_url_tag_generator(base, website, expected):
 )
 def test_compare_strings(a, b, expected):
     assert compare_strings(a, b) == expected
+
+
+def test_clean_integer_expr_random_corpus(spark):
+    """F21 property check: the column expression agrees with a direct
+    transcription of clean_integer_fields (data_handlers.py:41-108) on a
+    1000-string randomized corpus (seeded — deterministic), batched
+    through ONE Spark job."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from osm_poi_matchmaker_spark.functions.spark_udfs import clean_integer_expr
+
+    def ref_clean(value):
+        if value is None:
+            return None
+        if value.strip() == "":
+            return None
+        if value.replace(".", "", 1).isdigit():
+            return int(float(value))
+        return None
+
+    rng = random.Random(20260818)
+    alphabet = "0123456789..  -+eEabz"
+    cases = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 10)))
+        for _ in range(995)
+    ] + ["725.0", ".5", "-5", "1e3", None]
+    # guard: the corpus must exercise both accept and reject branches
+    accepted = sum(ref_clean(c) is not None for c in cases if c is not None)
+    assert 20 < accepted < 900, accepted
+
+    src = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], ["i", "raw"]
+    )
+    got = {
+        r["i"]: r["cleaned"]
+        for r in src.select("i", clean_integer_expr(F.col("raw")).alias("cleaned")).collect()
+    }
+    for i, c in enumerate(cases):
+        exp = ref_clean(c)
+        assert got[i] == exp, (repr(c), got[i], exp)
