@@ -593,6 +593,23 @@ def _q_js_var_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_excel_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 Excel dim source (dataproviders/hu_generic.py:29-48): the
+    settlements sheet minus 'Településrész' plus the per-big-city street
+    sheets (first column → city_post_code, constant city_name,
+    drop_duplicates keep-first). The workbook is decoded by the
+    from-scratch stdlib XLSX parser (sources/xlsx.py) — no Excel library
+    exists here; the fixture is fixed, so the oracle carries its literal
+    rows."""
+    from osm_poi_matchmaker_spark.sources.readers import read_city_postcodes_xlsx
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "cities.xlsx",
+    )
+    return read_city_postcodes_xlsx(spark, path)
+
+
 def _q_zipcodes_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 postal-code XML dim source (dataproviders/hu_generic.py:60-77);
     the fixture is fixed, so the oracle carries its literal rows."""
@@ -1138,6 +1155,52 @@ def _q_osm_xml_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     return osm_xml_nodes(m, tag_cols=["name", "url"], lat="lat_s", lon="lon_s")
 
 
+def _q_osm_xml_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2's per-object comment block (libs/file_output.py:413-441) as a
+    column expression: OSM link comment (only for positive ids,
+    file_output.py:415-416), original-coordinates comment with the
+    lat-first WKT quirk (libs/geo.py:20), the distance comment with its
+    asymmetric spacing — matched rows ``{d} m`` with no trailing space,
+    new POIs the literal ``Non exist \\n`` INSIDE the comment
+    (file_output.py:425-433) — and the ``#map=18/lat/lon`` link
+    (file_output.py:222-234). Coordinates render on the e5 integer grid
+    (same convention as osm_xml_render); distance as floored whole
+    metres so cross-engine float repr cannot drift."""
+    from osm_poi_matchmaker_spark.plans.export import osm_xml_comment_block
+
+    m = (
+        _match(spark, sf_dir)
+        .withColumn("lat_s", F.round(F.col("lat") * 100000).cast("long").cast("string"))
+        .withColumn("lon_s", F.round(F.col("lon") * 100000).cast("long").cast("string"))
+        .withColumn("dist_m", F.floor(F.col("distance")).cast("long"))
+    )
+    return m.select(
+        "page_id",
+        osm_xml_comment_block(
+            F.col("osm_id"),
+            F.col("node_type"),
+            F.col("lat_s"),
+            F.col("lon_s"),
+            F.col("dist_m"),
+        ).alias("comments"),
+    )
+
+
+def _q_ascii_numcoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ascii_numcoder`` (libs/file_output.py:103-110) over customer
+    names — pure array expressions (split/transform/ascii/array_join),
+    no Python in the plan. The reference's always-False digit guard
+    (``i in range(0,10,1)`` with ``i`` a str) is preserved: every char
+    renders as str(ord(c))."""
+    from osm_poi_matchmaker_spark.plans.export import ascii_numcoder_expr
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return c.select(
+        F.col("c_custkey").alias("cust_id"),
+        ascii_numcoder_expr(F.col("c_name")).alias("numcoded"),
+    )
+
+
 def _q_geojson_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 GeoJSON sink (libs/file_output.py:237-314) as an oracle-checked
     render: one Feature string per match-output row via ``to_json`` —
@@ -1268,6 +1331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poi_fuzzy_dedup": _q_poi_fuzzy_dedup,
         "asset_features": _q_asset_features,
         "osm_xml_render": _q_osm_xml_render,
+        "osm_xml_comments": _q_osm_xml_comments,
+        "ascii_numcoder": _q_ascii_numcoder,
         "geojson_render": _q_geojson_render,
         "opening_hours_compile": _q_opening_hours_compile,
         "scalar_cleaners": _q_scalar_cleaners,
@@ -1281,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complex_opening_hours": _q_complex_opening_hours,
         "js_var_extract": _q_js_var_extract,
         "zipcodes_xml_source": _q_zipcodes_xml_source,
+        "excel_source": _q_excel_source,
         "tag_merge": _q_tag_merge,
         "relation_members": _q_relation_members,
     }
@@ -1406,6 +1472,32 @@ def oracle_sql() -> dict[str, str]:
             "  FROM pages_x px LEFT JOIN best b ON px.page_id = b.page_id"
             f"  WHERE {_GEO_FILTER.replace('lat', 'px.lat').replace('lon', 'px.lon')})"
         ),
+        "osm_xml_comments": (
+            f"{match_base} "
+            "SELECT page_id, "
+            "CASE WHEN osm_id IS NOT NULL AND osm_id > 0 "
+            "     THEN '<!-- OSM link: https://osm.org/' || node_type || '/' || "
+            "          CAST(osm_id AS VARCHAR) || ' -->' || chr(10) "
+            "     ELSE '' END || "
+            "'<!-- Original coordinates: POINT (' || lat_s || ' ' || lon_s || ') -->' || chr(10) || "
+            "CASE WHEN dist_m IS NOT NULL "
+            "     THEN '<!-- OSM <-> POI distance: ' || CAST(dist_m AS VARCHAR) || ' m-->' || chr(10) "
+            "     ELSE '<!-- OSM <-> POI distance: Non exist ' || chr(10) || '-->' || chr(10) END || "
+            "'<!-- OSM link: https://osm.org/#map=18/' || lat_s || '/' || lon_s || ' -->' "
+            "AS comments FROM ("
+            "  SELECT px.page_id, b.osm_id, b.node_type,"
+            "    CAST(CAST(ROUND(px.lat * 100000) AS BIGINT) AS VARCHAR) AS lat_s,"
+            "    CAST(CAST(ROUND(px.lon * 100000) AS BIGINT) AS VARCHAR) AS lon_s,"
+            "    CAST(FLOOR(b.distance) AS BIGINT) AS dist_m"
+            "  FROM pages_x px LEFT JOIN best b ON px.page_id = b.page_id"
+            f"  WHERE {_GEO_FILTER.replace('lat', 'px.lat').replace('lon', 'px.lon')})"
+        ),
+        "ascii_numcoder": (
+            "SELECT c_custkey AS cust_id, "
+            "array_to_string(list_transform(string_split(c_name, ''), "
+            "  x -> CAST(ascii(x) AS VARCHAR)), '') AS numcoded "
+            "FROM customer"
+        ),
         "geojson_render": (
             f"{match_base} "
             "SELECT px.page_id, to_json(struct_pack("
@@ -1497,6 +1589,13 @@ def oracle_sql() -> dict[str, str]:
         "zipcodes_xml_source": (
             "SELECT * FROM (VALUES ('1011', 'Budapest'), ('9737', 'Buk')) "
             "AS t(city_post_code, city_name)"
+        ),
+        "excel_source": (
+            "SELECT * FROM (VALUES "
+            "(2000, 'Szentendre'), (2030, 'Érd'), (6000, 'Kecskemét'), "
+            "(9400, 'Sopron'), (1011, 'Budapest'), (1052, 'Budapest'), "
+            "(3525, 'Miskolc')"
+            ") AS t(city_post_code, city_name)"
         ),
         "relation_members": (
             "SELECT * FROM (VALUES "

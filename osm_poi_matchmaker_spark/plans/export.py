@@ -79,6 +79,81 @@ def osm_xml_nodes(df: DataFrame, tag_cols: list[str], lat: str = "lat", lon: str
     return df.select("page_id", F.col("poi_new"), frag.alias("xml"))
 
 
+def ascii_numcoder_expr(col):
+    """``ascii_numcoder`` (libs/file_output.py:103-110) as a pure column
+    expression. Reference quirk preserved: the guard ``if i in
+    range(0, 10, 1)`` compares a 1-char *string* against ints, so it is
+    always False — every character, digits included, renders as
+    ``str(ord(c))`` concatenated."""
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.filter(F.split(c, ""), lambda ch: ch != F.lit(""))
+    return F.array_join(
+        F.transform(chars, lambda ch: F.ascii(ch).cast("string")), ""
+    )
+
+
+def osm_xml_comment_block(
+    osm_id,
+    node_type,
+    lat_s,
+    lon_s,
+    distance_m,
+):
+    """The per-row comment block ``generate_osm_xml`` appends after each
+    object (libs/file_output.py:413-441), as one column expression.
+
+    Reference semantics preserved exactly:
+    - OSM link comment only when the object's id is positive (new POIs
+      carry negative synthetic ids): `` OSM link: https://osm.org/{type}/{id} ``
+      (file_output.py:208-219, 415-416);
+    - original coordinates as the str() of the shapely point — which was
+      built lat-first (libs/geo.py:20), so the WKT reads ``POINT (lat lon)``;
+    - distance comment with the reference's asymmetric spacing: matched
+      rows render `` ... distance: {d} m`` (no trailing space), unmatched
+      rows render the literal `` ... distance: Non exist \\n`` INCLUDING
+      the trailing newline inside the comment (file_output.py:425-433);
+    - the #map=18 link built from ``poi_geom.x/.y`` — lat first again
+      because of the same constructor quirk (file_output.py:222-234, 436).
+
+    ``lat_s``/``lon_s`` are pre-rendered coordinate strings (the callers
+    use an e5 integer grid so cross-engine float repr can't drift);
+    ``distance_m`` is a LongType whole-metre column, NULL for new POIs.
+    """
+    link = F.when(
+        osm_id.isNotNull() & (osm_id > 0),
+        F.concat(
+            F.lit("<!-- OSM link: https://osm.org/"),
+            node_type,
+            F.lit("/"),
+            osm_id.cast("string"),
+            F.lit(" -->\n"),
+        ),
+    ).otherwise(F.lit(""))
+    orig = F.concat(
+        F.lit("<!-- Original coordinates: POINT ("),
+        lat_s,
+        F.lit(" "),
+        lon_s,
+        F.lit(") -->\n"),
+    )
+    dist = F.when(
+        distance_m.isNotNull(),
+        F.concat(
+            F.lit("<!-- OSM <-> POI distance: "),
+            distance_m.cast("string"),
+            F.lit(" m-->\n"),
+        ),
+    ).otherwise(F.lit("<!-- OSM <-> POI distance: Non exist \n-->\n"))
+    maplink = F.concat(
+        F.lit("<!-- OSM link: https://osm.org/#map=18/"),
+        lat_s,
+        F.lit("/"),
+        lon_s,
+        F.lit(" -->"),
+    )
+    return F.concat(link, orig, dist, maplink)
+
+
 def write_grouped_exports(
     matched: DataFrame, out_dir: str, group_col: str = "name"
 ) -> None:

@@ -92,17 +92,67 @@ def read_zipcodes_xml(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rows, "city_post_code string, city_name string")
 
 
-def read_excel_source(spark: SparkSession, path: str, sheet: str = "0") -> DataFrame:
-    """S12: Excel dim feed (``hu_generic.py:33-48``). openpyxl/xlrd are not
-    installed in this environment — gate with a clear error; the calling
-    provider falls back to a pre-converted CSV/parquet fixture."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as err:
-        raise NotImplementedError(
-            "Excel source requires openpyxl (absent here); pre-convert the "
-            "feed to CSV/parquet and use read_csv_source instead"
-        ) from err
+def read_excel_source(spark: SparkSession, path: str, sheet: str) -> DataFrame:
+    """S12: Excel dim feed (``dataproviders/hu_generic.py:33-48`` —
+    ``pd.ExcelFile(link).parse(sheet)``). No Excel library exists in this
+    environment, so the workbook is decoded by the from-scratch stdlib
+    XLSX parser in :mod:`.xlsx` (ZIP + XML parts, shared/inline strings).
+    First row = header, like ExcelFile.parse; dims parse driver-side per
+    the module cost model."""
+    from .xlsx import parse_xlsx
+
+    with open(path, "rb") as fh:
+        rows = parse_xlsx(fh.read(), sheet)
+    if not rows:
+        raise ValueError(f"empty sheet {sheet!r} in {path}")
+    header = [str(h) for h in rows[0]]
+    return spark.createDataFrame(
+        [tuple(r) for r in rows[1:]], header
+    )
+
+
+def read_city_postcodes_xlsx(spark: SparkSession, path: str) -> DataFrame:
+    """The full S12 provider semantics (``hu_generic.py:29-48``): the
+    main settlements sheet minus its 'Településrész' column, unioned with
+    one frame per big-city sheet — first column renamed to
+    ``city_post_code``, a constant ``city_name``, and drop_duplicates on
+    postcode keeping the FIRST occurrence (A5)."""
     import pandas as pd
 
-    return spark.createDataFrame(pd.read_excel(path, sheet_name=sheet))
+    from .xlsx import parse_xlsx
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+
+    def sheet_pd(sheet: str) -> pd.DataFrame:
+        rows = parse_xlsx(data, sheet)
+        return pd.DataFrame(rows[1:], columns=[str(h) for h in rows[0]])
+
+    main = sheet_pd("Települések")
+    if "Településrész" in main.columns:
+        del main["Településrész"]
+    main = main.rename(
+        columns={main.columns[0]: "city_post_code", main.columns[1]: "city_name"}
+    )[["city_post_code", "city_name"]]
+    parts = [main]
+    big_cities = [
+        ["Budapest", "Bp.u."],
+        ["Miskolc", "Miskolc u."],
+        ["Debrecen", "Debrecen u."],
+        ["Szeged", "Szeged u."],
+        ["Pécs", "Pécs u."],
+        ["Győr", "Győr u."],
+    ]
+    for city, sheet in big_cities:
+        try:
+            df = sheet_pd(sheet)
+        except KeyError:
+            continue
+        df.columns.values[0] = "city_post_code"
+        df["city_name"] = city
+        df = df[["city_post_code", "city_name"]]
+        df.drop_duplicates("city_post_code", keep="first", inplace=True)
+        parts.append(df)
+    out = pd.concat(parts, ignore_index=True)
+    out["city_post_code"] = out["city_post_code"].astype("int64")
+    return spark.createDataFrame(out)

@@ -44,6 +44,52 @@ def test_zipcodes_xml(spark):
     assert got == {"1011": "Budapest", "9737": "Buk"}
 
 
-def test_excel_gated(spark):
-    with pytest.raises(NotImplementedError, match="openpyxl"):
-        read_excel_source(spark, "/nonexistent.xlsx")
+def test_excel_sheet_parse(spark):
+    """S12 raw sheet read: header row becomes columns, ints stay ints,
+    empty cells become NULL (from-scratch stdlib XLSX parser)."""
+    df = read_excel_source(spark, f"{FIX}/cities.xlsx", "Települések")
+    assert df.columns == ["Irányítószám", "Településnév", "Településrész"]
+    rows = {r["Irányítószám"]: r for r in df.collect()}
+    assert rows[2000]["Településnév"] == "Szentendre"
+    assert rows[2000]["Településrész"] is None
+    assert rows[6000]["Településrész"] == "Hetényegyháza"
+
+
+def test_excel_missing_sheet(spark):
+    with pytest.raises(KeyError, match="Nope"):
+        read_excel_source(spark, f"{FIX}/cities.xlsx", "Nope")
+
+
+def test_excel_city_postcodes_semantics(spark):
+    """hu_generic.process parity: main sheet minus Településrész, big-city
+    sheets renamed + constant city, dedup keep-first on postcode."""
+    from osm_poi_matchmaker_spark.sources.readers import read_city_postcodes_xlsx
+
+    dim = read_city_postcodes_xlsx(spark, f"{FIX}/cities.xlsx")
+    got = sorted((r["city_post_code"], r["city_name"]) for r in dim.collect())
+    assert got == [
+        (1011, "Budapest"),  # 1011 appears twice in Bp.u. — first kept, once
+        (1052, "Budapest"),
+        (2000, "Szentendre"),
+        (2030, "Érd"),
+        (3525, "Miskolc"),
+        (6000, "Kecskemét"),
+        (9400, "Sopron"),
+    ]
+
+
+def test_xlsx_roundtrip_inline_and_types():
+    """Writer↔parser: bools, floats, rich strings, ragged rows."""
+    from osm_poi_matchmaker_spark.sources.xlsx import parse_xlsx, write_xlsx
+
+    rows = [
+        ["a", "b", "c"],
+        [1, 2.5, True],
+        ["x&<y>", None, False],
+    ]
+    out = parse_xlsx(write_xlsx({"S": rows}), "S")
+    assert out == [
+        ["a", "b", "c"],
+        [1, 2.5, True],
+        ["x&<y>", None, False],
+    ]
