@@ -1186,6 +1186,78 @@ def _q_osm_xml_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_osm_xml_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 full-object render (libs/file_output.py:132-205, 363-409): every
+    MATCHED row rendered as its real OSM object — nodes with lat/lon
+    attributes, ways with their ``<nd ref>`` list (S6 join to the
+    planet_osm_ways analogue), relations with relationer-style
+    ``<member>`` rows — all with add_osm_node/add_osm_way attribute
+    order, the version→'99999' default, and tag lines. One plan
+    composing the match cascade, the way-nodes join, and the renderer;
+    version is a deterministic function of osm_id (NULL every 5th id to
+    exercise the default), timestamp a fixed literal (the reference
+    stamps now() when the OSM timestamp is unknown — non-deterministic,
+    pinned here for the oracle)."""
+    from osm_poi_matchmaker_spark.plans.export import osm_xml_object
+
+    m = (
+        _match(spark, sf_dir)
+        .where(F.col("osm_id").isNotNull())
+        .withColumn("lat_s", F.round(F.col("lat") * 100000).cast("long").cast("string"))
+        .withColumn("lon_s", F.round(F.col("lon") * 100000).cast("long").cast("string"))
+    )
+    ways = synth.ways_df(spark, sf_dir)
+    m = m.join(ways, m.osm_id == ways.way_id, "left")
+    nd_block = F.when(
+        (F.col("node_type") == "way") & F.col("nodes").isNotNull(),
+        F.concat(
+            F.array_join(
+                F.transform(
+                    F.col("nodes"),
+                    lambda n: F.concat(
+                        F.lit('  <nd ref="'), n.cast("string"), F.lit('"/>')
+                    ),
+                ),
+                "\n",
+            ),
+            F.lit("\n"),
+        ),
+    ).otherwise(F.lit(""))
+    oid = F.col("osm_id")
+    member_block = F.when(
+        F.col("node_type") == "relation",
+        F.concat(
+            F.lit('  <member type="way" ref="'),
+            (oid * 2).cast("string"),
+            F.lit('" role="outer"/>\n  <member type="way" ref="'),
+            (oid * 2 + 1).cast("string"),
+            F.lit('" role="inner"/>\n'),
+        ),
+    ).otherwise(F.lit(""))
+    tags = F.concat(
+        F.coalesce(
+            F.concat(F.lit('  <tag k="name" v="'), F.col("name"), F.lit('"/>\n')),
+            F.lit(""),
+        ),
+        F.coalesce(
+            F.concat(F.lit('  <tag k="url" v="'), F.col("url"), F.lit('"/>\n')),
+            F.lit(""),
+        ),
+    )
+    version = F.when(oid % 5 == 0, F.lit(None)).otherwise(oid % 9 + 1)
+    frag = osm_xml_object(
+        F.col("node_type"),
+        oid,
+        F.col("lat_s"),
+        F.col("lon_s"),
+        version,
+        F.lit("2026-01-01T00:00:00Z"),
+        F.concat(nd_block, member_block),
+        tags,
+    )
+    return m.select("page_id", frag.alias("xml"))
+
+
 def _q_ascii_numcoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``ascii_numcoder`` (libs/file_output.py:103-110) over customer
     names — pure array expressions (split/transform/ascii/array_join),
@@ -1332,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asset_features": _q_asset_features,
         "osm_xml_render": _q_osm_xml_render,
         "osm_xml_comments": _q_osm_xml_comments,
+        "osm_xml_objects": _q_osm_xml_objects,
         "ascii_numcoder": _q_ascii_numcoder,
         "geojson_render": _q_geojson_render,
         "opening_hours_compile": _q_opening_hours_compile,
@@ -1491,6 +1564,43 @@ def oracle_sql() -> dict[str, str]:
             "    CAST(FLOOR(b.distance) AS BIGINT) AS dist_m"
             "  FROM pages_x px LEFT JOIN best b ON px.page_id = b.page_id"
             f"  WHERE {_GEO_FILTER.replace('lat', 'px.lat').replace('lon', 'px.lon')})"
+        ),
+        "osm_xml_objects": (
+            f"{match_base}, "
+            "ways AS (SELECT CAST(p_partkey AS BIGINT) AS way_id FROM part"
+            "  WHERE p_partkey % 3 = 1), "
+            "positions AS (SELECT r_regionkey AS pos FROM region), "
+            "nd AS (SELECT w.way_id,"
+            "  string_agg('  <nd ref=\"' || CAST(w.way_id * 10 + p.pos AS VARCHAR)"
+            "    || '\"/>', chr(10) ORDER BY p.pos) || chr(10) AS nd_block"
+            "  FROM ways w JOIN positions p ON p.pos <= w.way_id % 4 + 1"
+            "  GROUP BY w.way_id), "
+            "mm AS (SELECT px.page_id, b.osm_id, b.node_type, px.name, px.url,"
+            "  CAST(CAST(ROUND(px.lat * 100000) AS BIGINT) AS VARCHAR) AS lat_s,"
+            "  CAST(CAST(ROUND(px.lon * 100000) AS BIGINT) AS VARCHAR) AS lon_s"
+            "  FROM pages_x px JOIN best b ON px.page_id = b.page_id"
+            f"  WHERE {_GEO_FILTER.replace('lat', 'px.lat').replace('lon', 'px.lon')}) "
+            "SELECT mm.page_id, "
+            "CASE WHEN mm.node_type = 'node'"
+            "  THEN '<node action=\"modify\" id=\"' || CAST(mm.osm_id AS VARCHAR)"
+            "    || '\" lat=\"' || mm.lat_s || '\" lon=\"' || mm.lon_s"
+            "  ELSE '<' || mm.node_type || ' action=\"modify\" id=\"'"
+            "    || CAST(mm.osm_id AS VARCHAR) END"
+            " || '\" user=\"osm_poi_matchmaker\" uid=\"8635934\" version=\"'"
+            " || CASE WHEN mm.osm_id % 5 = 0 THEN '99999'"
+            "         ELSE CAST(mm.osm_id % 9 + 1 AS VARCHAR) END"
+            " || '\" timestamp=\"2026-01-01T00:00:00Z\">' || chr(10)"
+            " || CASE WHEN mm.node_type = 'way' THEN COALESCE(nd.nd_block, '')"
+            "         WHEN mm.node_type = 'relation' THEN"
+            "           '  <member type=\"way\" ref=\"' || CAST(mm.osm_id * 2 AS VARCHAR)"
+            "           || '\" role=\"outer\"/>' || chr(10)"
+            "           || '  <member type=\"way\" ref=\"' || CAST(mm.osm_id * 2 + 1 AS VARCHAR)"
+            "           || '\" role=\"inner\"/>' || chr(10)"
+            "         ELSE '' END"
+            " || COALESCE('  <tag k=\"name\" v=\"' || mm.name || '\"/>' || chr(10), '')"
+            " || COALESCE('  <tag k=\"url\" v=\"' || mm.url || '\"/>' || chr(10), '')"
+            " || '</' || mm.node_type || '>' AS xml "
+            "FROM mm LEFT JOIN nd ON mm.osm_id = nd.way_id"
         ),
         "ascii_numcoder": (
             "SELECT c_custkey AS cust_id, "

@@ -79,6 +79,46 @@ def osm_xml_nodes(df: DataFrame, tag_cols: list[str], lat: str = "lat", lon: str
     return df.select("page_id", F.col("poi_new"), frag.alias("xml"))
 
 
+def osm_xml_object(node_type, xml_id, lat_s, lon_s, version, ts_s, children, tags):
+    """Full K2 object render (libs/file_output.py:132-205, 363-409) as one
+    column expression. Attribute set/order and defaults mirror
+    ``add_osm_node``/``add_osm_way`` exactly: ``action="modify"``, the
+    tool's synthetic ``user="osm_poi_matchmaker" uid="8635934"``, version
+    defaulting to the literal '99999' when the OSM version is unknown
+    (file_output.py:148,199), timestamp in TIMESTAMP_FORMAT
+    (file_output.py:80-82). Nodes carry lat/lon attributes; ways and
+    relations do not (add_osm_way has no lat/lon keys). ``children`` is
+    the pre-rendered ``<nd ref>``/``<member>`` block ('' for nodes —
+    generate_osm_xml appends nd refs for ways, file_output.py:372-376,
+    and relationer-decoded members for relations, :397-403)."""
+    v = F.coalesce(version.cast("string"), F.lit("99999"))
+    common_tail = F.concat(
+        F.lit('" user="osm_poi_matchmaker" uid="8635934" version="'),
+        v,
+        F.lit('" timestamp="'),
+        ts_s,
+        F.lit('">\n'),
+    )
+    node_head = F.concat(
+        F.lit('<node action="modify" id="'),
+        xml_id.cast("string"),
+        F.lit('" lat="'),
+        lat_s,
+        F.lit('" lon="'),
+        lon_s,
+        common_tail,
+    )
+    wr_head = F.concat(
+        F.lit("<"),
+        node_type,
+        F.lit(' action="modify" id="'),
+        xml_id.cast("string"),
+        common_tail,
+    )
+    head = F.when(node_type == "node", node_head).otherwise(wr_head)
+    return F.concat(head, children, tags, F.lit("</"), node_type, F.lit(">"))
+
+
 def ascii_numcoder_expr(col):
     """``ascii_numcoder`` (libs/file_output.py:103-110) as a pure column
     expression. Reference quirk preserved: the guard ``if i in
