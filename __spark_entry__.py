@@ -610,6 +610,33 @@ def _q_excel_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_city_postcodes_xlsx(spark, path)
 
 
+def _q_provider_tesco(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The densest reference provider (dataproviders/hu_tesco.py:83-140)
+    as ONE declarative projection (sources/providers.py): JSON explode,
+    clean_string/clean_url/clean_phone_to_str Arrow UDFs, street/
+    housenumber/conscriptionnumber extraction, the "1".."6"/"0" opening-
+    hours key mapping, the HU-boundary lat/lon swap, and the 4-way store-
+    code classification with its S-Market city-exception lists. The
+    fixture feed is fixed (store 3 carries swapped coordinates; store 1
+    doubled whitespace and a padded goldid), so the oracle carries the
+    golden rows."""
+    from osm_poi_matchmaker_spark.sources.providers import tesco_stores
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "tesco.json"
+    )
+    city = spark.createDataFrame(
+        [("10001", "Budapest"), ("10002", "Győr"), ("10003", "Miskolc"),
+         ("10004", "Szeged"), ("10005", "Levél")],
+        ["ref", "city"],
+    )
+    return tesco_stores(spark, path, city).select(
+        "ref", "code", "city", "branch", "website", "lat", "lon",
+        "street", "housenumber", "conscriptionnumber", "postcode", "phone",
+        "mo_open", "mo_close", "su_open", "su_close",
+    )
+
+
 def _q_zipcodes_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 postal-code XML dim source (dataproviders/hu_generic.py:60-77);
     the fixture is fixed, so the oracle carries its literal rows."""
@@ -1420,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_var_extract": _q_js_var_extract,
         "zipcodes_xml_source": _q_zipcodes_xml_source,
         "excel_source": _q_excel_source,
+        "provider_tesco": _q_provider_tesco,
         "tag_merge": _q_tag_merge,
         "relation_members": _q_relation_members,
     }
@@ -1699,6 +1727,32 @@ def oracle_sql() -> dict[str, str]:
         "zipcodes_xml_source": (
             "SELECT * FROM (VALUES ('1011', 'Budapest'), ('9737', 'Buk')) "
             "AS t(city_post_code, city_name)"
+        ),
+        "provider_tesco": (
+            "SELECT * FROM (VALUES "
+            "('10001', 'hutescoexp', 'Budapest', 'Tesco Fogarasi', "
+            " 'https://tesco.hu/aruhazak/aruhaz/budapest-fogarasi/', 47.5005, 19.1007, "
+            " 'Fogarasi út', '15', NULL, '1148', '+36 1 467 8800', "
+            " '06:00', '22:00', '07:00', '20:00'), "
+            "('10002', 'husmrktexp', 'Győr', 'Tesco Győr Expressz', "
+            " 'https://tesco.hu/aruhazak/aruhaz/gyor-expressz/', 47.6875, 17.6504, "
+            " 'Baross Gábor út', '10-12', NULL, '9021', NULL, "
+            " '06:30', '21:00', NULL, NULL), "
+            "('10003', 'hutescoext', 'Miskolc', 'Tesco Extra Miskolc', "
+            " NULL, 48.1035, 19.0735, "
+            " 'Pesti út', '9', NULL, '3526', '+36 46 123 456', "
+            " NULL, NULL, NULL, NULL), "
+            "('10004', 'hutescosup', 'Szeged', 'Tesco Szeged', "
+            " 'https://tesco.hu/aruhazak/aruhaz/szeged-aruhaz/', 46.253, 20.1414, "
+            " 'Rókusi körút', '42-64', NULL, '6724', NULL, "
+            " NULL, NULL, NULL, NULL), "
+            "('10005', 'husmrktsup', 'Levél', 'Tesco Levél', "
+            " 'https://tesco.hu/aruhazak/aruhaz/level/', 47.8934, 17.2011, "
+            " 'Fő utca', '1', NULL, '9221', NULL, "
+            " NULL, NULL, NULL, NULL)"
+            ") AS t(ref, code, city, branch, website, lat, lon, street, "
+            "housenumber, conscriptionnumber, postcode, phone, "
+            "mo_open, mo_close, su_open, su_close)"
         ),
         "excel_source": (
             "SELECT * FROM (VALUES "

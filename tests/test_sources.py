@@ -78,6 +78,40 @@ def test_excel_city_postcodes_semantics(spark):
     ]
 
 
+def test_tesco_provider_mapping(spark):
+    """hu_tesco.py:83-140 parity: coordinate swap, whitespace collapse,
+    goldid strip, phone normalization, opening key mapping, and the
+    4-way code classification with both S-Market city exceptions."""
+    from osm_poi_matchmaker_spark.sources.providers import tesco_stores
+
+    city = spark.createDataFrame(
+        [("10001", "Budapest"), ("10002", "Győr"), ("10003", "Miskolc"),
+         ("10004", "Szeged"), ("10005", "Levél")],
+        ["ref", "city"],
+    )
+    rows = {
+        r["ref"]: r
+        for r in tesco_stores(spark, f"{FIX}/tesco.json", city).collect()
+    }
+    assert rows["10001"]["code"] == "hutescoexp"
+    assert rows["10001"]["branch"] == "Tesco Fogarasi"  # whitespace collapsed
+    assert rows["10002"]["code"] == "husmrktexp"  # 'xpres' but Győr
+    assert rows["10003"]["code"] == "hutescoext"
+    # store 3 feed has lat/lon swapped; check_hu_boundary fixes it
+    assert rows["10003"]["lat"] == 48.1035 and rows["10003"]["lon"] == 19.0735
+    assert rows["10003"]["phone"] == "+36 46 123 456"
+    assert rows["10004"]["code"] == "hutescosup"
+    assert rows["10005"]["code"] == "husmrktsup"  # Levél supermarket exception
+    assert rows["10001"]["su_open"] == "07:00"  # key "0" = Sunday
+    # without a resolved-city frame the exception lists never match
+    no_city = {
+        r["ref"]: r["code"]
+        for r in tesco_stores(spark, f"{FIX}/tesco.json").collect()
+    }
+    assert no_city["10002"] == "hutescoexp"
+    assert no_city["10005"] == "hutescosup"
+
+
 def test_xlsx_roundtrip_inline_and_types():
     """Writer↔parser: bools, floats, rich strings, ragged rows."""
     from osm_poi_matchmaker_spark.sources.xlsx import parse_xlsx, write_xlsx
