@@ -610,6 +610,29 @@ def _q_excel_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_city_postcodes_xlsx(spark, path)
 
 
+def _q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/sampling.py):
+    MINSTD hash-bucket of doc_id → 90/5/5 bucket ranges. Key-based, not
+    row-order-based — identical on any cluster size or resume — and pure
+    overflow-free BIGINT arithmetic the oracle reproduces exactly."""
+    from osm_poi_matchmaker_spark.operators.sampling import assign_split
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return assign_split(d, "doc_id").select("doc_id", "lang", "split")
+
+
+def _q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsample: keep iff bucket(doc_id) <
+    rate(lang)·1000 — a narrow no-shuffle filter whose kept-set is
+    independent of later rate-table additions (language-rebalancing for
+    training corpora)."""
+    from osm_poi_matchmaker_spark.operators.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"en": 0.25, "de": 0.8, "fr": 0.8, "es": 0.8, "zh": 0.5}
+    return stratified_sample(d, rates).select("doc_id", "lang")
+
+
 def _q_provider_tesco(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The densest reference provider (dataproviders/hu_tesco.py:83-140)
     as ONE declarative projection (sources/providers.py): JSON explode,
@@ -1448,6 +1471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipcodes_xml_source": _q_zipcodes_xml_source,
         "excel_source": _q_excel_source,
         "provider_tesco": _q_provider_tesco,
+        "doc_split": _q_doc_split,
+        "doc_stratified_sample": _q_doc_stratified_sample,
         "tag_merge": _q_tag_merge,
         "relation_members": _q_relation_members,
     }
@@ -1727,6 +1752,18 @@ def oracle_sql() -> dict[str, str]:
         "zipcodes_xml_source": (
             "SELECT * FROM (VALUES ('1011', 'Budapest'), ('9737', 'Buk')) "
             "AS t(city_post_code, city_name)"
+        ),
+        "doc_split": (
+            "SELECT doc_id, lang, CASE"
+            " WHEN ((doc_id * 48271) % 2147483647) % 1000 < 900 THEN 'train'"
+            " WHEN ((doc_id * 48271) % 2147483647) % 1000 < 950 THEN 'val'"
+            " ELSE 'test' END AS split FROM documents"
+        ),
+        "doc_stratified_sample": (
+            "SELECT doc_id, lang FROM documents"
+            " WHERE ((doc_id * 48271) % 2147483647) % 1000 < CASE lang"
+            "   WHEN 'en' THEN 250 WHEN 'de' THEN 800 WHEN 'fr' THEN 800"
+            "   WHEN 'es' THEN 800 WHEN 'zh' THEN 500 ELSE 0 END"
         ),
         "provider_tesco": (
             "SELECT * FROM (VALUES "

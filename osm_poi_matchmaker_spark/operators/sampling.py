@@ -1,0 +1,83 @@
+"""Deterministic sampling / split assignment for training-data curation.
+
+Beyond the reference (which has no sampling), but first-class for a
+100 TB training-data pipeline: train/val/test assignment and per-group
+downsampling must be (a) deterministic — re-runs and resumed jobs must
+agree row-for-row, (b) key-based, not row-order-based — Spark partition
+order is not stable across cluster sizes, and (c) pure column
+arithmetic — no Python, no RNG state, no shuffle (a narrow projection).
+
+``rand(seed)`` fails (b): its value depends on partition layout.
+``df.sample``/``sampleBy`` fail (a) across differing partitioning.
+Instead every row gets a bucket in [0, buckets) from a Lehmer/MINSTD
+hash of its stable key, and splits/samples are bucket ranges: the same
+key lands in the same split on 8 executors or 8000, today and in next
+month's incremental run. MINSTD (multiplier 48271, modulus 2^31-1,
+Park-Miller) is chosen over a Knuth 2^32-multiplier because the product
+stays below 2^63 for keys up to ~1.9e14 — covering 10^12 document ids
+with NO integer overflow, so the arithmetic is bit-identical in plain
+BIGINT across Spark (ANSI mode included) and any SQL oracle; engine
+hash functions (xxhash64/murmur) are avoided because they differ across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MINSTD = 48271
+_M31 = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+# the same arithmetic as ANSI SQL, for oracles and cross-engine checks
+BUCKET_SQL = "(({key} * 48271) % 2147483647) % {buckets}"
+
+
+def hash_bucket(key: Column, buckets: int = 1000) -> Column:
+    """Stable bucket in [0, buckets) from a non-negative integer key
+    (valid for keys < 2^63/48271 ≈ 1.9e14 — overflow-free)."""
+    return ((key.cast("long") * _MINSTD) % _M31) % buckets
+
+
+def assign_split(
+    df: DataFrame,
+    key: str = "doc_id",
+    train: float = 0.9,
+    val: float = 0.05,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Add a ``split`` column: train / val / test by bucket range.
+
+    Fractions are exact at 1/buckets granularity; the remainder after
+    train+val is test.
+    """
+    b = hash_bucket(F.col(key), buckets)
+    t_hi = int(round(train * buckets))
+    v_hi = t_hi + int(round(val * buckets))
+    split = (
+        F.when(b < t_hi, F.lit("train"))
+        .when(b < v_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group: str = "lang",
+    key: str = "doc_id",
+    default_rate: float = 0.0,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Per-group deterministic downsample: keep a row iff its bucket is
+    below ``rate(group) * buckets``. The per-group threshold folds into
+    a literal CASE (few groups) or joins as a broadcast dim — either
+    way the sample is a narrow filter, no shuffle, and adding a group
+    later never changes which already-kept rows are kept (bucket
+    assignment is independent of the rate)."""
+    b = hash_bucket(F.col(key), buckets)
+    expr = F.lit(int(round(default_rate * buckets)))
+    for g, r in sorted(rates.items()):
+        expr = F.when(F.col(group) == g, int(round(r * buckets))).otherwise(expr)
+    return df.where(b < expr)

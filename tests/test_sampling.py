@@ -1,0 +1,54 @@
+"""Deterministic sampling invariants (operators/sampling.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL as SF
+
+
+def test_split_stable_across_partitioning(spark):
+    from osm_poi_matchmaker_spark.operators.sampling import assign_split
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {r["doc_id"]: r["split"] for r in assign_split(d, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(d.repartition(13), "doc_id").collect()
+    }
+    assert a == b
+    counts = {}
+    for s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] + counts["test"]
+
+
+def test_stratified_sample_monotone_and_rate_independent(spark):
+    from osm_poi_matchmaker_spark.operators.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    low = {r["doc_id"] for r in stratified_sample(d, {"en": 0.2}).collect()}
+    high = {r["doc_id"] for r in stratified_sample(d, {"en": 0.6}).collect()}
+    assert low < high  # raising a rate only ADDS rows
+    # adding another group's rate never changes which en-rows are kept
+    mixed = {
+        r["doc_id"]
+        for r in stratified_sample(d, {"en": 0.2, "de": 0.9}).collect()
+        if r["lang"] == "en"
+    }
+    assert mixed == low
+
+
+def test_sample_plan_is_narrow(spark):
+    """The stratified sample must stay a scan+filter — no exchange."""
+    from osm_poi_matchmaker_spark.operators.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        stratified_sample(d, {"en": 0.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
