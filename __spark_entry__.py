@@ -567,15 +567,28 @@ def _q_complex_opening_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F11 goldens (libs/address.py:237-263 JS-variable extraction).
 _JS_VAR_CASES = [
     (
-        '<html><script>\n var stores = {"a": 1, "b": [2]} ;\n</script><p>x</p></html>',
+        '<html><script>\n var stores = {"a": 1, "b": [2]};\n</script><p>x</p></html>',
         "stores",
         '{"a": 1, "b": [2]}',
+    ),
+    # `} ;` (space before semicolon) defeats the reference regex → None
+    # (libs/address.py:247 quirk, preserved)
+    (
+        '<html><script>\n var stores = {"a": 1, "b": [2]} ;\n</script><p>x</p></html>',
+        "stores",
+        None,
     ),
     ("<p>no scripts</p>", "stores", None),
     (
         '<html><script>var other = 1;</script><script>var pois = [{"id": 7}];</script></html>',
         "pois",
         '[{"id": 7}]',
+    ),
+    # payload ends at the FIRST `];` — the second statement is excluded
+    (
+        '<html><script>var boltok = [{"id": 1}];\nvar other = {"x": 2};</script></html>',
+        "boltok",
+        '[{"id": 1}]',
     ),
 ]
 
@@ -657,6 +670,41 @@ def _q_provider_tesco(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ref", "code", "city", "branch", "website", "lat", "lon",
         "street", "housenumber", "conscriptionnumber", "postcode", "phone",
         "mo_open", "mo_close", "su_open", "su_close",
+    )
+
+
+def _q_provider_spar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_spar (dataproviders/hu_spar.py:72-106) as one projection
+    (sources/providers.py:spar_stores): 5-way code classification on the
+    original feed name, INTERSPAR/SPAR rewrite (DESPAR → 'DESpar' quirk),
+    '(…)'-group ref extraction, clean_city/clean_string/clean_url, HU
+    boundary swap, street extraction. Fixed fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import spar_stores
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "spar.json"
+    )
+    return spar_stores(spark, path)
+
+
+def _q_provider_cba(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_cba (dataproviders/hu_cba.py:66-105) as one projection over an
+    HTML page column (sources/providers.py:cba_stores): boltok_nyers JS
+    variable sliced by the F11 Arrow UDF, from_json + explode, Príma/CBA
+    classification, per-day clean_opening_hours_2, phone/email cleaners,
+    HU boundary swap. Fixed fixture page → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import cba_stores
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "cba.html"
+    )
+    with open(path, "rb") as f:
+        raw = f.read()
+    pages = spark.createDataFrame([(raw,)], "html binary")
+    return cba_stores(pages).select(
+        "code", "city", "postcode", "branch", "original", "lat", "lon",
+        "street", "housenumber", "conscriptionnumber", "phone", "email",
+        "mo_open", "mo_close", "tu_open", "tu_close", "su_open", "su_close",
     )
 
 
@@ -1471,6 +1519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipcodes_xml_source": _q_zipcodes_xml_source,
         "excel_source": _q_excel_source,
         "provider_tesco": _q_provider_tesco,
+        "provider_spar": _q_provider_spar,
+        "provider_cba": _q_provider_cba,
         "doc_split": _q_doc_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "tag_merge": _q_tag_merge,
@@ -1790,6 +1840,46 @@ def oracle_sql() -> dict[str, str]:
             ") AS t(ref, code, city, branch, website, lat, lon, street, "
             "housenumber, conscriptionnumber, postcode, phone, "
             "mo_open, mo_close, su_open, su_close)"
+        ),
+        "provider_spar": (
+            "SELECT * FROM (VALUES "
+            "('husparsup', '0101', 'Budapest', '1061', 'Spar szupermarket', "
+            " 'https://www.spar.hu/uzletek/spar-szupermarket-budapest/0101', "
+            " 47.5027, 19.0634, 'Andrássy út', '12', NULL, 'Andrássy út 12.', false), "
+            "('husparecon', '2041', 'Budapest', '1062', 'Spar expressz', "
+            " 'https://www.spar.hu/uzletek/spar-expressz-budapest/2041', "
+            " 47.5107, 19.0563, 'Teréz körút', '55-57', NULL, 'Teréz körút 55-57.', false), "
+            "('husparisup', '1033', 'Miskolc', '3527', 'Interspar hipermarket', "
+            " 'https://www.spar.hu/uzletek/interspar-miskolc/1033', "
+            " 48.1122, 20.7895, 'József Attila utca', '87', NULL, 'József Attila utca 87.', false), "
+            "('husparsup', '5600', 'Békéscsaba', '5600', 'Spar market', NULL, "
+            " 46.6791, 21.0907, 'Szarvasi út', '68', NULL, 'Szarvasi út 68/2.', false), "
+            "('huspardcon', '7100', 'Szekszárd', '7100', 'DESpar', "
+            " 'https://www.spar.hu/uzletek/despar-szekszard/7100', "
+            " 46.3474, 18.7062, 'Arany János utca', '6-8', NULL, 'Arany János utca 6-8.', false), "
+            "('husparsup', NULL, 'Tótkomlós', '5940', 'Spar partner Tótkomlós', "
+            " 'https://www.spar.hu/uzletek/spar-partner-totkomlos', "
+            " 46.4123, 20.7345, 'Fő út', '1', NULL, 'Fő út 1.', false)"
+            ") AS t(code, ref, city, postcode, branch, website, lat, lon, "
+            "street, housenumber, conscriptionnumber, original, public_holiday_open)"
+        ),
+        "provider_cba": (
+            "SELECT * FROM (VALUES "
+            "('hucbacon', 'Budapest', '1033', 'CBA Abc', 'Flórián tér 6-9.', "
+            " 47.5355, 19.0449, 'Flórián tér', '6-9', NULL, '+36 1 470 2140', "
+            " 'florian@cba.hu', '06:30', '19:00', '06:30', '19:00', NULL, NULL), "
+            "('huprimacon', 'Budapest', '1024', 'Príma Mammut', 'Lövőház utca 2-6.', "
+            " 47.5095, 19.0247, 'Lövőház utca', '2-6', NULL, NULL, "
+            " NULL, '07:00', '21:00', NULL, NULL, '08:00', '18:00'), "
+            "('hucbacon', 'Gyöngyös', '3200', 'CBA Kékes', 'Kossuth Lajos utca 1.', "
+            " 47.7824, 19.9287, 'Kossuth Lajos utca', '1', NULL, '+36 37 311 111', "
+            " 'kekes@cba.hu', NULL, NULL, NULL, NULL, NULL, NULL), "
+            "('huprimacon', 'Budapest', '1126', 'Príma Hegyvidék', 'Apor Vilmos tér 11-12.', "
+            " 47.4897, 19.0103, 'Apor Vilmos tér', '11-12', NULL, NULL, "
+            " 'hegyvidek@prima.hu', '07:00', '20:00', NULL, NULL, NULL, NULL)"
+            ") AS t(code, city, postcode, branch, original, lat, lon, street, "
+            "housenumber, conscriptionnumber, phone, email, "
+            "mo_open, mo_close, tu_open, tu_close, su_open, su_close)"
         ),
         "excel_source": (
             "SELECT * FROM (VALUES "

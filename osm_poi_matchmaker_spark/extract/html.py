@@ -21,13 +21,12 @@ string, no per-row Python UDF calls in the plan.
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-from ..functions.hu_address import clean_javascript_variable
 
 VOID_ELEMENTS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
@@ -131,14 +130,25 @@ def html_to_text(raw: bytes | str, joiner: str = "\n") -> str:
 
 def extract_javascript_variable(raw: bytes | str, varname: str):
     """First ``var <name> = {...};`` payload found in any <script> tag —
-    vectorized analogue of libs/address.py:237-263."""
+    vectorized analogue of libs/address.py:237-263.
+
+    Faithful to the reference regex ``.*\\s*var\\s*<name>\\s*=\\s*(.*?[}\\]]);``
+    (MULTILINE|DOTALL): the payload ends at the FIRST ``};`` or ``];`` after
+    the assignment, so later statements in the same <script> are excluded —
+    and a ``} ;`` (space before the semicolon) defeats the pattern entirely,
+    returning None (reference quirk, preserved)."""
     text = raw.decode("utf-8", errors="replace") if isinstance(raw, (bytes, bytearray)) else raw
     sc = _ScriptCollector()
     sc.feed(text)
     sc.close()
+    pattern = re.compile(
+        r".*\s*var\s*{}\s*=\s*(.*?[}}\]]);".format(re.escape(varname)),
+        re.MULTILINE | re.DOTALL,
+    )
     for script in sc.scripts:
-        if f"var {varname}" in script or f"var  {varname}" in script:
-            return clean_javascript_variable(script.strip(), varname)
+        m = pattern.match(script)
+        if m is not None:
+            return m.group(1)
     return None
 
 

@@ -28,6 +28,8 @@ from pyspark.sql import types as T
 
 from ..geo import fix_hu_coordinates
 from ..functions.spark_udfs import (
+    clean_city_udf,
+    clean_email_udf,
     clean_phone_udf,
     clean_string_udf,
     clean_url_udf,
@@ -118,3 +120,142 @@ def tesco_stores(
         )
     )
     return out.withColumn("code", code).drop("feed_name")
+
+
+def _strip(c):
+    """Python ``str.strip()`` as a column expr (F.trim only eats spaces)."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def _clean_opening_hours_2_expr(c):
+    """``clean_opening_hours_2`` (address.py:558-564) as a column expr:
+    raw '-1' → NULL, else strip + zfill(4) + '[:2]:[−2:]' colon insert
+    (so ' -1' → '00:-1' — reference quirk preserved)."""
+    t = _strip(c)
+    padded = F.when(F.length(t) >= 4, t).otherwise(F.lpad(t, 4, "0"))
+    return F.when(c.isNull() | (c == F.lit("-1")), F.lit(None).cast("string")).otherwise(
+        F.concat(
+            F.substring(padded, 1, 2), F.lit(":"), F.substring(padded, -2, 2)
+        )
+    )
+
+
+def spar_stores(spark: SparkSession, json_path: str) -> DataFrame:
+    """Parse a SPAR store feed (top-level JSON array) into POI-raw rows —
+    ``dataproviders/hu_spar.py:72-106`` as one declarative projection.
+
+    Field semantics, in the reference's order:
+      * 5-way code classification on the ORIGINAL feed name
+        ('xpres' → husparecon, 'INTER' → husparisup, 'market' → husparsup,
+        'DESPAR' → huspardcon, else husparsup) — hu_spar.py:79-88;
+      * then the name is rewritten INTERSPAR→Interspar, SPAR→Spar
+        (:89-92) — so 'DESPAR' renders as 'DESpar' downstream (quirk);
+      * ref = first '(…)' group of the REWRITTEN name, stripped; absent
+        → NULL (:93-95, PATTERN_SPAR_REF at :24);
+      * branch = clean_string(name.split('(')[0]) (:98);
+      * city/postcode/website cleaners, HU-boundary lat/lon swap,
+        street/housenumber/conscriptionnumber extraction (:96-104).
+    """
+    s = spark.read.option("multiLine", "true").json(json_path)
+
+    name_r = F.regexp_replace(
+        F.regexp_replace(F.col("name"), "INTERSPAR", "Interspar"), "SPAR", "Spar"
+    )
+    code = (
+        F.when(F.col("name").contains("xpres"), F.lit("husparecon"))
+        .when(F.col("name").contains("INTER"), F.lit("husparisup"))
+        .when(F.col("name").contains("market"), F.lit("husparsup"))
+        .when(F.col("name").contains("DESPAR"), F.lit("huspardcon"))
+        .otherwise(F.lit("husparsup"))
+    )
+    ref = F.when(
+        name_r.rlike(r"\(.*?\)"), _strip(F.regexp_extract(name_r, r"\((.*?)\)", 1))
+    )
+    lat_fixed, lon_fixed = fix_hu_coordinates(
+        F.col("latitude").cast("double"), F.col("longitude").cast("double")
+    )
+    ex = extract_street_udf(F.col("address"))
+    return s.select(
+        code.alias("code"),
+        ref.alias("ref"),
+        clean_city_udf(F.col("city")).alias("city"),
+        clean_string_udf(F.col("zipCode")).alias("postcode"),
+        clean_string_udf(F.split(name_r, r"\(").getItem(0)).alias("branch"),
+        clean_url_udf(F.col("pageUrl")).alias("website"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        ex.street.alias("street"),
+        ex.housenumber.alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        clean_string_udf(F.col("address")).alias("original"),
+        F.lit(False).alias("public_holiday_open"),
+    )
+
+
+_CBA_DAYS = ("mo", "tu", "we", "th", "fr", "sa", "su")
+_CBA_STORE_T = T.ArrayType(
+    T.StructType(
+        [T.StructField(f, T.StringType()) for f in ("P_NAME", "A_VAROS", "A_IRSZ", "A_CIM", "PS_GPS_COORDS_LAT", "PS_GPS_COORDS_LNG", "PS_PUBLIC_TEL", "PS_PUBLIC_EMAIL")]
+        + [
+            T.StructField(f"PS_OPEN_{oc}_{i}", T.StringType())
+            for i in range(1, 8)
+            for oc in ("FROM", "TO")
+        ]
+    )
+)
+
+
+def cba_stores(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """CBA/Príma stores from an HTML page column —
+    ``dataproviders/hu_cba.py:66-105`` as one declarative projection over
+    a DataFrame of pages (the reference downloads one page; at crawl scale
+    this runs set-wide over ``pages.html``).
+
+    The ``boltok_nyers`` JS variable is sliced out of the page by the
+    Arrow-batched ``js_var_udf`` (F11, extract/html.py — the reference's
+    ``extract_javascript_variable``, address.py:237-263), parsed with
+    ``from_json``, and exploded; every per-record setter becomes a column:
+    city/postcode/branch cleaners, 'Príma'-in-branch → huprimacon else
+    hucbacon (:82), per-day ``clean_opening_hours_2`` (:83-90), raw
+    ``A_CIM`` original (:91), HU-boundary swap (:92-93), street extraction
+    (:94-95), ``clean_phone_to_str`` / ``clean_email`` (:96-97).
+    """
+    from ..extract.html import js_var_udf
+
+    payload = js_var_udf(F.col(html_col), F.lit("boltok_nyers"))
+    s = (
+        pages.select(F.from_json(payload, _CBA_STORE_T).alias("stores"))
+        .where(F.col("stores").isNotNull())
+        .select(F.explode("stores").alias("s"))
+        .select("s.*")
+    )
+    branch = clean_string_udf(F.col("P_NAME"))
+    lat_fixed, lon_fixed = fix_hu_coordinates(
+        F.col("PS_GPS_COORDS_LAT").cast("double"),
+        F.col("PS_GPS_COORDS_LNG").cast("double"),
+    )
+    ex = extract_street_udf(F.col("A_CIM"))
+    return s.select(
+        F.when(branch.contains("Príma"), F.lit("huprimacon"))
+        .otherwise(F.lit("hucbacon"))
+        .alias("code"),
+        clean_city_udf(F.col("A_VAROS")).alias("city"),
+        clean_string_udf(F.col("A_IRSZ")).alias("postcode"),
+        branch.alias("branch"),
+        F.col("A_CIM").alias("original"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        ex.street.alias("street"),
+        ex.housenumber.alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        clean_phone_udf(F.col("PS_PUBLIC_TEL")).alias("phone"),
+        clean_email_udf(F.col("PS_PUBLIC_EMAIL")).alias("email"),
+        *[
+            _clean_opening_hours_2_expr(F.col(f"PS_OPEN_{oc}_{i + 1}")).alias(
+                f"{d}_{suffix}"
+            )
+            for i, d in enumerate(_CBA_DAYS)
+            for oc, suffix in (("FROM", "open"), ("TO", "close"))
+        ],
+        F.lit(False).alias("public_holiday_open"),
+    )

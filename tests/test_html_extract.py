@@ -42,7 +42,7 @@ def test_html_to_text_joins_blocks():
 
 def test_extract_javascript_variable():
     raw = (
-        "<html><script>\n var stores = {\"a\": 1, \"b\": [2]} ;\n</script>"
+        "<html><script>\n var stores = {\"a\": 1, \"b\": [2]};\n</script>"
         "<p>x</p></html>"
     )
     assert extract_javascript_variable(raw, "stores") == '{"a": 1, "b": [2]}'
@@ -50,6 +50,23 @@ def test_extract_javascript_variable():
 
 def test_extract_javascript_variable_missing():
     assert extract_javascript_variable("<p>no scripts</p>", "stores") is None
+
+
+def test_extract_javascript_variable_space_before_semicolon_quirk():
+    # reference regex requires `};` / `];` with no gap — `} ;` → None
+    # (libs/address.py:247 pattern, preserved verbatim)
+    raw = "<script>var stores = {\"a\": 1} ;</script>"
+    assert extract_javascript_variable(raw, "stores") is None
+
+
+def test_extract_javascript_variable_stops_at_first_close():
+    # payload ends at the FIRST `];` — later statements in the same
+    # <script> are excluded
+    raw = (
+        "<script>\nvar boltok = [{\"id\": 1}];\nvar other = {\"x\": 2};\n"
+        "</script>"
+    )
+    assert extract_javascript_variable(raw, "boltok") == '[{"id": 1}]'
 
 
 def test_idempotent_prettify():

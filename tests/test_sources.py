@@ -127,3 +127,61 @@ def test_xlsx_roundtrip_inline_and_types():
         [1, 2.5, True],
         ["x&<y>", None, False],
     ]
+
+
+def test_spar_provider_mapping(spark):
+    """hu_spar.py:72-106 semantics: classification on the ORIGINAL name,
+    INTERSPAR/SPAR rewrite afterwards (DESPAR → 'DESpar'), '(…)' ref."""
+    from osm_poi_matchmaker_spark.sources.providers import spar_stores
+
+    rows = {
+        r["original"]: r
+        for r in spar_stores(spark, os.path.join(FIX, "spar.json")).collect()
+    }
+    expressz = rows["Teréz körút 55-57."]
+    assert expressz["code"] == "husparecon"  # 'expressz' contains 'xpres'
+    assert expressz["ref"] == "2041"
+    despar = rows["Arany János utca 6-8."]
+    assert despar["code"] == "huspardcon"
+    assert despar["branch"] == "DESpar"  # replace('SPAR','Spar') quirk
+    inter = rows["József Attila utca 87."]
+    assert inter["code"] == "husparisup"
+    assert (inter["lat"], inter["lon"]) == (48.1122, 20.7895)  # swapped feed
+    assert rows["Fő út 1."]["ref"] is None  # no '(…)' group
+
+
+def test_cba_provider_mapping(spark):
+    """hu_cba.py:66-105 semantics: JS-var slice → from_json → explode;
+    Príma classification; clean_opening_hours_2 per day."""
+    from osm_poi_matchmaker_spark.sources.providers import cba_stores
+
+    with open(os.path.join(FIX, "cba.html"), "rb") as f:
+        raw = f.read()
+    pages = spark.createDataFrame([(raw,), (b"<p>no script here</p>",)], "html binary")
+    rows = {r["branch"]: r for r in cba_stores(pages).collect()}
+    assert len(rows) == 4  # scriptless page contributes nothing
+    assert rows["Príma Mammut"]["code"] == "huprimacon"
+    assert rows["CBA Abc"]["code"] == "hucbacon"
+    assert rows["CBA Abc"]["mo_open"] == "06:30"  # '630' zfill+colon
+    assert rows["CBA Abc"]["su_open"] is None  # '-1' sentinel
+    assert rows["Príma Mammut"]["lat"] == 47.5095  # swapped feed coords
+    assert rows["Príma Hegyvidék"]["mo_open"] == "07:00"  # '  700' strip+zfill
+    assert rows["CBA Abc"]["phone"] == "+36 1 470 2140"
+    assert rows["CBA Abc"]["email"] == "florian@cba.hu"
+
+
+def test_clean_opening_hours_2_expr_quirks(spark):
+    """' -1' is NOT the '-1' sentinel (raw compare) → '00:-1', exactly as
+    address.py:558-564 computes it."""
+    from osm_poi_matchmaker_spark.sources.providers import _clean_opening_hours_2_expr
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("-1",), (" -1",), ("600",), ("", ), (None,)], "v string"
+    ).select(F.col("v"), _clean_opening_hours_2_expr(F.col("v")).alias("oh"))
+    got = {r["v"]: r["oh"] for r in df.collect()}
+    assert got["-1"] is None
+    assert got[" -1"] == "00:-1"
+    assert got["600"] == "06:00"
+    assert got[""] == "00:00"
+    assert got[None] is None
