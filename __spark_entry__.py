@@ -708,6 +708,23 @@ def _q_provider_cba(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_provider_posta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_posta (dataproviders/hu_posta.py:76-217) as one projection over
+    the XML feed (sources/providers.py:posta_offices): PM/CS/PP
+    classification, per-Hungarian-day opening hours with the reference's
+    close=from1 single-interval bug, duplicate-day drop, Csütörtök lunch
+    break, substring-membership nonstop counting (≥7 → True else NULL),
+    hupostapo digit→'. számú' branch rewrite, housenumber len<16 setter
+    guard, street/street-type composition with synthesized original.
+    Fixed fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import posta_offices
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "posta.xml"
+    )
+    return posta_offices(spark, path)
+
+
 def _q_zipcodes_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 postal-code XML dim source (dataproviders/hu_generic.py:60-77);
     the fixture is fixed, so the oracle carries its literal rows."""
@@ -1521,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_tesco": _q_provider_tesco,
         "provider_spar": _q_provider_spar,
         "provider_cba": _q_provider_cba,
+        "provider_posta": _q_provider_posta,
         "doc_split": _q_doc_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "tag_merge": _q_tag_merge,
@@ -1862,6 +1880,39 @@ def oracle_sql() -> dict[str, str]:
             " 46.4123, 20.7345, 'Fő út', '1', NULL, 'Fő út 1.', false)"
             ") AS t(code, ref, city, postcode, branch, website, lat, lon, "
             "street, housenumber, conscriptionnumber, original, public_holiday_open)"
+        ),
+        "provider_posta": (
+            "SELECT * FROM (VALUES "
+            "('hupostapo', '1062', 'Budapest', 'Budapest 62. számú posta', "
+            " 'Teréz krt 51-53', 'Teréz krt', '51-53', CAST(NULL AS STRING), "
+            " 47.5107, 19.0571, '+36 1 487 1000', 'posta62@posta.hu', "
+            " CAST(NULL AS BOOLEAN), false, '12:00', '12:30', "
+            " '08:00', '08:00', NULL, NULL, NULL, NULL, '08:00', '18:00', "
+            " '08:00', '08:00', NULL, NULL, NULL, NULL), "
+            "('hupostacso', '1024', 'Budapest', 'Mammut MPL Csomagautomata', "
+            " 'Lövőház utca 2-6', 'Lövőház utca', '2-6', CAST(NULL AS STRING), "
+            " 47.5095, 19.0247, NULL, NULL, "
+            " true, true, NULL, NULL, "
+            " '0:00', '0:00', '0:00', '0:00', '0:00', '0:00', '0:00', '0:00', "
+            " '0:00', '0:00', '0:00', '0:00', '0:00', '0:00'), "
+            "('hupostapp', '9021', 'Győr', 'Győr 1 PostaPont', "
+            " 'Bajcsy-Zsilinszky út 38', 'Bajcsy-Zsilinszky út', '38', CAST(NULL AS STRING), "
+            " 47.6832, 17.6354, '+36 96 314 324', NULL, "
+            " CAST(NULL AS BOOLEAN), false, NULL, NULL, "
+            " NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, "
+            " NULL, NULL, '08:00', '08:00', NULL, NULL), "
+            "(CAST(NULL AS STRING), '3525', 'Miskolc', 'Miskolc mobilposta', "
+            " 'Hősök tere', 'Hősök tere', CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            " 48.1031, 20.7784, NULL, NULL, "
+            " CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), NULL, NULL, "
+            " NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, "
+            " NULL, NULL, NULL, NULL, NULL, NULL)"
+            ") AS t(code, postcode, city, branch, original, street, "
+            "housenumber, conscriptionnumber, lat, lon, phone, email, "
+            "nonstop, public_holiday_open, lunch_break_start, lunch_break_stop, "
+            "mo_open, mo_close, tu_open, tu_close, we_open, we_close, "
+            "th_open, th_close, fr_open, fr_close, sa_open, sa_close, "
+            "su_open, su_close)"
         ),
         "provider_cba": (
             "SELECT * FROM (VALUES "

@@ -150,3 +150,35 @@ def clean_integer_expr(c):
         .when(digitish, F.floor(c.cast("double")).cast("int"))
         .otherwise(F.lit(None).cast("int"))
     )
+
+
+@F.pandas_udf(T.StringType())
+def clean_street_udf(s: pd.Series) -> pd.Series:
+    return s.map(hu.clean_street, na_action="ignore")
+
+
+@F.pandas_udf(T.StringType())
+def clean_street_type_udf(s: pd.Series) -> pd.Series:
+    return s.map(hu.clean_street_type, na_action="ignore")
+
+
+@F.pandas_udf(T.StringType())
+def set_branch_udf(s: pd.Series) -> pd.Series:
+    """The full branch chain every provider record passes through:
+    ``POIDatasetRaw.branch`` setter = clean_branch (poi_dataset.py:219-221),
+    then ``add()`` re-cleans with clean_string (poi_dataset.py:1095)."""
+    return s.map(lambda v: hu.clean_string(hu.clean_branch(v)), na_action="ignore")
+
+
+def _set_housenumber(v):
+    c = hu.clean_string(v)
+    if not c:
+        return None
+    return c if len(c) < 16 else None
+
+
+@F.pandas_udf(T.StringType())
+def set_housenumber_udf(s: pd.Series) -> pd.Series:
+    """``POIDatasetRaw.housenumber`` setter (poi_dataset.py:613-620):
+    clean_string, falsy → None, length ≥ 16 → None."""
+    return s.map(_set_housenumber, na_action="ignore")

@@ -31,9 +31,14 @@ from ..functions.spark_udfs import (
     clean_city_udf,
     clean_email_udf,
     clean_phone_udf,
+    clean_postcode_udf,
+    clean_street_type_udf,
+    clean_street_udf,
     clean_string_udf,
     clean_url_udf,
     extract_street_udf,
+    set_branch_udf,
+    set_housenumber_udf,
 )
 
 _OPENING_T = T.MapType(T.StringType(), T.ArrayType(T.StringType()))
@@ -67,7 +72,9 @@ def tesco_stores(
     url_clean = clean_url_udf(F.col("urlname"))
 
     out = s.select(
-        clean_string_udf(F.col("store_name")).alias("branch"),
+        # POIDatasetRaw setter chain: clean_branch then add()-time
+        # clean_string (poi_dataset.py:219-221, :1095)
+        set_branch_udf(F.col("store_name")).alias("branch"),
         F.trim(F.col("goldid")).alias("ref"),
         F.when(
             url_clean.isNotNull(),
@@ -78,10 +85,10 @@ def tesco_stores(
         lat_fixed.alias("lat"),
         lon_fixed.alias("lon"),
         ex.street.alias("street"),
-        ex.housenumber.alias("housenumber"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
         ex.conscriptionnumber.alias("conscriptionnumber"),
-        clean_string_udf(F.col("zipcode")).alias("postcode"),
-        F.col("address").alias("original"),
+        clean_postcode_udf(F.col("zipcode")).alias("postcode"),
+        clean_string_udf(F.col("address")).alias("original"),
         F.when(
             F.col("phone").isNotNull() & (F.col("phone") != ""),
             clean_phone_udf(F.col("phone")),
@@ -179,13 +186,13 @@ def spar_stores(spark: SparkSession, json_path: str) -> DataFrame:
         code.alias("code"),
         ref.alias("ref"),
         clean_city_udf(F.col("city")).alias("city"),
-        clean_string_udf(F.col("zipCode")).alias("postcode"),
-        clean_string_udf(F.split(name_r, r"\(").getItem(0)).alias("branch"),
+        clean_postcode_udf(F.col("zipCode")).alias("postcode"),
+        set_branch_udf(F.split(name_r, r"\(").getItem(0)).alias("branch"),
         clean_url_udf(F.col("pageUrl")).alias("website"),
         lat_fixed.alias("lat"),
         lon_fixed.alias("lon"),
         ex.street.alias("street"),
-        ex.housenumber.alias("housenumber"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
         ex.conscriptionnumber.alias("conscriptionnumber"),
         clean_string_udf(F.col("address")).alias("original"),
         F.lit(False).alias("public_holiday_open"),
@@ -229,7 +236,7 @@ def cba_stores(pages: DataFrame, html_col: str = "html") -> DataFrame:
         .select(F.explode("stores").alias("s"))
         .select("s.*")
     )
-    branch = clean_string_udf(F.col("P_NAME"))
+    branch = set_branch_udf(F.col("P_NAME"))
     lat_fixed, lon_fixed = fix_hu_coordinates(
         F.col("PS_GPS_COORDS_LAT").cast("double"),
         F.col("PS_GPS_COORDS_LNG").cast("double"),
@@ -240,13 +247,13 @@ def cba_stores(pages: DataFrame, html_col: str = "html") -> DataFrame:
         .otherwise(F.lit("hucbacon"))
         .alias("code"),
         clean_city_udf(F.col("A_VAROS")).alias("city"),
-        clean_string_udf(F.col("A_IRSZ")).alias("postcode"),
+        clean_postcode_udf(F.col("A_IRSZ")).alias("postcode"),
         branch.alias("branch"),
-        F.col("A_CIM").alias("original"),
+        clean_string_udf(F.col("A_CIM")).alias("original"),
         lat_fixed.alias("lat"),
         lon_fixed.alias("lon"),
         ex.street.alias("street"),
-        ex.housenumber.alias("housenumber"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
         ex.conscriptionnumber.alias("conscriptionnumber"),
         clean_phone_udf(F.col("PS_PUBLIC_TEL")).alias("phone"),
         clean_email_udf(F.col("PS_PUBLIC_EMAIL")).alias("email"),
@@ -258,4 +265,265 @@ def cba_stores(pages: DataFrame, html_col: str = "html") -> DataFrame:
             for oc, suffix in (("FROM", "open"), ("TO", "close"))
         ],
         F.lit(False).alias("public_holiday_open"),
+        # a NULL branch raises on `'Príma' in branch` in the reference →
+        # the record is skipped by its per-record except (hu_cba.py:98-101)
+    ).where(F.col("branch").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# hu_posta (dataproviders/hu_posta.py:76-217) — XML feed, 3-way service-
+# point classification, per-Hungarian-day opening hours with the
+# reference's exact quirks (see posta_offices docstring).
+# ---------------------------------------------------------------------------
+
+# utils/enums.py:45-53 WeekDaysLongHU (Csütörtökön is an alias of 3)
+_POSTA_DAY_SLOTS = (
+    ("mo", ("Hétfő",)),
+    ("tu", ("Kedd",)),
+    ("we", ("Szerda",)),
+    ("th", ("Csütörtök", "Csütörtökön")),
+    ("fr", ("Péntek",)),
+    ("sa", ("Szombat",)),
+    ("su", ("Vasárnap",)),
+)
+_POSTA_ALL_DAYS = tuple(n for _, names in _POSTA_DAY_SLOTS for n in names)
+
+_POSTA_SCHEMA = T.StructType(
+    [
+        T.StructField("zipcode", T.StringType()),
+        T.StructField("post_name", T.StringType()),
+        T.StructField("spt_raw", T.StringType()),
+        T.StructField("city_raw", T.StringType()),
+        T.StructField("has_street", T.BooleanType()),
+        T.StructField("street_name_raw", T.StringType()),
+        T.StructField("street_type_raw", T.StringType()),
+        T.StructField("housenumber_raw", T.StringType()),
+        T.StructField("wgslat", T.StringType()),
+        T.StructField("wgslon", T.StringType()),
+        T.StructField("phonearea", T.StringType()),
+        T.StructField("email_raw", T.StringType()),
+        T.StructField(
+            "days",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("day", T.StringType()),
+                        T.StructField("from1", T.StringType()),
+                        T.StructField("to1", T.StringType()),
+                        T.StructField("from2", T.StringType()),
+                        T.StructField("to2", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def read_posta_xml(spark: SparkSession, path: str) -> DataFrame:
+    """Raw <post> rows from the Magyar Posta XML feed. Tag lookups are
+    recursive-first-match with lowercased names, mirroring the reference's
+    BeautifulSoup(lxml) attribute access (``poi_data.servicepointtype``,
+    ``poi_data.street.housenumber``, … hu_posta.py:80-216); a <days>
+    element with no children is dropped like ``len(d) != 0``
+    (hu_posta.py:120). One feed file → driver-side stdlib parse (the dim
+    cost model used by every other source reader)."""
+    import xml.etree.ElementTree as ET
+
+    def txt(el):
+        return None if el is None else "".join(el.itertext())
+
+    def first(parent, name):
+        if parent is None:
+            return None
+        for e in parent.iter():
+            if e is not parent and e.tag.lower() == name:
+                return e
+        return None
+
+    root = ET.parse(path).getroot()
+    rows = []
+    for post in (e for e in root.iter() if e.tag.lower() == "post"):
+        street = first(post, "street")
+        gps = first(post, "gpsdata")
+        days = []
+        for d in (e for e in post.iter() if e.tag.lower() == "days"):
+            if len(d) == 0:
+                continue
+            days.append(
+                (
+                    txt(first(d, "day")),
+                    txt(first(d, "from1")),
+                    txt(first(d, "to1")),
+                    txt(first(d, "from2")),
+                    txt(first(d, "to2")),
+                )
+            )
+        rows.append(
+            (
+                post.get("zipcode"),
+                txt(first(post, "name")),
+                txt(first(post, "servicepointtype")),
+                txt(first(post, "city")),
+                street is not None,
+                txt(first(street, "name")),
+                txt(first(street, "type")),
+                txt(first(street, "housenumber")),
+                txt(first(gps, "wgslat")),
+                txt(first(gps, "wgslon")),
+                txt(first(post, "phonearea")),
+                txt(first(post, "email")),
+                days,
+            )
+        )
+    return spark.createDataFrame(rows, _POSTA_SCHEMA)
+
+
+def posta_offices(spark: SparkSession, xml_path: str) -> DataFrame:
+    """Magyar Posta offices (``dataproviders/hu_posta.py:76-217``) as one
+    declarative projection. Reference quirks preserved:
+
+    * rows whose name contains 'okmányiroda' / 'mol kirendeltség' are
+      skipped (:86-89); unknown servicepointtype keeps code NULL (:101 —
+      ``clear_all`` resets between records, poi_dataset.py:1146);
+    * single-interval days close at **from1**, not to1 (:150-151 bug);
+    * a day whose from1==from2 or to1==to2 is dropped as a feed
+      duplicate (:146, :165-170) — later valid entries still overwrite;
+    * the lunch break is captured from day_key==3 = **Csütörtök**
+      (Thursday, despite the 'Wednesday' comment, :157-160);
+    * nonstop counting uses Python substring membership
+      ``from1 in '0:00'`` (:153, :163) and counts **entries**, not day
+      slots; ≥7 → nonstop=True else NULL (:172-174);
+    * branch: clean_branch setter chain, plus the hupostapo digit rewrite
+      ``(\\d{1,3})`` → ``\\1. számú`` run through the setter twice
+      (:110-112 + poi_dataset.py:219-221, :1095);
+    * housenumber: text before '(', stripped, then the setter's len<16
+      guard (so 'belterület HRSZ 3162' → NULL and the HRSZ branch at
+      :104-106 is dead — conscriptionnumber is always NULL, :107);
+    * original is synthesized from cleaned street parts + housenumber;
+      a missing street name renders 'None …' via str.format, which the
+      original setter's clean_string sentinel-maps back to NULL when bare
+      (:181-199 + poi_dataset.py:592-593);
+    * records the reference's per-record ``except`` would abort are
+      dropped: missing name/servicepointtype/street element/GPS, and a
+      valid day entry with NULL from1 (``None in '0:00'`` raises, :153).
+    """
+    raw = read_posta_xml(spark, xml_path)
+    name_lc = F.lower(F.col("post_name"))
+
+    def valid(e):
+        return ~e["from1"].eqNullSafe(e["from2"]) & ~e["to1"].eqNullSafe(e["to2"])
+
+    def matched(e):
+        return e["day"].isin(*_POSTA_ALL_DAYS)
+
+    kept = raw.where(
+        F.col("post_name").isNotNull()
+        & ~name_lc.contains("okmányiroda")
+        & ~name_lc.contains("mol kirendeltség")
+        & F.col("spt_raw").isNotNull()
+        & F.col("has_street")
+        & F.col("wgslat").isNotNull()
+        & F.col("wgslon").isNotNull()
+        & ~F.exists("days", lambda e: matched(e) & valid(e) & e["from1"].isNull())
+    )
+
+    spt = clean_string_udf(F.upper(F.col("spt_raw")))
+    code = (
+        F.when(spt == "PM", F.lit("hupostapo"))
+        .when(spt == "CS", F.lit("hupostacso"))
+        .when(spt == "PP", F.lit("hupostapp"))
+    )
+    pho = (
+        F.when(spt.isin("PM", "PP"), F.lit(False))
+        .when(spt == "CS", F.lit(True))
+        .cast("boolean")
+    )
+    branch0 = set_branch_udf(F.col("post_name"))
+    branch = F.when(
+        code.eqNullSafe(F.lit("hupostapo")),
+        set_branch_udf(
+            F.regexp_replace(branch0, r"(\d{1,3})", "$1. számú")
+        ),
+    ).otherwise(branch0)
+
+    hn = F.when(
+        F.col("housenumber_raw").isNotNull(),
+        set_housenumber_udf(_strip(F.split(F.col("housenumber_raw"), r"\(", 2).getItem(0))),
+    )
+    s1 = clean_street_udf(_strip(F.col("street_name_raw")))
+    s2 = clean_street_type_udf(_strip(F.col("street_type_raw")))
+    street = F.when(s2.isNull(), s1).when(s1.isNotNull(), F.concat_ws(" ", s1, s2))
+    orig_base = F.coalesce(s1, F.lit("None"))
+    original = clean_string_udf(
+        F.when(
+            s2.isNull(),
+            F.when(hn.isNotNull(), F.concat_ws(" ", orig_base, hn)).otherwise(orig_base),
+        ).when(
+            s1.isNotNull(),
+            F.when(hn.isNotNull(), F.concat_ws(" ", s1, s2, hn)).otherwise(
+                F.concat_ws(" ", s1, s2)
+            ),
+        )
+    )
+
+    def last_valid(names):
+        return F.try_element_at(
+            F.filter("days", lambda e: e["day"].isin(*names) & valid(e)), F.lit(-1)
+        )
+
+    day_cols = []
+    for d, names in _POSTA_DAY_SLOTS:
+        ent = last_valid(names)
+        day_cols.append(ent["from1"].alias(f"{d}_open"))
+        day_cols.append(
+            F.when(
+                ent["from2"].isNull() | ent["to2"].isNull(), ent["from1"]
+            ).otherwise(ent["to2"]).alias(f"{d}_close")
+        )
+    lbe = F.try_element_at(
+        F.filter(
+            "days",
+            lambda e: e["day"].isin("Csütörtök", "Csütörtökön")
+            & valid(e)
+            & e["from2"].isNotNull()
+            & e["to2"].isNotNull(),
+        ),
+        F.lit(-1),
+    )
+    nonstop_num = F.size(
+        F.filter(
+            "days",
+            lambda e: matched(e)
+            & valid(e)
+            & F.lit("0:00").contains(e["from1"])
+            & F.when(
+                e["from2"].isNull() | e["to2"].isNull(),
+                e["to1"].isin("0:00", "23:59", "24:00"),
+            ).otherwise(e["to2"].isin("0:00", "23:59", "24:00")),
+        )
+    )
+    lat_fixed, lon_fixed = fix_hu_coordinates(
+        F.regexp_replace(F.col("wgslat"), ",", ".").cast("double"),
+        F.regexp_replace(F.col("wgslon"), ",", ".").cast("double"),
+    )
+
+    return kept.select(
+        code.alias("code"),
+        clean_postcode_udf(F.col("zipcode")).alias("postcode"),
+        clean_city_udf(F.col("city_raw")).alias("city"),
+        branch.alias("branch"),
+        original.alias("original"),
+        street.alias("street"),
+        hn.alias("housenumber"),
+        F.lit(None).cast("string").alias("conscriptionnumber"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        F.when(F.col("phonearea").isNotNull(), clean_phone_udf(F.col("phonearea"))).alias("phone"),
+        F.when(F.col("email_raw").isNotNull(), clean_email_udf(F.col("email_raw"))).alias("email"),
+        F.when(nonstop_num >= 7, F.lit(True)).cast("boolean").alias("nonstop"),
+        pho.alias("public_holiday_open"),
+        lbe["to1"].alias("lunch_break_start"),
+        lbe["from2"].alias("lunch_break_stop"),
+        *day_cols,
     )

@@ -185,3 +185,33 @@ def test_clean_opening_hours_2_expr_quirks(spark):
     assert got["600"] == "06:00"
     assert got[""] == "00:00"
     assert got[None] is None
+
+
+def test_posta_provider_mapping(spark):
+    """hu_posta.py:76-217 quirks: single-interval close=from1 bug,
+    duplicate-day drop, Csütörtökön alias + Thursday lunch break,
+    substring nonstop counting, digit branch rewrite, len<16 guard."""
+    from osm_poi_matchmaker_spark.sources.providers import posta_offices
+
+    rows = {
+        r["postcode"]: r
+        for r in posta_offices(spark, os.path.join(FIX, "posta.xml")).collect()
+    }
+    assert len(rows) == 4  # the okmányiroda post is skipped
+    po = rows["1062"]
+    assert po["branch"] == "Budapest 62. számú posta"  # (\d{1,3}) rewrite
+    assert po["mo_close"] == "08:00"  # single-interval close=from1 bug
+    assert po["tu_open"] is None  # from1==from2 & to1==to2 → dropped
+    assert (po["lunch_break_start"], po["lunch_break_stop"]) == ("12:00", "12:30")
+    assert (po["th_open"], po["th_close"]) == ("08:00", "18:00")  # Csütörtökön
+    assert po["sa_open"] is None  # 'Szombatonként' is not a WeekDaysLongHU name
+    cs = rows["1024"]
+    assert cs["nonstop"] is True and cs["public_holiday_open"] is True
+    assert cs["su_close"] == "0:00"  # the bug again, 7×
+    pp = rows["9021"]
+    assert (pp["lat"], pp["lon"]) == (47.6832, 17.6354)  # comma + swap
+    assert pp["street"] == "Bajcsy-Zsilinszky út"  # type element missing
+    mp = rows["3525"]
+    assert mp["code"] is None and mp["public_holiday_open"] is None  # 'MP'
+    assert mp["housenumber"] is None  # 'belterület HRSZ 3162' len≥16 guard
+    assert mp["original"] == "Hősök tere"
