@@ -725,6 +725,38 @@ def _q_provider_posta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return posta_offices(spark, path)
 
 
+def _q_atp_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_alltheplaces spider registry (hu_alltheplaces.py:227-351) as one
+    plan over the insights JSON: falsy brand chain, first-brand-wins per
+    spider, poi_code sanitize+truncate with collision skip, keyword
+    poi_type cascade, common/search-name derivation (trailing 2-char
+    segment drop via an aggregate expr, str.title fallback). Fixed
+    fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import alltheplaces_types
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "atp_insights.json",
+    )
+    return alltheplaces_types(spark, path)
+
+
+def _q_atp_pois(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_alltheplaces feature importer (hu_alltheplaces.py:467-556) as one
+    plan over a spider GeoJSON: Point-only, country-chain/bbox HU filter,
+    boundary swap, name/ref/phone/website falsy chains through the
+    POIDatasetRaw setters, addr:street-vs-combined address preference
+    (incl. the `'{} {}'.format(street, None)` → 'X None' quirk). Fixed
+    fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import alltheplaces_pois
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "atp_spider.geojson",
+    )
+    return alltheplaces_pois(spark, path, "tesco_hu")
+
+
 def _q_zipcodes_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 postal-code XML dim source (dataproviders/hu_generic.py:60-77);
     the fixture is fixed, so the oracle carries its literal rows."""
@@ -1539,6 +1571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_spar": _q_provider_spar,
         "provider_cba": _q_provider_cba,
         "provider_posta": _q_provider_posta,
+        "provider_atp_types": _q_atp_types,
+        "provider_atp_pois": _q_atp_pois,
         "doc_split": _q_doc_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "tag_merge": _q_tag_merge,
@@ -1880,6 +1914,38 @@ def oracle_sql() -> dict[str, str]:
             " 46.4123, 20.7345, 'Fő út', '1', NULL, 'Fő út 1.', false)"
             ") AS t(code, ref, city, postcode, branch, website, lat, lon, "
             "street, housenumber, conscriptionnumber, original, public_holiday_open)"
+        ),
+        "provider_atp_types": (
+            "SELECT * FROM (VALUES "
+            "('huatp_hu_sk', 'Hu_Sk', 'shop', '', CAST(NULL AS STRING), 'hu_sk'), "
+            "('huatp_lidl_hu', 'Lidl', 'shop', 'lidl', 'Lidl', 'lidl_hu'), "
+            "('huatp_megaspider_aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa', "
+            " 'Longy', 'shop', 'longy', 'Longy', "
+            " 'megaspider_aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa_one'), "
+            "('huatp_mol_bubi_hu', 'Mol Bubi', 'shop', 'mol bubi', CAST(NULL AS STRING), 'mol_bubi_hu'), "
+            "('huatp_obi_hu', 'OBI', 'doityourself', 'obi', 'OBI', 'obi_hu'), "
+            "('huatp_rossmann_hu_spider', 'Rossmann', 'chemist', 'rossmann', "
+            " 'Rossmann', 'Rossmann-HU Spider')"
+            ") AS t(poi_code, poi_common_name, poi_type, poi_search_name, "
+            "brand_tag, spider)"
+        ),
+        "provider_atp_pois": (
+            "SELECT * FROM (VALUES "
+            "('huatp_tesco_hu', 47.5005, 19.1007, 'Tesco Fogarasi', 'tesco_hu', "
+            " 'Fogarasi út', '15', CAST(NULL AS STRING), 'Fogarasi út 15', "
+            " 'Budapest', '1148', '+36 1 467 8800', CAST(NULL AS STRING), "
+            " 'https://tesco.hu/aruhaz', 'T1', 'Mo-Fr 06:00-22:00'), "
+            "('huatp_tesco_hu', 47.5321, 19.0556, 'Tesco', 'tesco_hu', "
+            " 'Váci út', CAST(NULL AS STRING), CAST(NULL AS STRING), 'Váci út None', "
+            " 'Budapest', CAST(NULL AS STRING), '+36 1 236 6000', CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), 'node/123', CAST(NULL AS STRING)), "
+            "('huatp_tesco_hu', 47.4979, 19.0402, 'Tesco Expressz Astoria', 'tesco_hu', "
+            " 'Rákóczi út', '12', CAST(NULL AS STRING), 'Rákóczi út 12.', "
+            " 'Budapest', '1072', CAST(NULL AS STRING), 'astoria@tesco.hu', "
+            " 'https://tesco.hu/uzletek/astoria', CAST(NULL AS STRING), CAST(NULL AS STRING))"
+            ") AS t(code, lat, lon, name, branch, street, housenumber, "
+            "conscriptionnumber, original, city, postcode, phone, email, "
+            "website, ref, opening_hours)"
         ),
         "provider_posta": (
             "SELECT * FROM (VALUES "

@@ -527,3 +527,277 @@ def posta_offices(spark: SparkSession, xml_path: str) -> DataFrame:
         lbe["from2"].alias("lunch_break_stop"),
         *day_cols,
     )
+
+
+# ---------------------------------------------------------------------------
+# hu_alltheplaces (dataproviders/hu_alltheplaces.py) — the largest provider:
+# a spider registry derived from the ATP insights JSON, plus a per-spider
+# GeoJSON feature importer.
+# ---------------------------------------------------------------------------
+
+_ATP_INSIGHTS_T = T.StructType(
+    [
+        T.StructField(
+            "data",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("nsi_brand", T.StringType()),
+                        T.StructField("q_title", T.StringType()),
+                        T.StructField(
+                            "atp_splits",
+                            T.MapType(
+                                T.StringType(),
+                                T.MapType(T.StringType(), T.LongType()),
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+# hu_alltheplaces.py:95-125 — keyword → poi_type cascade, in source order
+_ATP_TYPE_RULES = (
+    (("fuel", "petrol", "benzin", "_gas", "mol_hu", "shell", "eni_", "bp_"), "fuel"),
+    (("atm",), "atm"),
+    (("bank",), "bank"),
+    (("pharmacy", "patika", "apotheke", "benu", "pingvin"), "pharmacy"),
+    (("charging", "_ev_", "electr"), "charging_station"),
+    (("post_office", "_posta", "postamt"), "post_office"),
+    (("fastfood", "fast_food", "mcdonald", "burger", "kfc", "subway_"), "fastfood"),
+    (("chemist", "droger", "rossmann", "dm_"), "chemist"),
+    (("clothes", "fashion", "takko", "pepco", "jysk"), "clothes"),
+    (("shoes", "deichmann", "ccc_"), "shoes"),
+    (("optician", "optic"), "optician"),
+    (("diy", "obi_", "baumax", "bauhaus"), "doityourself"),
+    (("cosmetic", "perfum", "douglas", "yves_rocher"), "cosmetics"),
+    (("furniture", "ikea"), "furniture"),
+    (("tobacco", "dohany"), "tobacco"),
+)
+
+
+def _cap(x):
+    """Python ``str.capitalize()`` as a column expr (first upper, rest lower)."""
+    return F.concat(
+        F.upper(F.substring(x, 1, 1)), F.lower(x.substr(F.lit(2), F.length(x)))
+    )
+
+
+def _drop_trailing_2(parts):
+    """Drop trailing 2-char segments (``while parts and len(parts[-1])==2:
+    parts.pop()``, hu_alltheplaces.py:135-137) as a pure array expr."""
+    trailing = F.aggregate(
+        F.reverse(parts),
+        F.struct(F.lit(0).alias("cnt"), F.lit(True).alias("going")),
+        lambda acc, x: F.struct(
+            F.when(acc["going"] & (F.length(x) == 2), acc["cnt"] + 1)
+            .otherwise(acc["cnt"])
+            .alias("cnt"),
+            (acc["going"] & (F.length(x) == 2)).alias("going"),
+        ),
+    )["cnt"]
+    return F.slice(parts, F.lit(1), F.size(parts) - trailing)
+
+
+def alltheplaces_types(spark: SparkSession, insights_path: str) -> DataFrame:
+    """The ATP spider registry (``hu_alltheplaces.py:227-351``) as one plan:
+    insights JSON → one poi_common row per HU-relevant spider.
+
+    Semantics preserved: brand = ``nsi_brand or q_title or ''`` (falsy
+    chain, :245); first brand encountered wins per spider (:252-254, dict
+    insertion order = data-array order); poi_code = 'huatp_' + spider
+    sanitized (strip/lower/-→_/space→_) truncated to 57 (:85-88); a
+    post-truncation poi_code collision skips the LATER spider (:305-313);
+    poi_type from the keyword cascade (:91-125); common name = brand, else
+    the spider minus trailing 2-char segments, each part capitalized, with
+    ``spider.title()`` when nothing remains (:128-138); search name =
+    brand lowercased, else the same segment-drop over the lowercased
+    spider joined by spaces (:319-326)."""
+    with open(insights_path, "r", encoding="utf-8") as fh:
+        payload = fh.read()
+    src = spark.createDataFrame([(payload,)], "js string").select(
+        F.from_json("js", _ATP_INSIGHTS_T).alias("j")
+    )
+    brands = src.select(
+        F.posexplode(F.col("j.data")).alias("bpos", "b")
+    ).select(
+        "bpos",
+        F.coalesce(
+            F.nullif(F.col("b.nsi_brand"), F.lit("")),
+            F.nullif(F.col("b.q_title"), F.lit("")),
+            F.lit(""),
+        ).alias("brand"),
+        F.explode(F.map_keys(F.coalesce(
+            F.col("b.atp_splits")["HU"], F.lit(None).cast("map<string,bigint>")
+        ))).alias("spider"),
+    ).where(F.col("spider") != "")
+
+    from pyspark.sql import Window
+
+    first_per_spider = (
+        brands.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("spider").orderBy("bpos"))
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    code = F.concat(
+        F.lit("huatp_"),
+        F.substring(
+            F.regexp_replace(F.lower(_strip(F.col("spider"))), r"[- ]", "_"), 1, 57
+        ),
+    )
+    coded = first_per_spider.withColumn("poi_code", code).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("poi_code").orderBy("bpos"))
+    ).where(F.col("rn") == 1).drop("rn")
+
+    n = F.lower(F.col("spider"))
+    ptype = F.lit("shop")
+    for keywords, t in reversed(_ATP_TYPE_RULES):
+        cond = F.lit(False)
+        for k in keywords:
+            cond = cond | n.contains(k)
+        ptype = F.when(cond, F.lit(t)).otherwise(ptype)
+
+    parts_orig = _drop_trailing_2(F.split(F.col("spider"), "_"))
+    common = F.when(F.col("brand") != "", F.col("brand")).otherwise(
+        F.when(
+            F.size(parts_orig) > 0,
+            F.concat_ws(" ", F.transform(parts_orig, _cap)),
+        ).otherwise(F.concat_ws("_", F.transform(F.split(F.col("spider"), "_"), _cap)))
+    )
+    parts_lower = _drop_trailing_2(F.split(n, "_"))
+    search = F.when(F.col("brand") != "", F.lower(F.col("brand"))).otherwise(
+        F.concat_ws(" ", parts_lower)
+    )
+    return coded.select(
+        F.col("poi_code"),
+        common.alias("poi_common_name"),
+        ptype.alias("poi_type"),
+        search.alias("poi_search_name"),
+        F.nullif(F.col("brand"), F.lit("")).alias("brand_tag"),
+        F.col("spider"),
+    )
+
+
+_ATP_FEATURES_T = T.StructType(
+    [
+        T.StructField("type", T.StringType()),
+        T.StructField(
+            "features",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("type", T.StringType()),
+                        T.StructField(
+                            "geometry",
+                            T.StructType(
+                                [
+                                    T.StructField("type", T.StringType()),
+                                    T.StructField(
+                                        "coordinates", T.ArrayType(T.DoubleType())
+                                    ),
+                                ]
+                            ),
+                        ),
+                        T.StructField(
+                            "properties", T.MapType(T.StringType(), T.StringType())
+                        ),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def alltheplaces_pois(
+    spark: SparkSession, geojson_path: str, spider_name: str
+) -> DataFrame:
+    """One ATP spider's GeoJSON → POI-raw rows
+    (``hu_alltheplaces.py:467-556`` ``_import_feature`` set-wide).
+
+    Semantics preserved: Point-only features with ≥2 coordinates; HU
+    filter = addr:country/@country/country falsy chain against
+    {'HU','Hungary','hu'}, bbox fallback lat 45.7–48.6 / lon 16.1–22.9
+    (:141-159); name = ``name or brand`` (falsy chain); branch = @spider
+    through the clean_branch setter; address preference addr:street (+
+    addr:housenumber, original = ``'{} {}'.format(street, hn).strip()`` —
+    so a missing housenumber renders ``'X None'``, str.format quirk) over
+    addr:street_address/addr:full via the extractor; phone/email chains
+    through their setters (phone picks up clean_phone_to_str); website =
+    website/contact:website/@source_uri through clean_url; ref =
+    ref/@id. The NDJSON fallback for malformed feeds (:425-459) is
+    intentionally out of scope (error-path, not a query semantic)."""
+    with open(geojson_path, "r", encoding="utf-8") as fh:
+        payload = fh.read()
+    feats = (
+        spark.createDataFrame([(payload,)], "js string")
+        .select(F.from_json("js", _ATP_FEATURES_T).alias("j"))
+        .select(F.explode("j.features").alias("f"))
+        .select(F.col("f.geometry").alias("g"), F.col("f.properties").alias("p"))
+        .where(
+            (F.col("g.type") == "Point") & (F.size("g.coordinates") >= 2)
+        )
+    )
+    p = F.col("p")
+
+    def chain(*keys):
+        return F.coalesce(
+            *[F.nullif(p[k], F.lit("")) for k in keys], F.lit("")
+        )
+
+    country = chain("addr:country", "@country", "country")
+    lat_raw = F.col("g.coordinates")[1]
+    lon_raw = F.col("g.coordinates")[0]
+    is_hu = F.when(
+        country != "", country.isin("HU", "Hungary", "hu")
+    ).otherwise(
+        lat_raw.between(45.7, 48.6) & lon_raw.between(16.1, 22.9)
+    )
+    lat, lon = fix_hu_coordinates(lat_raw, lon_raw)
+
+    addr_street = clean_string_udf(p["addr:street"])
+    addr_hn = clean_string_udf(p["addr:housenumber"])
+    combined = clean_string_udf(chain("addr:street_address", "addr:full"))
+
+    street = F.when(addr_street.isNotNull(), addr_street)
+    ex = extract_street_udf(combined)
+    street = street.otherwise(F.when(combined.isNotNull(), ex.street))
+    hn_val = F.when(addr_street.isNotNull(), addr_hn).otherwise(
+        F.when(combined.isNotNull(), ex.housenumber)
+    )
+    csn = F.when(
+        addr_street.isNull() & combined.isNotNull(), ex.conscriptionnumber
+    )
+    original = F.when(
+        addr_street.isNotNull(),
+        _strip(F.concat(addr_street, F.lit(" "), F.coalesce(addr_hn, F.lit("None")))),
+    ).otherwise(F.when(combined.isNotNull(), combined))
+
+    return feats.where(is_hu).select(
+        F.lit(_atp_spider_code(spider_name)).alias("code"),
+        lat.alias("lat"),
+        lon.alias("lon"),
+        clean_string_udf(chain("name", "brand")).alias("name"),
+        set_branch_udf(p["@spider"]).alias("branch"),
+        clean_string_udf(street).alias("street"),
+        set_housenumber_udf(hn_val).alias("housenumber"),
+        clean_string_udf(csn).alias("conscriptionnumber"),
+        clean_string_udf(original).alias("original"),
+        clean_city_udf(chain("addr:city")).alias("city"),
+        clean_postcode_udf(chain("addr:postcode")).alias("postcode"),
+        clean_phone_udf(clean_string_udf(chain("phone", "contact:phone"))).alias("phone"),
+        clean_email_udf(chain("email", "contact:email")).alias("email"),
+        clean_url_udf(chain("website", "contact:website", "@source_uri")).alias("website"),
+        clean_string_udf(chain("ref", "@id")).alias("ref"),
+        clean_string_udf(chain("opening_hours")).alias("opening_hours"),
+    )
+
+
+def _atp_spider_code(spider_name: str) -> str:
+    """``_spider_to_poi_code`` (hu_alltheplaces.py:85-88)."""
+    sanitised = spider_name.strip().lower().replace("-", "_").replace(" ", "_")
+    return "huatp_" + sanitised[:57]

@@ -215,3 +215,49 @@ def test_posta_provider_mapping(spark):
     assert mp["code"] is None and mp["public_holiday_open"] is None  # 'MP'
     assert mp["housenumber"] is None  # 'belterület HRSZ 3162' len≥16 guard
     assert mp["original"] == "Hősök tere"
+
+
+def test_atp_types_registry(spark):
+    """hu_alltheplaces.py:227-351: first-brand-wins, sanitize+truncate,
+    collision skip, keyword type cascade, name derivations."""
+    from osm_poi_matchmaker_spark.sources.providers import alltheplaces_types
+
+    rows = {
+        r["spider"]: r
+        for r in alltheplaces_types(
+            spark, os.path.join(FIX, "atp_insights.json")
+        ).collect()
+    }
+    assert len(rows) == 6  # dup spider deduped, collision skipped, AT-only gone
+    assert rows["lidl_hu"]["poi_common_name"] == "Lidl"  # first brand wins
+    assert rows["obi_hu"]["poi_type"] == "doityourself"  # 'obi_' keyword
+    assert rows["obi_hu"]["poi_common_name"] == "OBI"  # q_title fallback
+    assert rows["mol_bubi_hu"]["poi_common_name"] == "Mol Bubi"  # _hu dropped
+    assert rows["Rossmann-HU Spider"]["poi_code"] == "huatp_rossmann_hu_spider"
+    assert rows["hu_sk"]["poi_common_name"] == "Hu_Sk"  # str.title fallback
+    assert rows["hu_sk"]["poi_search_name"] == ""  # every segment is 2 chars
+    longy = [s for s in rows if s.startswith("megaspider")]
+    assert longy == ["megaspider_" + "a" * 50 + "_one"]  # collision skips later
+
+
+def test_atp_feature_importer(spark):
+    """hu_alltheplaces.py:467-556: Point-only, HU filter chains, address
+    preference, 'X None' str.format quirk, setter chains."""
+    from osm_poi_matchmaker_spark.sources.providers import alltheplaces_pois
+
+    rows = alltheplaces_pois(
+        spark, os.path.join(FIX, "atp_spider.geojson"), "tesco_hu"
+    ).collect()
+    assert len(rows) == 3  # DE, out-of-bbox, LineString, 1-coord all dropped
+    by_name = {r["name"]: r for r in rows}
+    full = by_name["Tesco Fogarasi"]
+    assert full["original"] == "Fogarasi út 15"  # built from separate fields
+    assert full["phone"] == "+36 1 467 8800"  # phone setter clean_phone_to_str
+    assert full["website"] == "https://tesco.hu/aruhaz"  # clean_url, '//'→'/'
+    nohn = by_name["Tesco"]  # name fell back to brand
+    assert nohn["original"] == "Váci út None"  # str.format(None) quirk
+    assert nohn["ref"] == "node/123"  # @id fallback
+    astoria = by_name["Tesco Expressz Astoria"]
+    assert (astoria["lat"], astoria["lon"]) == (47.4979, 19.0402)  # swapped
+    assert astoria["street"] == "Rákóczi út"  # extractor path from combined
+    assert astoria["website"] == "https://tesco.hu/uzletek/astoria"  # @source_uri
