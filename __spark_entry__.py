@@ -725,6 +725,79 @@ def _q_provider_posta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return posta_offices(spark, path)
 
 
+def _q_live_tags_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 live-tag enrichment (online_poi_matching.py:238-324) set-wide:
+    matched rows read through the poi_osm_cache dimension, API-table
+    fallback on miss, relations always live-fetched by abs(osm_id) and
+    never cached, fetch failures leave tags NULL, and the cache write-back
+    (fetched ways/nodes + way `nd` member nodes batch-resolved, existing
+    keys skipped) — returned as a second, 'cache_append'-tagged row set.
+    Inputs derived from TPC-H tables with bit-identical SQL arithmetic."""
+    from osm_poi_matchmaker_spark.operators.enrich import attach_live_tags
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+
+    ok = F.col("o_orderkey")
+    matched = orders.where(ok % 11 == 0).select(
+        ok.alias("page_id"),
+        F.when(ok % 4 == 3, -(F.col("o_custkey") % 80) - 1)
+        .otherwise(F.col("o_custkey") % 80)
+        .alias("osm_id"),
+        F.when(ok % 4 == 1, F.lit("way"))
+        .when(ok % 4 == 3, F.lit("relation"))
+        .otherwise(F.lit("node"))
+        .alias("node_type"),
+    )
+    nk = F.col("n_nationkey")
+    cache = nation.select(
+        (nk * 2).alias("osm_id"),
+        F.when(nk % 2 == 0, F.lit("node")).otherwise(F.lit("way")).alias("node_type"),
+        F.concat(F.lit("name=Cached "), nk.cast("string")).alias("live_tags"),
+        (nk % 5).alias("osm_version"),
+    )
+    ids = customer.select((F.col("c_custkey") % 80).alias("id")).distinct()
+    types = spark.createDataFrame(
+        [("node", 0), ("way", 1), ("relation", 2)], ["node_type", "ord"]
+    )
+    i, o = F.col("id"), F.col("ord")
+    api = (
+        ids.crossJoin(types)
+        .where((i + o) % 9 != 0)
+        .select(
+            i.alias("osm_id"),
+            "node_type",
+            F.concat(
+                F.lit("name=Api "), F.col("node_type"), F.lit(" "), i.cast("string")
+            ).alias("live_tags"),
+            (i % 7).alias("osm_version"),
+            F.when(
+                F.col("node_type") == "way",
+                F.array((i + 1) % 80, (i + 7) % 80, (i + 13) % 80),
+            ).alias("nd"),
+        )
+    )
+    enriched, appends = attach_live_tags(matched, cache, api)
+    return enriched.select(
+        F.lit("live").alias("kind"),
+        "page_id",
+        "osm_id",
+        "node_type",
+        "osm_live_tags",
+        F.lit(None).cast("long").alias("osm_version"),
+    ).unionByName(
+        appends.select(
+            F.lit("cache_append").alias("kind"),
+            F.lit(None).cast("long").alias("page_id"),
+            "osm_id",
+            "node_type",
+            F.col("live_tags").alias("osm_live_tags"),
+            F.col("osm_version").cast("long"),
+        )
+    )
+
+
 def _q_atp_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hu_alltheplaces spider registry (hu_alltheplaces.py:227-351) as one
     plan over the insights JSON: falsy brand chain, first-brand-wins per
@@ -1573,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_posta": _q_provider_posta,
         "provider_atp_types": _q_atp_types,
         "provider_atp_pois": _q_atp_pois,
+        "live_tags_cache": _q_live_tags_cache,
         "doc_split": _q_doc_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "tag_merge": _q_tag_merge,
@@ -1914,6 +1988,61 @@ def oracle_sql() -> dict[str, str]:
             " 46.4123, 20.7345, 'Fő út', '1', NULL, 'Fő út 1.', false)"
             ") AS t(code, ref, city, postcode, branch, website, lat, lon, "
             "street, housenumber, conscriptionnumber, original, public_holiday_open)"
+        ),
+        "live_tags_cache": (
+            "WITH matched AS ("
+            " SELECT o_orderkey AS page_id,"
+            "  CASE WHEN o_orderkey % 4 = 3 THEN -(o_custkey % 80) - 1"
+            "       ELSE o_custkey % 80 END AS osm_id,"
+            "  CASE o_orderkey % 4 WHEN 1 THEN 'way' WHEN 3 THEN 'relation'"
+            "       ELSE 'node' END AS node_type"
+            " FROM orders WHERE o_orderkey % 11 = 0), "
+            "cache AS ("
+            " SELECT n_nationkey * 2 AS osm_id,"
+            "  CASE WHEN n_nationkey % 2 = 0 THEN 'node' ELSE 'way' END AS node_type,"
+            "  'name=Cached ' || CAST(n_nationkey AS VARCHAR) AS live_tags,"
+            "  n_nationkey % 5 AS osm_version FROM nation), "
+            "ids AS (SELECT DISTINCT c_custkey % 80 AS id FROM customer), "
+            "api AS ("
+            " SELECT id AS osm_id, t.node_type,"
+            "  'name=Api ' || t.node_type || ' ' || CAST(id AS VARCHAR) AS live_tags,"
+            "  id % 7 AS osm_version,"
+            "  CASE WHEN t.node_type = 'way'"
+            "   THEN [(id+1)%80, (id+7)%80, (id+13)%80] END AS nd"
+            " FROM ids CROSS JOIN (VALUES ('node', 0), ('way', 1), ('relation', 2))"
+            "  AS t(node_type, ord) WHERE (id + t.ord) % 9 <> 0), "
+            "j AS ("
+            " SELECT m.page_id, m.osm_id, m.node_type,"
+            "  c.live_tags AS c_tags, c.osm_id AS c_id,"
+            "  a.live_tags AS a_tags, a.osm_version AS a_version,"
+            "  a.nd AS a_nd, a.osm_id AS a_id"
+            " FROM matched m"
+            " LEFT JOIN cache c ON m.node_type <> 'relation'"
+            "  AND m.osm_id = c.osm_id AND m.node_type = c.node_type"
+            " LEFT JOIN api a ON CASE WHEN m.node_type = 'relation'"
+            "  THEN ABS(m.osm_id) = a.osm_id AND a.node_type = 'relation'"
+            "  ELSE m.osm_id = a.osm_id AND m.node_type = a.node_type END), "
+            "fetched AS (SELECT DISTINCT osm_id, node_type, a_tags, a_version, a_nd"
+            " FROM j WHERE node_type <> 'relation' AND c_id IS NULL AND a_id IS NOT NULL), "
+            "member_rows AS ("
+            " SELECT a.osm_id, 'node' AS node_type, a.live_tags, a.osm_version"
+            " FROM (SELECT DISTINCT u.n_id FROM fetched f, UNNEST(f.a_nd) AS u(n_id)"
+            "       WHERE f.node_type = 'way') mm"
+            " JOIN api a ON a.osm_id = mm.n_id AND a.node_type = 'node'), "
+            "appends AS ("
+            " SELECT DISTINCT osm_id, node_type, live_tags, osm_version FROM ("
+            "  SELECT osm_id, node_type, a_tags AS live_tags, a_version AS osm_version"
+            "  FROM fetched"
+            "  UNION ALL SELECT * FROM member_rows) x"
+            " WHERE NOT EXISTS (SELECT 1 FROM cache c"
+            "  WHERE c.osm_id = x.osm_id AND c.node_type = x.node_type)) "
+            "SELECT 'live' AS kind, page_id, osm_id, node_type,"
+            " CASE WHEN node_type = 'relation' THEN a_tags"
+            "      ELSE COALESCE(c_tags, a_tags) END AS osm_live_tags,"
+            " CAST(NULL AS BIGINT) AS osm_version FROM j "
+            "UNION ALL "
+            "SELECT 'cache_append', CAST(NULL AS BIGINT), osm_id, node_type,"
+            " live_tags, osm_version FROM appends"
         ),
         "provider_atp_types": (
             "SELECT * FROM (VALUES "

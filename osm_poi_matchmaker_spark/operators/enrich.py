@@ -137,3 +137,112 @@ def enrich_matched_from_osm(
             | changed(F.col("o_csn"), F.col("csn"))
         ).alias("changed_from_osm"),
     )
+
+
+def attach_live_tags(
+    matched: DataFrame, cache: DataFrame, api: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """S16 live-tag enrichment set-wide (online_poi_matching.py:238-324 +
+    dao/data_handlers.py:342-398): the reference walks matched rows one by
+    one, consulting the ``poi_osm_cache`` table per (osm_id, object_type)
+    and calling the OSM API on a miss, writing fetched objects (and, for
+    ways, every ``nd`` member node from one NodesGet batch) back through
+    ``get_or_create_cache``. At 10^12 scale there is no live API — ``api``
+    is the stored OSM-objects table standing in for it (SURVEY §2.1 S16).
+
+    Reference semantics preserved:
+      * ways and nodes read through the cache, API only on miss
+        (:244-252, :291-297);
+      * RELATIONS NEVER TOUCH THE CACHE — the reference always live-fetches
+        them by ``abs(osm_id)`` and writes nothing back (:317-326);
+      * a failed fetch (no API row) leaves osm_live_tags NULL after RETRY;
+      * cache write-back = the fetched way/node itself plus, for ways, the
+        ``nd`` member nodes resolved against the API in one batch
+        (:261-279); ``get_or_create`` ⇒ only keys not already cached are
+        appended, deduplicated.
+
+    Returns ``(enriched, cache_appends)``. ``cache`` and ``api`` are
+    dimension-sized next to the page corpus → broadcast joins; the matched
+    side never shuffles.
+
+    Columns: matched(page_id, osm_id, node_type); cache/api(osm_id,
+    node_type, live_tags, osm_version[, nd for api ways]).
+    """
+    is_rel = F.col("node_type") == "relation"
+    c = F.broadcast(
+        cache.select(
+            F.col("osm_id").alias("c_id"),
+            F.col("node_type").alias("c_type"),
+            F.col("live_tags").alias("c_tags"),
+        )
+    )
+    a = F.broadcast(
+        api.select(
+            F.col("osm_id").alias("a_id"),
+            F.col("node_type").alias("a_type"),
+            F.col("live_tags").alias("a_tags"),
+            F.col("osm_version").alias("a_version"),
+            F.col("nd").alias("a_nd"),
+        )
+    )
+    j = (
+        matched.join(
+            c,
+            ~is_rel & (F.col("osm_id") == F.col("c_id")) & (F.col("node_type") == F.col("c_type")),
+            "left",
+        )
+        .join(
+            a,
+            F.when(
+                is_rel,
+                (F.abs(F.col("osm_id")) == F.col("a_id")) & (F.col("a_type") == "relation"),
+            ).otherwise(
+                (F.col("osm_id") == F.col("a_id")) & (F.col("node_type") == F.col("a_type"))
+            ),
+            "left",
+        )
+    )
+    enriched = j.select(
+        "page_id",
+        "osm_id",
+        "node_type",
+        F.when(is_rel, F.col("a_tags"))
+        .otherwise(F.coalesce(F.col("c_tags"), F.col("a_tags")))
+        .alias("osm_live_tags"),
+    )
+
+    fetched = j.where(
+        ~is_rel & F.col("c_id").isNull() & F.col("a_id").isNotNull()
+    ).select("osm_id", "node_type", "a_tags", "a_version", "a_nd")
+    self_rows = fetched.select(
+        "osm_id", "node_type", F.col("a_tags").alias("live_tags"),
+        F.col("a_version").alias("osm_version"),
+    )
+    api_nodes = api.where(F.col("node_type") == "node").select(
+        F.col("osm_id").alias("n_id"),
+        F.col("live_tags").alias("n_tags"),
+        F.col("osm_version").alias("n_version"),
+    )
+    way_member_rows = (
+        fetched.where(F.col("node_type") == "way")
+        .select(F.explode("a_nd").alias("n_id"))
+        .join(F.broadcast(api_nodes), "n_id", "inner")
+        .select(
+            F.col("n_id").alias("osm_id"),
+            F.lit("node").alias("node_type"),
+            F.col("n_tags").alias("live_tags"),
+            F.col("n_version").alias("osm_version"),
+        )
+    )
+    cache_appends = (
+        self_rows.unionByName(way_member_rows)
+        .dropDuplicates(["osm_id", "node_type"])
+        .join(
+            cache.select(
+                F.col("osm_id"), F.col("node_type"), F.lit(1).alias("_hit")
+            ),
+            ["osm_id", "node_type"],
+            "left_anti",
+        )
+    )
+    return enriched, cache_appends
