@@ -798,6 +798,23 @@ def _q_live_tags_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_provider_posta_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_posta_json (dataproviders/hu_posta_json.py:71-106): the JSON
+    Posta feed as one projection — type→code mapping with the
+    'mobilposta' substring split (which never sets public_holiday_open),
+    unknown types keeping code/pho NULL, RAW coordinates (no
+    check_hu_boundary in this variant), strip+clean_postcode, raw name
+    through the clean_branch setter chain. Fixed fixture → golden-row
+    oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import posta_json_offices
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "posta_json.json",
+    )
+    return posta_json_offices(spark, path)
+
+
 def _q_atp_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hu_alltheplaces spider registry (hu_alltheplaces.py:227-351) as one
     plan over the insights JSON: falsy brand chain, first-brand-wins per
@@ -1647,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_atp_types": _q_atp_types,
         "provider_atp_pois": _q_atp_pois,
         "live_tags_cache": _q_live_tags_cache,
+        "provider_posta_json": _q_provider_posta_json,
         "doc_split": _q_doc_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "tag_merge": _q_tag_merge,
@@ -2043,6 +2061,23 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'cache_append', CAST(NULL AS BIGINT), osm_id, node_type,"
             " live_tags, osm_version FROM appends"
+        ),
+        "provider_posta_json": (
+            "SELECT * FROM (VALUES "
+            "('hupostapo', false, '1041', 'Budapest', 'Budapest 4 posta', "
+            " 47.5614, 19.0891, 'István út', '18', CAST(NULL AS STRING), 'István út 18.'), "
+            "('hupostamp', CAST(NULL AS BOOLEAN), '4002', 'Debrecen', 'Debrecen mobilposta', "
+            " 47.5316, 21.6273, 'Balmazújvárosi út', '10', CAST(NULL AS STRING), 'Balmazújvárosi út 10.'), "
+            "('hupostacse', true, '1062', 'Budapest', 'Csekkautomata Nyugati', "
+            " 19.0571, 47.5107, 'Teréz körút', '55', CAST(NULL AS STRING), 'Teréz körút 55.'), "
+            "('hupostacso', true, '1082', 'Budapest', 'MPL Csomagautomata Corvin', "
+            " 47.4859, 19.0764, 'Futó utca', '37', CAST(NULL AS STRING), 'Futó utca 37.'), "
+            "('hupostapp', false, '6722', 'Szeged', 'PostaPont Szeged', "
+            " 46.2497, 20.1442, 'Tisza Lajos körút', '47', CAST(NULL AS STRING), 'Tisza Lajos körút 47.'), "
+            "(CAST(NULL AS STRING), CAST(NULL AS BOOLEAN), '9999', 'Sehol', 'Ismeretlen', "
+            " 47.0, 19.0, 'Senki utca', '0', CAST(NULL AS STRING), 'Senki utca 0.')"
+            ") AS t(code, public_holiday_open, postcode, city, branch, lat, lon, "
+            "street, housenumber, conscriptionnumber, original)"
         ),
         "provider_atp_types": (
             "SELECT * FROM (VALUES "

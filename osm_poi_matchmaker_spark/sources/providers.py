@@ -801,3 +801,57 @@ def _atp_spider_code(spider_name: str) -> str:
     """``_spider_to_poi_code`` (hu_alltheplaces.py:85-88)."""
     sanitised = spider_name.strip().lower().replace("-", "_").replace(" ", "_")
     return "huatp_" + sanitised[:57]
+
+
+def posta_json_offices(spark: SparkSession, json_path: str) -> DataFrame:
+    """The JSON variant of the Posta feed
+    (``dataproviders/hu_posta_json.py:71-106``) as one projection.
+
+    Quirks vs the XML provider, preserved: coordinates are taken RAW (no
+    check_hu_boundary swap, :99-100); 'posta' type splits on a
+    'mobilposta' name substring, and the mobilposta branch never sets
+    public_holiday_open (:79-83); unknown types keep code/pho NULL after
+    the previous record's clear_all (:94-95); postcode is ``.strip()``
+    into the clean_postcode setter (:96); branch is the raw name through
+    the clean_branch setter chain (:98)."""
+    s = (
+        spark.read.option("multiLine", "true")
+        .json(json_path)
+        .select(F.explode("items").alias("i"))
+        .select("i.*")
+    )
+    t = F.col("type")
+    code = (
+        F.when(
+            t == "posta",
+            F.when(F.col("name").contains("mobilposta"), F.lit("hupostamp")).otherwise(
+                F.lit("hupostapo")
+            ),
+        )
+        .when(t == "csekkautomata", F.lit("hupostacse"))
+        .when(t == "postamachine", F.lit("hupostacso"))
+        .when(t == "postapoint", F.lit("hupostapp"))
+    )
+    pho = (
+        F.when(
+            t == "posta",
+            F.when(F.col("name").contains("mobilposta"), F.lit(None).cast("boolean"))
+            .otherwise(F.lit(False)),
+        )
+        .when(t.isin("csekkautomata", "postamachine"), F.lit(True))
+        .when(t == "postapoint", F.lit(False))
+    )
+    ex = extract_street_udf(F.col("address"))
+    return s.select(
+        code.alias("code"),
+        pho.alias("public_holiday_open"),
+        clean_postcode_udf(F.col("zipCode")).alias("postcode"),
+        clean_city_udf(F.col("city")).alias("city"),
+        set_branch_udf(F.col("name")).alias("branch"),
+        F.col("lat").cast("double").alias("lat"),
+        F.col("lng").cast("double").alias("lon"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        clean_string_udf(F.col("address")).alias("original"),
+    )

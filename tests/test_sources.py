@@ -261,3 +261,21 @@ def test_atp_feature_importer(spark):
     assert (astoria["lat"], astoria["lon"]) == (47.4979, 19.0402)  # swapped
     assert astoria["street"] == "Rákóczi út"  # extractor path from combined
     assert astoria["website"] == "https://tesco.hu/uzletek/astoria"  # @source_uri
+
+
+def test_posta_json_provider_mapping(spark):
+    """hu_posta_json.py:71-106: type mapping, mobilposta pho gap, RAW
+    coordinates (no boundary fix in this variant), unknown-type NULLs."""
+    from osm_poi_matchmaker_spark.sources.providers import posta_json_offices
+
+    rows = {
+        r["postcode"]: r
+        for r in posta_json_offices(
+            spark, os.path.join(FIX, "posta_json.json")
+        ).collect()
+    }
+    assert rows["4002"]["code"] == "hupostamp"
+    assert rows["4002"]["public_holiday_open"] is None  # branch never sets it
+    assert rows["1062"]["lat"] == 19.0571  # swapped feed coords kept RAW
+    assert rows["9999"]["code"] is None  # unknown type after clear_all
+    assert rows["1041"]["postcode"] == "1041"  # ' 1041 ' stripped
