@@ -815,6 +815,24 @@ def _q_provider_posta_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return posta_json_offices(spark, path)
 
 
+def _q_provider_foxpost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_foxpost (dataproviders/hu_foxpost.py:129-189): parcel-locker
+    feed as one projection — variant→code map (unknown variants keep
+    NULL code but emit; falsy variants drop), 'kültéri' description →
+    nonstop with no day parsing, missing paymentOptions / NULL `open`
+    under a truthy non-kültéri description → row dropped (the reference's
+    per-record except), clean_opening_hours regex+zfill(5) per day, and
+    the waxeye address overwrite that kills the feed's zip/city fields.
+    Fixed fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import foxpost_lockers
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "foxpost.json",
+    )
+    return foxpost_lockers(spark, path)
+
+
 def _q_atp_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hu_alltheplaces spider registry (hu_alltheplaces.py:227-351) as one
     plan over the insights JSON: falsy brand chain, first-brand-wins per
@@ -1665,6 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_atp_pois": _q_atp_pois,
         "live_tags_cache": _q_live_tags_cache,
         "provider_posta_json": _q_provider_posta_json,
+        "provider_foxpost": _q_provider_foxpost,
         "doc_split": _q_doc_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "tag_merge": _q_tag_merge,
@@ -2078,6 +2097,47 @@ def oracle_sql() -> dict[str, str]:
             " 47.0, 19.0, 'Senki utca', '0', CAST(NULL AS STRING), 'Senki utca 0.')"
             ") AS t(code, public_holiday_open, postcode, city, branch, lat, lon, "
             "street, housenumber, conscriptionnumber, original)"
+        ),
+        "provider_foxpost": (
+            "SELECT * FROM (VALUES "
+            "('hufoxpocso', 47.5316, 21.6273, '4029', 'Debrecen', "
+            " 'Foxpost Debrecen Fórum', 'Az áruház földszintjén', "
+            " CAST(NULL AS BOOLEAN), 'HU0021', false, 'Csapó utca', '30', "
+            " CAST(NULL AS STRING), '4029 Debrecen, Csapó utca 30.', "
+            " '08:00', '20:00', '08:00', '20:00', '08:00', '20:00', "
+            " '08:00', '20:00', '08:00', '20:00', '09:00', '14:00', "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING)), "
+            "('hufoxpzcso', 47.4756, 19.047, '1117', 'Budapest', "
+            " 'Foxpost Z-BOX Október huszonharmadika', "
+            " 'kültéri, a bejárat mellett', true, 'HU0155', false, "
+            " 'Október huszonharmadika utca', '8-10', CAST(NULL AS STRING), "
+            " '1117 Budapest, Október huszonharmadika utca 8-10.', "
+            " NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, "
+            " NULL, NULL, NULL, NULL), "
+            "('hupackecso', 47.6853, 16.5905, '9400', 'Sopron', "
+            " 'Packeta Z-BOX Sopron', CAST(NULL AS STRING), "
+            " CAST(NULL AS BOOLEAN), 'ZB9001', false, 'Várkerület', '1', "
+            " CAST(NULL AS STRING), '9400 Sopron, Várkerület 1.', "
+            " NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, "
+            " NULL, NULL, NULL, NULL), "
+            "('hupacketpp', 46.0763, 18.2281, '7621', 'Pécs', "
+            " 'Packeta Z-Pont Pécs', 'A trafikban', CAST(NULL AS BOOLEAN), "
+            " 'ZP0777', false, 'Király utca', '5/a', CAST(NULL AS STRING), "
+            " '7621 Pécs, Király u. 5/a', "
+            " '07:00', '19:00', '07:00', '19:00', '07:00', '19:00', "
+            " '07:00', '19:00', '006:30', '18:30', '08:00', '12:00', "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING)), "
+            "(CAST(NULL AS STRING), 46.2497, 20.1442, CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), 'AlzaBox Szeged', CAST(NULL AS STRING), "
+            " CAST(NULL AS BOOLEAN), 'AZ0001', false, CAST(NULL AS STRING), "
+            " '20', CAST(NULL AS STRING), 'Mars tér 20.', "
+            " NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, "
+            " NULL, NULL, NULL, NULL)"
+            ") AS t(code, lat, lon, postcode, city, branch, description, "
+            "nonstop, ref, public_holiday_open, street, housenumber, "
+            "conscriptionnumber, original, mo_open, mo_close, tu_open, "
+            "tu_close, we_open, we_close, th_open, th_close, fr_open, "
+            "fr_close, sa_open, sa_close, su_open, su_close)"
         ),
         "provider_atp_types": (
             "SELECT * FROM (VALUES "

@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 
 from ..geo import fix_hu_coordinates
 from ..functions.spark_udfs import (
+    parse_address_udf,
     clean_city_udf,
     clean_email_udf,
     clean_phone_udf,
@@ -854,4 +855,115 @@ def posta_json_offices(spark: SparkSession, json_path: str) -> DataFrame:
         set_housenumber_udf(ex.housenumber).alias("housenumber"),
         ex.conscriptionnumber.alias("conscriptionnumber"),
         clean_string_udf(F.col("address")).alias("original"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Foxpost / Packeta parcel lockers (dataproviders/hu_foxpost.py:129-189)
+# ---------------------------------------------------------------------------
+
+# clean_opening_hours's range pattern (address.py:34)
+_FOX_OH_RX = r"0*[0-9]{1,2}:0*[0-9]{1,2}\s*-\s*0*[0-9]{1,2}:0*[0-9]{1,2}"
+
+# WeekDaysLongHUUnAccented 0..6 → feed keys (utils/enums.py:56-63)
+_FOX_DAYS = [
+    ("mo", "hetfo"), ("tu", "kedd"), ("we", "szerda"), ("th", "csutortok"),
+    ("fr", "pentek"), ("sa", "szombat"), ("su", "vasarnap"),
+]
+
+
+def _clean_opening_hours_expr(c):
+    """``clean_opening_hours`` (address.py:540-555) as pure column exprs:
+    regex *search* for the first time range, strip ALL whitespace, split on
+    the dash, zfill(5) each half. zfill does not truncate, so a >5-char
+    half ('006:30') passes through unchanged — preserved via the
+    length-guarded lpad."""
+    m = F.regexp_extract(c, _FOX_OH_RX, 0)
+    compact = F.regexp_replace(m, r"\s", "")
+    halves = F.split(compact, "-")
+
+    def z5(x):
+        return F.when(F.length(x) >= 5, x).otherwise(F.lpad(x, 5, "0"))
+
+    ok = c.isNotNull() & (m != F.lit(""))
+    return F.when(ok, z5(halves[0])), F.when(ok, z5(halves[1]))
+
+
+def foxpost_lockers(spark: SparkSession, json_path: str) -> DataFrame:
+    """Foxpost/Packeta parcel-locker feed (``dataproviders/hu_foxpost.py:
+    129-189``) as one projection. Semantics preserved:
+
+    - falsy ``variant`` → record skipped (:137-139); unknown variant →
+      code NULL but the record is still emitted (:147-148 only assigns on
+      a map hit, after the previous record's ``clear_all``);
+    - missing ``paymentOptions`` → ``len(None)`` TypeError → the
+      per-record except swallows the row (:155, :183). The payment tag
+      updates themselves mutate ``self.tags`` AFTER ``types()`` has
+      registered the per-code tag dicts, so they have no per-row output
+      effect — consciously not modeled (:159-163);
+    - truthy description containing 'kültéri' → nonstop True and the
+      per-day block is skipped; other truthy descriptions read
+      ``poi_data['open'][day]`` so a NULL ``open`` object raises and
+      drops the row; falsy description skips the block entirely,
+      leaving nonstop and all day columns NULL (:165-176);
+    - the feed's zip/city fields are DEAD: the trailing waxeye
+      tuple-assignment overwrites postcode and city unconditionally —
+      postcode through clean_postcode, city through the raw clean_string
+      setter (:151-152 vs :178-179, poi_dataset.py:192-204);
+    - coordinates go through check_hu_boundary (swap + repoint, :149);
+      ref = clean_string(operator_id) (:181); public_holiday_open False.
+    """
+    s = spark.read.option("multiLine", "true").json(json_path)
+    desc = clean_string_udf(F.col("findme"))
+    s = s.withColumn("description", desc)
+    keep = (
+        F.col("variant").isNotNull()
+        & (F.col("variant") != "")
+        & F.col("paymentOptions").isNotNull()
+        & ~(
+            F.col("description").isNotNull()
+            & ~F.col("description").contains("kültéri")
+            & F.col("open").isNull()
+        )
+    )
+    s = s.where(keep)
+
+    vu = F.upper(F.col("variant"))
+    code = (
+        F.when(vu == "FOXPOST A-BOX", F.lit("hufoxpocso"))
+        .when(vu == "FOXPOST Z-BOX", F.lit("hufoxpzcso"))
+        .when(vu == "PACKETA Z-PONT", F.lit("hupacketpp"))
+        .when(vu == "PACKETA Z-BOX", F.lit("hupackecso"))
+    )
+    lat_fixed, lon_fixed = fix_hu_coordinates(
+        F.col("geolat").cast("double"), F.col("geolng").cast("double")
+    )
+    is_kulteri = F.col("description").isNotNull() & F.col("description").contains(
+        "kültéri"
+    )
+    use_oh = F.col("description").isNotNull() & ~is_kulteri
+    ex = parse_address_udf(F.col("address"))
+
+    day_cols = []
+    for d, hu_key in _FOX_DAYS:
+        o, c = _clean_opening_hours_expr(F.col("open").getField(hu_key))
+        day_cols.append(F.when(use_oh, o).alias(f"{d}_open"))
+        day_cols.append(F.when(use_oh, c).alias(f"{d}_close"))
+
+    return s.select(
+        code.alias("code"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        clean_postcode_udf(ex.postcode).alias("postcode"),
+        clean_string_udf(ex.city).alias("city"),
+        set_branch_udf(F.col("name")).alias("branch"),
+        F.col("description"),
+        F.when(is_kulteri, F.lit(True)).alias("nonstop"),
+        clean_string_udf(F.col("operator_id")).alias("ref"),
+        F.lit(False).alias("public_holiday_open"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        clean_string_udf(F.col("address")).alias("original"),
+        *day_cols,
     )

@@ -279,3 +279,38 @@ def test_posta_json_provider_mapping(spark):
     assert rows["1062"]["lat"] == 19.0571  # swapped feed coords kept RAW
     assert rows["9999"]["code"] is None  # unknown type after clear_all
     assert rows["1041"]["postcode"] == "1041"  # ' 1041 ' stripped
+
+
+def test_foxpost_provider_mapping(spark):
+    """hu_foxpost.py:129-189: variant map with NULL-code passthrough,
+    falsy-variant / missing-paymentOptions / NULL-`open` row drops,
+    kültéri nonstop, clean_opening_hours zfill(5) (incl. the >5-char
+    no-op), waxeye overwrite of the feed's zip/city, coordinate swap."""
+    from osm_poi_matchmaker_spark.sources.providers import foxpost_lockers
+
+    rows = {
+        r["ref"]: r
+        for r in foxpost_lockers(spark, os.path.join(FIX, "foxpost.json")).collect()
+    }
+    # rows 1006 (variant NULL), 1007 (variant ''), 1008 (no paymentOptions),
+    # 1009 (truthy non-kültéri description + NULL open) all drop
+    assert set(rows) == {"HU0021", "HU0155", "ZB9001", "ZP0777", "AZ0001"}
+    r1 = rows["HU0021"]
+    assert r1["code"] == "hufoxpocso"
+    assert r1["mo_open"] == "08:00" and r1["mo_close"] == "20:00"  # zfill '8:00'
+    assert r1["we_open"] == "08:00"  # '08:00 - 20:00' whitespace stripped
+    assert r1["su_open"] is None and r1["nonstop"] is None
+    r2 = rows["HU0155"]
+    assert r2["nonstop"] is True  # 'kültéri' in description
+    assert r2["mo_open"] is None  # day block skipped entirely
+    assert r2["lat"] == 47.4756 and r2["lon"] == 19.047  # swapped feed coords
+    r3 = rows["ZB9001"]
+    assert r3["code"] == "hupackecso"  # mixed-case variant upper()d
+    assert r3["nonstop"] is None and r3["mo_open"] is None  # falsy description
+    r4 = rows["ZP0777"]
+    assert r4["street"] == "Király utca"  # waxeye 'u.' → 'utca'
+    assert r4["fr_open"] == "006:30"  # zfill(5) no-op for >5 chars
+    r5 = rows["AZ0001"]
+    assert r5["code"] is None  # unknown variant emits with NULL code
+    assert r5["postcode"] is None and r5["city"] is None  # zip/city fields dead
+    assert r5["housenumber"] == "20"  # extract_all_address fallback quirk
