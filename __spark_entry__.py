@@ -833,6 +833,26 @@ def _q_provider_foxpost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return foxpost_lockers(spark, path)
 
 
+def _q_provider_mobiliti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_mobiliti_ev (dataproviders/hu_mobiliti_ev.py:49-140): EV-charger
+    feed — the evses port fold with per-class quantity accumulation and
+    last-port-wins output/current/voltage, per-record drops (NULL evses /
+    plugType / power / current / voltage, NULL quantity onto a non-None
+    count), and the guarded-setter state LEAK: dropped records' counts,
+    currents and voltages carry into the next added record because the
+    per-record None re-inits are no-ops (only the *_output strings reset)
+    and counts keep summing across the leak. Street extraction runs on
+    the full address string (prefix kept). Ordered posexplode feed +
+    single-group applyInPandas scan. Fixed fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import mobiliti_chargers
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "mobiliti_ev.json",
+    )
+    return mobiliti_chargers(spark, path)
+
+
 def _q_atp_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hu_alltheplaces spider registry (hu_alltheplaces.py:227-351) as one
     plan over the insights JSON: falsy brand chain, first-brand-wins per
@@ -1684,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "live_tags_cache": _q_live_tags_cache,
         "provider_posta_json": _q_provider_posta_json,
         "provider_foxpost": _q_provider_foxpost,
+        "provider_mobiliti": _q_provider_mobiliti,
         "doc_split": _q_doc_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "tag_merge": _q_tag_merge,
@@ -2138,6 +2159,83 @@ def oracle_sql() -> dict[str, str]:
             "conscriptionnumber, original, mo_open, mo_close, tu_open, "
             "tu_close, we_open, we_close, th_open, th_close, fr_open, "
             "fr_close, sa_open, sa_close, su_open, su_close)"
+        ),
+        "provider_mobiliti": (
+            "SELECT * FROM (VALUES "
+            "('humobilchs', 'HU-MOB-001', 'Mobiliti Krisztina', '1013', "
+            " 'Budapest', '1013 Budapest, Krisztina körút', '37/A', "
+            " CAST(NULL AS STRING), '1013 Budapest, Krisztina körút 37/a', "
+            " 47.4979, 19.0326, 'ABB', "
+            " 3, '11 kW', 16, 230, "
+            " CAST(NULL AS INTEGER), CAST(NULL AS STRING), "
+            " CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), "
+            " 1, '50 kW', 125, 500, "
+            " CAST(NULL AS INTEGER), CAST(NULL AS STRING), "
+            " CAST(NULL AS INTEGER), CAST(NULL AS INTEGER)), "
+            "('humobilchs', '12345', 'Mobiliti Győr Árkád', '9027', 'Győr', "
+            " '6722 Szeged, Kálvária sugárút', '23', CAST(NULL AS STRING), "
+            " '6722 Szeged, Kálvária sgt. 23.', 47.6832, 17.6351, "
+            " CAST(NULL AS STRING), "
+            " CAST(NULL AS INTEGER), CAST(NULL AS STRING), "
+            " CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), "
+            " 4, '22 kW', 32, 400, "
+            " CAST(NULL AS INTEGER), CAST(NULL AS STRING), "
+            " CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), "
+            " 2, CAST(NULL AS STRING), 200, 920), "
+            "('humobilchs', 'HU-MOB-005', 'Mobiliti Péterfia', '4026', "
+            " 'Debrecen', '4026 Debrecen, Péterfia utca', '18', "
+            " CAST(NULL AS STRING), '4026 Debrecen, Péterfia utca 18.', "
+            " 47.5289, 19.0611, 'EVBox', "
+            " CAST(NULL AS INTEGER), CAST(NULL AS STRING), "
+            " CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), "
+            " CAST(NULL AS INTEGER), CAST(NULL AS STRING), "
+            " CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), "
+            " 2, '50 kW', 125, 500, "
+            " CAST(NULL AS INTEGER), CAST(NULL AS STRING), "
+            " CAST(NULL AS INTEGER), CAST(NULL AS INTEGER)), "
+            "('humobilchs', 'HU-MOB-007', 'Mobiliti Sport', '2040', "
+            " 'Budaörs', '2040 Budaörs, Sport utca', '2-4', "
+            " CAST(NULL AS STRING), '2040 Budaörs, Sport utca 2-4.', "
+            " 47.4625, 18.9622, 'ABB', "
+            " CAST(NULL AS INTEGER), CAST(NULL AS STRING), "
+            " CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), "
+            " CAST(NULL AS INTEGER), CAST(NULL AS STRING), "
+            " CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), "
+            " 5, '50 kW', 125, 500, "
+            " CAST(NULL AS INTEGER), CAST(NULL AS STRING), "
+            " CAST(NULL AS INTEGER), CAST(NULL AS INTEGER)), "
+            "('humobilchs', 'HU-MOB-008', 'Mobiliti Szentpáli', '3525', "
+            " 'Miskolc', '3525 Miskolc, Szentpáli utca', '2-6', "
+            " CAST(NULL AS STRING), '3525 Miskolc, Szentpáli utca 2-6.', "
+            " 48.1031, 20.7784, 'Wallbox', "
+            " CAST(NULL AS INTEGER), CAST(NULL AS STRING), "
+            " CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), "
+            " CAST(NULL AS INTEGER), CAST(NULL AS STRING), "
+            " CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), "
+            " CAST(NULL AS INTEGER), '100 kW', 250, 400, "
+            " CAST(NULL AS INTEGER), CAST(NULL AS STRING), "
+            " CAST(NULL AS INTEGER), CAST(NULL AS INTEGER)), "
+            "('humobilchs', 'HU-MOB-010', 'Mobiliti Hunyadi', '1117', "
+            " 'Budapest', '1117 Budapest, Hunyadi János út', '19', "
+            " CAST(NULL AS STRING), '1117 Budapest, Hunyadi János út 19.', "
+            " 47.4702, 19.0539, 'ABB', "
+            " 2, CAST(NULL AS STRING), 32, 400, "
+            " CAST(NULL AS INTEGER), CAST(NULL AS STRING), "
+            " CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), "
+            " CAST(NULL AS INTEGER), CAST(NULL AS STRING), "
+            " CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), "
+            " CAST(NULL AS INTEGER), CAST(NULL AS STRING), "
+            " CAST(NULL AS INTEGER), CAST(NULL AS INTEGER))"
+            ") AS t(code, ref, branch, postcode, city, street, housenumber, "
+            "conscriptionnumber, original, lat, lon, manufacturer, "
+            "socket_type2_cable, socket_type2_cable_output, "
+            "socket_type2_cable_current, socket_type2_cable_voltage, "
+            "socket_type2_cableless, socket_type2_cableless_output, "
+            "socket_type2_cableless_current, socket_type2_cableless_voltage, "
+            "socket_chademo, socket_chademo_output, "
+            "socket_chademo_current, socket_chademo_voltage, "
+            "socket_type2_combo, socket_type2_combo_output, "
+            "socket_type2_combo_current, socket_type2_combo_voltage)"
         ),
         "provider_atp_types": (
             "SELECT * FROM (VALUES "

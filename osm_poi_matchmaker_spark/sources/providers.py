@@ -967,3 +967,199 @@ def foxpost_lockers(spark: SparkSession, json_path: str) -> DataFrame:
         clean_string_udf(F.col("address")).alias("original"),
         *day_cols,
     )
+
+
+# ---------------------------------------------------------------------------
+# Mobiliti EV chargers (dataproviders/hu_mobiliti_ev.py:49-140)
+# ---------------------------------------------------------------------------
+
+_EV_PORT_T = T.StructType(
+    [
+        T.StructField("plugType", T.StringType()),
+        T.StructField("cableAttached", T.BooleanType()),
+        T.StructField("quantity", T.LongType()),
+        T.StructField("power", T.LongType()),
+        T.StructField("current", T.LongType()),
+        T.StructField("voltage", T.LongType()),
+    ]
+)
+
+_EV_REC_T = T.StructType(
+    [
+        T.StructField("id", T.StringType()),  # numeric feed ids parse to text
+        T.StructField("name", T.StringType()),
+        T.StructField("postalCode", T.StringType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("address", T.StringType()),
+        T.StructField("Cím", T.StringType()),
+        T.StructField("latitude", T.DoubleType()),
+        T.StructField("longitude", T.DoubleType()),
+        T.StructField("manufacturer", T.StringType()),
+        T.StructField("evses", T.ArrayType(_EV_PORT_T)),
+    ]
+)
+
+# plug class → exported column prefix (POI_COLS_RAW names)
+_EV_CLASS_COLS = {
+    "cable": "socket_type2_cable",
+    "cableless": "socket_type2_cableless",
+    "chademo": "socket_chademo",
+    "combo": "socket_type2_combo",
+}
+
+_EV_SCAN_SCHEMA = T.StructType(
+    [T.StructField("pos", T.IntegerType()), T.StructField("kept", T.BooleanType())]
+    + [
+        T.StructField(name, typ)
+        for prefix in _EV_CLASS_COLS.values()
+        for name, typ in (
+            (prefix, T.IntegerType()),
+            (f"{prefix}_output", T.StringType()),
+            (f"{prefix}_current", T.IntegerType()),
+            (f"{prefix}_voltage", T.IntegerType()),
+        )
+    ]
+)
+
+
+def _ev_socket_scan(pdf):
+    """The per-record `evses` fold of hu_mobiliti_ev.py:75-129, with the
+    reference's cross-record state leak reproduced.
+
+    The provider "re-initializes" every socket field to None per record
+    (:75-93), but the numeric setters are GUARDED — ``if clean_string(data)
+    is not None`` (poi_dataset.py:399-491) — so assigning None is a no-op:
+    only the four *_output string fields actually reset. A record dropped
+    by the per-record except (NULL ``evses``, NULL plugType, NULL
+    power/current/voltage, or NULL quantity added onto a non-None count)
+    never reaches ``add()``'s ``clear_all``, so its accumulated counts,
+    currents and voltages LEAK into the next record — counts even keep
+    summing (`cable + quantity` reads the leaked value). This is
+    inherently sequential mutable state, so it runs as one ordered pandas
+    scan; provider feeds are dimension-sized (10^3-10^5 rows), never the
+    pages table, so a single-group scan is the honest physical plan.
+    """
+    import pandas as _pd
+
+    pdf = pdf.sort_values("pos")
+    counts = dict.fromkeys(_EV_CLASS_COLS)
+    curs = dict.fromkeys(_EV_CLASS_COLS)
+    volts = dict.fromkeys(_EV_CLASS_COLS)
+    rows = []
+    for pos, evses in zip(pdf["pos"], pdf["evses"]):
+        outs = dict.fromkeys(_EV_CLASS_COLS)  # the only real per-record reset
+        kept = True
+        if evses is None:
+            kept = False  # `for port in None` → TypeError → record skipped
+        else:
+            for port in evses:
+                t = port.get("plugType")
+                if t is None:
+                    kept = False  # None.upper() → AttributeError
+                    break
+                u = t.upper()
+                if u == "TYPE2":
+                    cls = "cable" if port.get("cableAttached") else "cableless"
+                elif u == "CHADEMO":
+                    cls = "chademo"
+                elif u == "CCS":
+                    cls = "combo"
+                else:
+                    continue  # 'Non processed EV port type.'
+                q = port.get("quantity")
+                if counts[cls] is None:
+                    if q is not None:  # guarded setter: None assign is a no-op
+                        counts[cls] = int(q)
+                else:
+                    if q is None:
+                        kept = False  # int + None → TypeError
+                        break
+                    counts[cls] = counts[cls] + int(q)
+                p = port.get("power")
+                if p is None:
+                    kept = False  # int(None) in the kW format → TypeError
+                    break
+                outs[cls] = "{0:d} kW".format(int(p) // 1000)
+                cur = port.get("current")
+                if cur is None:
+                    kept = False
+                    break
+                curs[cls] = int(cur)
+                v = port.get("voltage")
+                if v is None:
+                    kept = False
+                    break
+                volts[cls] = int(v)
+        row = {"pos": pos, "kept": kept}
+        for cls, prefix in _EV_CLASS_COLS.items():
+            row[prefix] = counts[cls]
+            row[f"{prefix}_output"] = outs[cls]
+            row[f"{prefix}_current"] = curs[cls]
+            row[f"{prefix}_voltage"] = volts[cls]
+        rows.append(row)
+        if kept:  # add() ran → clear_all resets the private attrs directly
+            counts = dict.fromkeys(_EV_CLASS_COLS)
+            curs = dict.fromkeys(_EV_CLASS_COLS)
+            volts = dict.fromkeys(_EV_CLASS_COLS)
+    # object-dtype columns keep int/None as-is (no float64+NaN coercion)
+    names = [f.name for f in _EV_SCAN_SCHEMA.fields]
+    return _pd.DataFrame(
+        {c: _pd.Series([r[c] for r in rows], dtype="object") for c in names},
+        columns=names,
+    )
+
+
+def mobiliti_chargers(spark: SparkSession, json_path: str) -> DataFrame:
+    """Mobiliti EV-charger feed (``dataproviders/hu_mobiliti_ev.py:49-140``).
+
+    Stateless fields are declarative column exprs / Arrow UDFs; the
+    ``evses`` port fold (with its guarded-setter state leak, see
+    :func:`_ev_socket_scan`) runs as one ordered applyInPandas scan keyed
+    on the record's position in the feed array — the read is
+    ``wholetext`` + ``posexplode(from_json(...))`` so the position is an
+    explicit column, not an accident of partitioning. Quirks preserved:
+
+    - street/housenumber extraction runs on the FULL address string
+      (the reference passes ``address``, not a street substring, so the
+      '1013 Budapest, Krisztina körút' prefix stays in the street);
+      the preceding extraction from the 'Cím' field is dead — its result
+      is immediately overwritten (:67-71);
+    - numeric feed ids stringify through clean_string (:60);
+    - postcode = clean_string into the clean_postcode setter (:65);
+      city = clean_city into the clean_string setter (:66);
+    - lat/lon via check_hu_boundary (:73-74); manufacturer raw through
+      the clean_string setter (:130); code is constant 'humobilchs'.
+    """
+    doc = spark.read.text(json_path, wholetext=True)
+    recs = doc.select(
+        F.posexplode(F.from_json("value", T.ArrayType(_EV_REC_T))).alias("pos", "r")
+    ).select("pos", "r.*")
+
+    scan = (
+        recs.select("pos", "evses", F.lit(1).alias("g"))
+        .groupBy("g")
+        .applyInPandas(_ev_socket_scan, schema=_EV_SCAN_SCHEMA)
+    )
+
+    lat_fixed, lon_fixed = fix_hu_coordinates(F.col("latitude"), F.col("longitude"))
+    ex = extract_street_udf(F.col("address"))
+    out = recs.join(F.broadcast(scan), "pos").where(F.col("kept"))
+    return out.select(
+        F.lit("humobilchs").alias("code"),
+        clean_string_udf(F.col("id")).alias("ref"),
+        set_branch_udf(F.col("name")).alias("branch"),
+        clean_postcode_udf(F.col("postalCode")).alias("postcode"),
+        clean_city_udf(F.col("city")).alias("city"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        clean_string_udf(F.col("address")).alias("original"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        clean_string_udf(F.col("manufacturer")).alias("manufacturer"),
+        *[
+            F.col(c).alias(c)
+            for prefix in _EV_CLASS_COLS.values()
+            for c in (prefix, f"{prefix}_output", f"{prefix}_current", f"{prefix}_voltage")
+        ],
+    )

@@ -314,3 +314,50 @@ def test_foxpost_provider_mapping(spark):
     assert r5["code"] is None  # unknown variant emits with NULL code
     assert r5["postcode"] is None and r5["city"] is None  # zip/city fields dead
     assert r5["housenumber"] == "20"  # extract_all_address fallback quirk
+
+
+def test_mobiliti_provider_mapping(spark):
+    """hu_mobiliti_ev.py:49-140: evses fold (quantity accumulation,
+    last-port-wins output/current/voltage, TESLA ports ignored), per-record
+    drops, and the guarded-setter cross-record leak — counts/currents/
+    voltages survive a dropped record and counts keep SUMMING across it,
+    while *_output strings reset per record."""
+    from osm_poi_matchmaker_spark.sources.providers import mobiliti_chargers
+
+    rows = {
+        r["ref"]: r
+        for r in mobiliti_chargers(
+            spark, os.path.join(FIX, "mobiliti_ev.json")
+        ).collect()
+    }
+    # HU-MOB-002 (NULL plugType), -004 (NULL evses), -006 (NULL power),
+    # -009 (NULL quantity onto non-None count) drop
+    assert set(rows) == {
+        "HU-MOB-001", "12345", "HU-MOB-005", "HU-MOB-007", "HU-MOB-008",
+        "HU-MOB-010",
+    }
+    r1 = rows["HU-MOB-001"]
+    assert r1["socket_type2_cable"] == 3  # 2 + 1 accumulated
+    assert r1["socket_type2_cable_output"] == "11 kW"  # last port wins
+    assert r1["socket_type2_cable_voltage"] == 230
+    assert r1["socket_chademo"] == 1
+    assert r1["socket_type2_combo"] is None  # TESLA port ignored
+    assert r1["street"] == "1013 Budapest, Krisztina körút"  # full-addr quirk
+    assert r1["housenumber"] == "37/A"
+    r3 = rows["12345"]  # numeric feed id stringified
+    assert r3["socket_type2_combo"] == 2  # leaked from dropped HU-MOB-002
+    assert r3["socket_type2_combo_output"] is None  # outputs DO reset
+    assert r3["socket_type2_combo_current"] == 200  # currents leak
+    assert r3["socket_type2_combo_voltage"] == 920
+    assert r3["manufacturer"] is None
+    assert rows["HU-MOB-005"]["lat"] == 47.5289  # swapped coords fixed
+    # chademo count leaked 3 from dropped HU-MOB-006 then summed with 2
+    assert rows["HU-MOB-007"]["socket_chademo"] == 5
+    r8 = rows["HU-MOB-008"]
+    # NULL quantity on a None count: count never set, but out/cur/volt are
+    assert r8["socket_chademo"] is None
+    assert r8["socket_chademo_output"] == "100 kW"
+    r10 = rows["HU-MOB-010"]  # empty evses, inherits dropped -009's state
+    assert r10["socket_type2_cable"] == 2
+    assert r10["socket_type2_cable_output"] is None
+    assert r10["socket_type2_cable_current"] == 32
