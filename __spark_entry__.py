@@ -853,6 +853,25 @@ def _q_provider_mobiliti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mobiliti_chargers(spark, path)
 
 
+def _q_provider_shell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_shell (dataproviders/hu_shell.py:50-113): fuel-station feed as a
+    fully declarative projection — HU country filter, the
+    capitalize-all-but-last-two-tokens street rewrite (pure array exprs),
+    city fallback to the station name through clean_city(x.title()),
+    empty-vs-absent website/postcode/telephone defaults, 24/7 amenity →
+    nonstop+public_holiday_open, the unconditional fuel_* True family and
+    amenity-driven boolean setters (never False — absent stays NULL), and
+    row drops on missing address/amenities. Fixed fixture → golden-row
+    oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import shell_stations
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "shell.json",
+    )
+    return shell_stations(spark, path)
+
+
 def _q_atp_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hu_alltheplaces spider registry (hu_alltheplaces.py:227-351) as one
     plan over the insights JSON: falsy brand chain, first-brand-wins per
@@ -1705,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_posta_json": _q_provider_posta_json,
         "provider_foxpost": _q_provider_foxpost,
         "provider_mobiliti": _q_provider_mobiliti,
+        "provider_shell": _q_provider_shell,
         "doc_split": _q_doc_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "tag_merge": _q_tag_merge,
@@ -2159,6 +2179,39 @@ def oracle_sql() -> dict[str, str]:
             "conscriptionnumber, original, mo_open, mo_close, tu_open, "
             "tu_close, we_open, we_close, th_open, th_close, fr_open, "
             "fr_close, sa_open, sa_close, su_open, su_close)"
+        ),
+        "provider_shell": (
+            "SELECT * FROM (VALUES "
+            "('hushellfu', 'https://shell.hu/budaors', '2040', 'Budaörs', "
+            " 'Shell Budaörs', true, true, 'KISKŐRÖSI ÚT 4.', 47.46, 18.96, "
+            " 'Kiskőrösi út', '4', CAST(NULL AS STRING), '+36 23 415 701', "
+            " true, true, true, true, true, true, true, true, true), "
+            "('hushellfu', 'https://shell.hu/gyor', '9012', 'Győr', "
+            " 'Shell Győr', CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), "
+            " 'BUDAPESTI ÚT 154.', 47.653, 17.626, 'Budapesti út', '154', "
+            " CAST(NULL AS STRING), '+36 96 555 222', "
+            " true, true, true, true, CAST(NULL AS BOOLEAN), true, "
+            " CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), "
+            " CAST(NULL AS BOOLEAN)), "
+            "('hushellfu', 'https://shell.hu/', '9155', 'Lébény', "
+            " 'Shell M1 Lébény', CAST(NULL AS BOOLEAN), "
+            " CAST(NULL AS BOOLEAN), 'M1 AUTÓPÁLYA', 47.7306, 17.3849, "
+            " 'm1 autópálya', CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            " '+36 96 123 456', true, true, true, true, "
+            " CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), "
+            " CAST(NULL AS BOOLEAN), true, CAST(NULL AS BOOLEAN)), "
+            "('hushellfu', 'https://shell.hu/', CAST(NULL AS STRING), "
+            " 'Hegyeshalom', 'Hegyeshalom', CAST(NULL AS BOOLEAN), "
+            " CAST(NULL AS BOOLEAN), 'FŐ ÚT 1.', 47.9089, 17.1572, "
+            " 'Fő út', '1', CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            " true, true, true, true, CAST(NULL AS BOOLEAN), "
+            " CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), "
+            " CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN))"
+            ") AS t(code, website, postcode, city, branch, nonstop, "
+            "public_holiday_open, original, lat, lon, street, housenumber, "
+            "conscriptionnumber, phone, fuel_octane_95, fuel_diesel, "
+            "fuel_octane_100, fuel_diesel_gtl, compressed_air, fuel_adblue, "
+            "restaurant, food, truck)"
         ),
         "provider_mobiliti": (
             "SELECT * FROM (VALUES "

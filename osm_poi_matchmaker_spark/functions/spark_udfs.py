@@ -182,3 +182,15 @@ def set_housenumber_udf(s: pd.Series) -> pd.Series:
     """``POIDatasetRaw.housenumber`` setter (poi_dataset.py:613-620):
     clean_string, falsy → None, length ≥ 16 → None."""
     return s.map(_set_housenumber, na_action="ignore")
+
+
+@F.pandas_udf(T.StringType())
+def clean_city_title_udf(s: pd.Series) -> pd.Series:
+    """``clean_city(x.title())`` — hu_shell.py:72-76 titles the feed value
+    BEFORE clean_city (whose case-sensitive typo replacements see the
+    titled form). Python ``str.title()`` capitalizes after hyphens too,
+    unlike Spark's initcap, so this stays a pandas UDF."""
+    return pd.Series(
+        [hu.clean_city(v.title()) if isinstance(v, str) else None for v in s],
+        dtype="object",
+    )

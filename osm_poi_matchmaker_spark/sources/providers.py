@@ -29,6 +29,7 @@ from pyspark.sql import types as T
 from ..geo import fix_hu_coordinates
 from ..functions.spark_udfs import (
     parse_address_udf,
+    clean_city_title_udf,
     clean_city_udf,
     clean_email_udf,
     clean_phone_udf,
@@ -1162,4 +1163,122 @@ def mobiliti_chargers(spark: SparkSession, json_path: str) -> DataFrame:
             for prefix in _EV_CLASS_COLS.values()
             for c in (prefix, f"{prefix}_output", f"{prefix}_current", f"{prefix}_voltage")
         ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shell fuel stations (dataproviders/hu_shell.py:50-113)
+# ---------------------------------------------------------------------------
+
+_SHELL_REC_T = T.StructType(
+    [
+        T.StructField("country_code", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("postcode", T.StringType()),
+        T.StructField("address", T.StringType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lng", T.DoubleType()),
+        T.StructField("website_url", T.StringType()),
+        T.StructField("telephone", T.StringType()),  # numeric ids → text (str())
+        T.StructField("amenities", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def shell_stations(spark: SparkSession, json_path: str) -> DataFrame:
+    """Shell fuel-station feed (``dataproviders/hu_shell.py:50-113``) as one
+    fully declarative projection — no sequential state, every cleaner a
+    column expr or Arrow UDF. Semantics preserved:
+
+    - non-'HU' ``country_code`` skipped (:59-63); missing ``address``
+      (None.lower()) or missing ``amenities`` (``in None``) → the
+      per-record except drops the row (:67, :81);
+    - the street string is ``address.lower().split()`` with every token
+      EXCEPT THE LAST TWO ``str.capitalize()``d, re-joined, then fed to
+      extract_street_housenumber_better_2 (:67-70, :87-88) — so a
+      two-token address stays all-lowercase ('m1 autópálya');
+    - city falls back to the station NAME when the city field is empty,
+      both through ``clean_city(x.title())`` (:71-78);
+    - empty/absent website_url → literal 'https://shell.hu/' (:65);
+      empty postcode/telephone → NULL (:66, :89);
+    - 'twenty_four_hour' amenity sets nonstop AND public_holiday_open
+      (never False — absent leaves both NULL, :81-83);
+    - fuel_octane_95/diesel/octane_100/diesel_gtl unconditionally True
+      (:91-94); compressed_air / fuel_adblue (3 amenity aliases) /
+      restaurant / food (2 aliases) / truck from amenity membership
+      (:95-105); original is the RAW address through the clean_string
+      setter (whitespace collapse only, case kept).
+    """
+    s = (
+        spark.read.schema(_SHELL_REC_T)
+        .option("multiLine", "true")
+        .json(json_path)
+        .where(
+            (F.col("country_code") == "HU")
+            & F.col("address").isNotNull()
+            & F.col("amenities").isNotNull()
+        )
+    )
+
+    toks = F.filter(F.split(F.lower(F.col("address")), r"\s+"), lambda x: x != "")
+    # str.capitalize() on an already-lowercased token = upper(first char)
+    cap = lambda x: F.concat(
+        F.upper(x.substr(F.lit(1), F.lit(1))), x.substr(F.lit(2), F.length(x))
+    )
+    street_tmp = F.array_join(
+        F.transform(
+            toks, lambda x, i: F.when(i < F.size(toks) - 2, cap(x)).otherwise(x)
+        ),
+        " ",
+    )
+    ex = extract_street_udf(street_tmp)
+    lat_fixed, lon_fixed = fix_hu_coordinates(F.col("lat"), F.col("lng"))
+    am = F.col("amenities")
+    has = lambda a: F.array_contains(am, a)
+    tflag = lambda c: F.when(c, F.lit(True))  # set-True-or-leave-NULL setters
+    city_ok = F.col("city").isNotNull() & (F.col("city") != "")
+    name_ok = F.col("name").isNotNull() & (F.col("name") != "")
+
+    return s.select(
+        F.lit("hushellfu").alias("code"),
+        F.when(
+            F.col("website_url").isNotNull() & (F.col("website_url") != ""),
+            clean_url_udf(F.col("website_url")),
+        )
+        .otherwise(F.lit("https://shell.hu/"))
+        .alias("website"),
+        F.when(
+            F.col("postcode").isNotNull() & (F.col("postcode") != ""),
+            clean_postcode_udf(F.col("postcode")),
+        ).alias("postcode"),
+        F.when(city_ok, clean_city_title_udf(F.col("city")))
+        .otherwise(F.when(name_ok, clean_city_title_udf(F.col("name"))))
+        .alias("city"),
+        F.when(name_ok, set_branch_udf(F.col("name"))).alias("branch"),
+        tflag(has("twenty_four_hour")).alias("nonstop"),
+        tflag(has("twenty_four_hour")).alias("public_holiday_open"),
+        F.when(
+            F.col("address") != "", clean_string_udf(F.col("address"))
+        ).alias("original"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        F.when(
+            F.col("telephone").isNotNull() & (F.col("telephone") != ""),
+            clean_phone_udf(F.col("telephone")),
+        ).alias("phone"),
+        F.lit(True).alias("fuel_octane_95"),
+        F.lit(True).alias("fuel_diesel"),
+        F.lit(True).alias("fuel_octane_100"),
+        F.lit(True).alias("fuel_diesel_gtl"),
+        tflag(has("air_and_water")).alias("compressed_air"),
+        tflag(
+            has("adblue_pack") | has("adblue_car") | has("adblue_truck")
+        ).alias("fuel_adblue"),
+        tflag(has("hot_food")).alias("restaurant"),
+        tflag(has("bakery_shop") | has("food_offerings")).alias("food"),
+        tflag(has("hgv_lane")).alias("truck"),
     )

@@ -361,3 +361,34 @@ def test_mobiliti_provider_mapping(spark):
     assert r10["socket_type2_cable"] == 2
     assert r10["socket_type2_cable_output"] is None
     assert r10["socket_type2_cable_current"] == 32
+
+
+def test_shell_provider_mapping(spark):
+    """hu_shell.py:50-113: HU filter, capitalize-all-but-last-two street
+    rewrite, city fallback to name, empty-field defaults, amenity booleans
+    (set-True-or-NULL), unconditional fuel_* family, row drops."""
+    from osm_poi_matchmaker_spark.sources.providers import shell_stations
+
+    rows = {
+        r["original"]: r
+        for r in shell_stations(spark, os.path.join(FIX, "shell.json")).collect()
+    }
+    # AT station filtered; missing amenities and missing address drop
+    assert set(rows) == {
+        "KISKŐRÖSI ÚT 4.", "BUDAPESTI ÚT 154.", "M1 AUTÓPÁLYA", "FŐ ÚT 1.",
+    }
+    r1 = rows["KISKŐRÖSI ÚT 4."]
+    assert r1["street"] == "Kiskőrösi út"  # lower → cap all but last two
+    assert r1["nonstop"] is True and r1["public_holiday_open"] is True
+    assert r1["fuel_adblue"] is True and r1["truck"] is True
+    r3 = rows["FŐ ÚT 1."]
+    assert r3["city"] == "Hegyeshalom"  # empty city falls back to name
+    assert r3["website"] == "https://shell.hu/"  # empty url default
+    assert r3["postcode"] is None and r3["phone"] is None
+    assert r3["nonstop"] is None  # empty amenities: never set to False
+    assert r3["fuel_octane_95"] is True  # unconditional fuel family
+    r5 = rows["M1 AUTÓPÁLYA"]
+    assert r5["street"] == "m1 autópálya"  # 2 tokens: nothing capitalized
+    assert r5["housenumber"] is None and r5["food"] is True
+    # double space collapsed by the clean_string original setter
+    assert rows["BUDAPESTI ÚT 154."]["street"] == "Budapesti út"
