@@ -872,6 +872,27 @@ def _q_provider_shell(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shell_stations(spark, path)
 
 
+def _q_provider_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_fire_station (dataproviders/hu_fire_station.py:94-160): HTML →
+    first <script> containing 'office_Map_data' → greedy single-line
+    array regex → per-record category→code map where a NULL name DROPS
+    categories 1/2/3 after the code assignment, leaking that code into
+    following unmapped-category records (running-segment window, no
+    Python in the carry); the name 'assignment' is a == comparison and
+    never stored; waxeye address split + phone/email cleaners. Fixed
+    fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import fire_stations
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "fire_station.html",
+    )
+    pages = spark.read.text(path, wholetext=True).select(
+        F.col("value").alias("html")
+    )
+    return fire_stations(pages)
+
+
 def _q_atp_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hu_alltheplaces spider registry (hu_alltheplaces.py:227-351) as one
     plan over the insights JSON: falsy brand chain, first-brand-wins per
@@ -1725,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_foxpost": _q_provider_foxpost,
         "provider_mobiliti": _q_provider_mobiliti,
         "provider_shell": _q_provider_shell,
+        "provider_fire": _q_provider_fire,
         "doc_split": _q_doc_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "tag_merge": _q_tag_merge,
@@ -2179,6 +2201,31 @@ def oracle_sql() -> dict[str, str]:
             "conscriptionnumber, original, mo_open, mo_close, tu_open, "
             "tu_close, we_open, we_close, th_open, th_close, fr_open, "
             "fr_close, sa_open, sa_close, su_open, su_close)"
+        ),
+        "provider_fire": (
+            "SELECT * FROM (VALUES "
+            "('hufiremsta', 47.684, 17.625, '9021', 'Győr', "
+            " 'Munkácsy Mihály utca', '4', CAST(NULL AS STRING), "
+            " '+36 96 512 610', 'gyor.htp@katved.gov.hu', "
+            " '9021 Győr, Munkácsy Mihály utca 4.'), "
+            "('hufireusta', 47.49, 19.08, '1081', 'Budapest', "
+            " 'Dologház utca', '1', CAST(NULL AS STRING), "
+            " '+36 1 459 2300', 'fokig@katved.gov.hu', "
+            " '1081 Budapest, Dologház utca 1.'), "
+            "('hufirelsta', 47.549, 17.755, '9090', 'Pannonhalma', "
+            " 'Dózsa György utca', '1', CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), 'pannonhalma.ko@katved.gov.hu', "
+            " '9090 Pannonhalma, Dózsa György utca 1.'), "
+            "(CAST(NULL AS STRING), 48.104, 20.779, '3525', 'Miskolc', "
+            " 'Dózsa György út', '15', CAST(NULL AS STRING), "
+            " '+36 46 502 962', CAST(NULL AS STRING), "
+            " '3525 Miskolc, Dózsa György út 15.'), "
+            "('hufirevsta', 47.33, 17.468, '8500', 'Pápa', "
+            " 'Fő utca', '12', CAST(NULL AS STRING), "
+            " '+36 89 313 644', 'papa.ote@example.hu', "
+            " '8500 Pápa, Fő utca 12.')"
+            ") AS t(code, lat, lon, postcode, city, street, housenumber, "
+            "conscriptionnumber, phone, email, original)"
         ),
         "provider_shell": (
             "SELECT * FROM (VALUES "

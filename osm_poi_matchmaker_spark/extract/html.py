@@ -172,3 +172,36 @@ def js_var_udf(html: pd.Series, varname: pd.Series) -> pd.Series:
         ],
         dtype="object",
     )
+
+
+def extract_script_array(raw: bytes | str, marker: str):
+    """First <script> whose text contains ``marker``, sliced by the
+    greedy SINGLE-LINE array regex ``(\\[.*\\]);`` — the
+    hu_fire_station.py:102-107 extraction. No DOTALL: the array literal
+    must sit on one physical line, and the greedy ``.*`` runs to the last
+    ``];`` on that line. No matching script → None (the reference's
+    NameError-in-except path yields zero rows)."""
+    text = (
+        raw.decode("utf-8", errors="replace")
+        if isinstance(raw, (bytes, bytearray))
+        else raw
+    )
+    sc = _ScriptCollector()
+    sc.feed(text)
+    sc.close()
+    script = next((s for s in sc.scripts if marker in s), None)
+    if script is None:
+        return None
+    m = re.search(r"(\[.*\]);", script)
+    return m.group(1) if m is not None else None
+
+
+@F.pandas_udf(T.StringType())
+def script_array_udf(html: pd.Series, marker: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if h is None else extract_script_array(h, mk)
+            for h, mk in zip(html, marker)
+        ],
+        dtype="object",
+    )

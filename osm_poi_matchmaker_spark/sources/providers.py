@@ -1282,3 +1282,104 @@ def shell_stations(spark: SparkSession, json_path: str) -> DataFrame:
         tflag(has("bakery_shop") | has("food_offerings")).alias("food"),
         tflag(has("hgv_lane")).alias("truck"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fire stations (dataproviders/hu_fire_station.py:94-160)
+# ---------------------------------------------------------------------------
+
+_FIRE_REC_T = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("category", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("address", T.StringType()),
+            T.StructField("phone", T.StringType()),
+            T.StructField("email", T.StringType()),
+            T.StructField("latitude", T.DoubleType()),
+            T.StructField("longitude", T.DoubleType()),
+        ]
+    )
+)
+
+
+def fire_stations(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Fire-station registry scraped from an HTML page column —
+    ``dataproviders/hu_fire_station.py:94-160`` as one plan.
+
+    The station array lives in the first ``<script>`` containing
+    'office_Map_data', sliced by the greedy single-line ``(\\[.*\\]);``
+    regex (extract/html.extract_script_array). Per-record semantics:
+
+    - category (clean_string'd) maps 1/2/3/5 → HTP/KVŐ/ÖTP/ÖTE codes;
+      categories 1/2/3 then call ``.replace`` on the name, so a NULL name
+      DROPS those records via the inner ``continue`` (:125-144) — but the
+      code was already assigned, and the record never reaches
+      ``clear_all``, so the code LEAKS into following records whose own
+      category maps to nothing (4/unknown). Category 5 never touches the
+      name. The leak is a per-feed carry-forward — expressed here as a
+      running added-count segment id + last(ignorenulls) window over the
+      feed order, no Python in the plan;
+    - the name "assignment" is ``==`` — a comparison, never stored
+      (:126, :134, :141) — so no name column is exported;
+    - address → waxeye extract_all_address (postcode/city/street/
+      housenumber/conscriptionnumber, the city through the raw
+      clean_string setter); phone → clean_phone_to_str; email →
+      clean_string into the clean_email setter; original = clean_string
+      (address); lat/lon via check_hu_boundary (:146-152).
+    """
+    from ..extract.html import script_array_udf
+
+    payload = script_array_udf(F.col(html_col), F.lit("office_Map_data"))
+    recs = (
+        pages.select(F.from_json(payload, _FIRE_REC_T).alias("pois"))
+        .where(F.col("pois").isNotNull())
+        .select(F.posexplode("pois").alias("pos", "p"))
+        .select("pos", "p.*")
+    )
+    cat = clean_string_udf(F.col("category"))
+    mapped = (
+        F.when(cat == "5", F.lit("hufirevsta"))
+        .when(cat == "3", F.lit("hufireusta"))
+        .when(cat == "2", F.lit("hufirelsta"))
+        .when(cat == "1", F.lit("hufiremsta"))
+    )
+    dropped = cat.isin("1", "2", "3") & F.col("name").isNull()
+    recs = recs.select(
+        "pos", "address", "phone", "email", "latitude", "longitude",
+        mapped.alias("mapped_code"),
+        dropped.alias("dropped"),
+    )
+
+    from pyspark.sql import Window
+
+    # feed-order windows: one tiny single-partition feed, never the pages
+    # table — the sequential clear_all boundary forces the global order
+    w_seg = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
+    w_code = (
+        Window.partitionBy("seg")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = recs.withColumn(
+        "seg",
+        F.coalesce(
+            F.sum(F.when(~F.col("dropped"), 1).otherwise(0)).over(w_seg), F.lit(0)
+        ),
+    ).withColumn("code", F.last("mapped_code", ignorenulls=True).over(w_code))
+
+    ex = parse_address_udf(F.col("address"))
+    lat_fixed, lon_fixed = fix_hu_coordinates(F.col("latitude"), F.col("longitude"))
+    return staged.where(~F.col("dropped")).select(
+        F.col("code"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        clean_postcode_udf(ex.postcode).alias("postcode"),
+        clean_string_udf(ex.city).alias("city"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        clean_phone_udf(F.col("phone")).alias("phone"),
+        clean_email_udf(F.col("email")).alias("email"),
+        clean_string_udf(F.col("address")).alias("original"),
+    )

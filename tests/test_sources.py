@@ -392,3 +392,30 @@ def test_shell_provider_mapping(spark):
     assert r5["housenumber"] is None and r5["food"] is True
     # double space collapsed by the clean_string original setter
     assert rows["BUDAPESTI ÚT 154."]["street"] == "Budapesti út"
+
+
+def test_fire_station_provider_mapping(spark):
+    """hu_fire_station.py:94-160: script-marker scan + greedy single-line
+    array regex, category→code map, NULL-name drops for categories 1/2/3
+    with the code leaking into following unmapped-category records, the
+    ==-not-= dead name assignment, waxeye address split."""
+    from osm_poi_matchmaker_spark.sources.providers import fire_stations
+
+    html = open(os.path.join(FIX, "fire_station.html"), encoding="utf-8").read()
+    pages = spark.createDataFrame([(html,)], ["html"])
+    rows = {r["original"]: r for r in fire_stations(pages).collect()}
+    # the category-3 record with NULL name drops
+    assert "9200 Mosonmagyaróvár, Alkotmány utca 1." not in rows
+    assert len(rows) == 5
+    assert rows["9021 Győr, Munkácsy Mihály utca 4."]["code"] == "hufiremsta"
+    # category '4' inherits the dropped record's hufireusta code (leak)
+    assert rows["1081 Budapest, Dologház utca 1."]["code"] == "hufireusta"
+    assert rows["9090 Pannonhalma, Dózsa György utca 1."]["code"] == "hufirelsta"
+    # unknown category after an added record: clear_all ran → NULL code
+    assert rows["3525 Miskolc, Dózsa György út 15."]["code"] is None
+    # category '5' never touches the NULL name → kept
+    r5 = rows["8500 Pápa, Fő utca 12."]
+    assert r5["code"] == "hufirevsta" and r5["city"] == "Pápa"
+    assert r5["street"] == "Fő utca" and r5["housenumber"] == "12"
+    # "name" is never a column: the reference's == comparison stores nothing
+    assert "name" not in fire_stations(pages).columns
