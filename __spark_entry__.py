@@ -893,6 +893,24 @@ def _q_provider_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fire_stations(pages)
 
 
+def _q_provider_mkb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_mkb_bank (dataproviders/hu_mkb_bank.py:62-156): branch/ATM TSV —
+    FIOKATM→bank vs ATM code split with inverted pho/nonstop defaults,
+    the pandas-NaN 'nan' literal stored for empty day cells (whitespace-
+    only cells are the only NULLs), phone EXTRACTED from the description
+    text after replace_html_newlines, decimal-comma coordinates, row
+    drops on missing coords (NaN.replace) or empty Megjegyzés (the
+    'Akadálymentesen' in None probe), city through raw clean_string (no
+    clean_city). Fixed fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import mkb_banks
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "mkb_bank.tsv",
+    )
+    return mkb_banks(spark, path)
+
+
 def _q_atp_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hu_alltheplaces spider registry (hu_alltheplaces.py:227-351) as one
     plan over the insights JSON: falsy brand chain, first-brand-wins per
@@ -1747,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_mobiliti": _q_provider_mobiliti,
         "provider_shell": _q_provider_shell,
         "provider_fire": _q_provider_fire,
+        "provider_mkb": _q_provider_mkb,
         "doc_split": _q_doc_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "tag_merge": _q_tag_merge,
@@ -2201,6 +2220,35 @@ def oracle_sql() -> dict[str, str]:
             "conscriptionnumber, original, mo_open, mo_close, tu_open, "
             "tu_close, we_open, we_close, th_open, th_close, fr_open, "
             "fr_close, sa_open, sa_close, su_open, su_close)"
+        ),
+        "provider_mkb": (
+            "SELECT * FROM (VALUES "
+            "('humkbbank', false, false, '1054', 'Budapest', 'Váci utca', "
+            " '38', CAST(NULL AS STRING), 'Váci utca 38.', 47.4944, 19.0514, "
+            " 'fiok.vaci@mkb.hu', 'https://www.mkb.hu/idopont', 'F001', "
+            " 'Akadálymentesen megközelíthető.; Telefon: +36 1 268 7066', "
+            " '+36 1 268 7066', "
+            " '08:00', '17:00', '08:00', '17:00', '08:00', '17:00', "
+            " '08:00', '17:00', '08:00', '16:00', 'nan', 'nan', 'nan', 'nan'), "
+            "('humkbatm', true, true, '6722', 'szeged', 'Kossuth Lajos utca', "
+            " '18', CAST(NULL AS STRING), 'Kossuth Lajos utca 18.', 46.253, "
+            " 20.1414, CAST(NULL AS STRING), CAST(NULL AS STRING), 'A101', "
+            " 'Bejáratnál', CAST(NULL AS STRING), "
+            " NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, "
+            " NULL, NULL, NULL, NULL), "
+            "('humkbbank', false, false, '4024', 'Debrecen', "
+            " 'Dózsa György út', '84/A', CAST(NULL AS STRING), "
+            " 'Dózsa György út 84/a', 47.5289, 21.6254, "
+            " 'fiok.debrecen@mkb.hu', CAST(NULL AS STRING), 'F002', "
+            " 'Hétvégén zárva. Telefon: 06 62 565 758', '+36 62 565 758', "
+            " '7:30', 'nan', '08:00', '17:00', '08:00', '17:00', "
+            " '08:00', '17:00', '08:00', CAST(NULL AS STRING), "
+            " 'nan', 'nan', 'nan', 'nan')"
+            ") AS t(code, public_holiday_open, nonstop, postcode, city, "
+            "street, housenumber, conscriptionnumber, original, lat, lon, "
+            "email, website, ref, description, phone, mo_open, mo_close, "
+            "tu_open, tu_close, we_open, we_close, th_open, th_close, "
+            "fr_open, fr_close, sa_open, sa_close, su_open, su_close)"
         ),
         "provider_fire": (
             "SELECT * FROM (VALUES "

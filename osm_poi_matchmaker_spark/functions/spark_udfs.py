@@ -194,3 +194,12 @@ def clean_city_title_udf(s: pd.Series) -> pd.Series:
         [hu.clean_city(v.title()) if isinstance(v, str) else None for v in s],
         dtype="object",
     )
+
+
+@F.pandas_udf(T.StringType())
+def replace_html_newlines_udf(s: pd.Series) -> pd.Series:
+    """F11: ``replace_html_newlines`` over an already-clean_string'd
+    column. NULL input stays NULL — mirroring the caller-side drop the
+    reference takes when it feeds None (hu_mkb_bank.py:91 raises in
+    ``reduce`` on a None text); the drop itself is the provider's filter."""
+    return s.map(hu.replace_html_newlines, na_action="ignore")

@@ -38,7 +38,9 @@ from ..functions.spark_udfs import (
     clean_street_udf,
     clean_string_udf,
     clean_url_udf,
+    extract_phone_udf,
     extract_street_udf,
+    replace_html_newlines_udf,
     set_branch_udf,
     set_housenumber_udf,
 )
@@ -1382,4 +1384,89 @@ def fire_stations(pages: DataFrame, html_col: str = "html") -> DataFrame:
         clean_phone_udf(F.col("phone")).alias("phone"),
         clean_email_udf(F.col("email")).alias("email"),
         clean_string_udf(F.col("address")).alias("original"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MKB Bank branches + ATMs (dataproviders/hu_mkb_bank.py:62-156)
+# ---------------------------------------------------------------------------
+
+_MKB_DAYS = [
+    ("mo", "Hétfő"), ("tu", "Kedd"), ("we", "Szerda"), ("th", "Csütörtök"),
+    ("fr", "Péntek"), ("sa", "Szombat"), ("su", "Vasárnap"),
+]
+
+
+def mkb_banks(spark: SparkSession, tsv_path: str) -> DataFrame:
+    """MKB branch/ATM TSV (``dataproviders/hu_mkb_bank.py:62-156``) as one
+    projection over ``spark.read.csv(sep='\\t')``. Semantics preserved:
+
+    - Típus 'FIOKATM' → humkbbank, public_holiday_open False, nonstop
+      False + per-day hours; anything else → humkbatm, pho True, nonstop
+      True and the day block UNTOUCHED (all NULL) (:73-78, :95-98);
+    - the reference reads via pandas, so an empty day cell is NaN —
+      ``is not None`` passes and ``str(NaN).strip()`` stores the literal
+      'nan' as the day value (:101-150); a whitespace-only cell is the
+      only thing the guard actually rejects (→ NULL). Reproduced as
+      ``when(cell IS NULL, 'nan') otherwise nullif(strip(cell), '')``.
+      The Monday-close guard checks the Monday-OPEN cell (copy-paste bug,
+      :104) — indistinguishable from the correct guard on a well-formed
+      TSV where every column exists (NaN is never None), so no separate
+      branch is modeled;
+    - decimal-comma coordinates ``.replace(',', '.')`` — a missing cell
+      is NaN and ``.replace`` raises → row dropped (:81-83);
+    - description = clean_string(Megjegyzés) then replace_html_newlines;
+      an empty Megjegyzés makes that raise (reduce over None) and the
+      ``'Akadálymentesen' in description`` probe raises on None too →
+      row dropped (:90-92); phone is EXTRACTED from the description text
+      (:93); city passes only through the raw clean_string setter — NO
+      clean_city (:80).
+    """
+    s = spark.read.option("sep", "\t").option("header", "true").csv(tsv_path)
+
+    desc = replace_html_newlines_udf(clean_string_udf(s["Megjegyzés"]))
+    s = s.withColumn("description", desc).where(
+        s["Földrajzi szélesség"].isNotNull()
+        & s["Földrajzi hosszúság"].isNotNull()
+        & F.col("description").isNotNull()
+    )
+    is_bank = s["Típus"] == "FIOKATM"
+    lat_raw = F.regexp_replace(s["Földrajzi szélesség"], ",", ".").cast("double")
+    lon_raw = F.regexp_replace(s["Földrajzi hosszúság"], ",", ".").cast("double")
+    lat_fixed, lon_fixed = fix_hu_coordinates(lat_raw, lon_raw)
+    ex = extract_street_udf(s["Cím"])
+
+    def day_val(col):
+        stripped = _strip(col)
+        return F.when(
+            is_bank,
+            F.when(col.isNull(), F.lit("nan")).otherwise(
+                F.when(stripped != "", stripped)
+            ),
+        )
+
+    return s.select(
+        F.when(is_bank, F.lit("humkbbank")).otherwise(F.lit("humkbatm")).alias("code"),
+        F.when(is_bank, F.lit(False)).otherwise(F.lit(True)).alias(
+            "public_holiday_open"
+        ),
+        F.when(is_bank, F.lit(False)).otherwise(F.lit(True)).alias("nonstop"),
+        clean_postcode_udf(s["Körzetszám"]).alias("postcode"),
+        clean_string_udf(s["Város"]).alias("city"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        clean_string_udf(s["Cím"]).alias("original"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        clean_email_udf(s["E-mail cím"]).alias("email"),
+        clean_url_udf(s["Időpontfoglalás URL"]).alias("website"),
+        clean_string_udf(s["ATM / Fiók azonosítója"]).alias("ref"),
+        F.col("description"),
+        extract_phone_udf(F.col("description")).alias("phone"),
+        *[
+            day_val(s[f"{hu_day} {oc}"]).alias(f"{d}_{suffix}")
+            for d, hu_day in _MKB_DAYS
+            for oc, suffix in (("nyitás", "open"), ("zárás", "close"))
+        ],
     )

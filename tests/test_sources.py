@@ -419,3 +419,34 @@ def test_fire_station_provider_mapping(spark):
     assert r5["street"] == "Fő utca" and r5["housenumber"] == "12"
     # "name" is never a column: the reference's == comparison stores nothing
     assert "name" not in fire_stations(pages).columns
+
+
+def test_mkb_provider_mapping(spark):
+    """hu_mkb_bank.py:62-156: bank/ATM code split with inverted defaults,
+    pandas-NaN 'nan' day literals, whitespace-only cell → NULL, phone
+    extracted from the description, decimal-comma coords, drops."""
+    from osm_poi_matchmaker_spark.sources.providers import mkb_banks
+
+    rows = {
+        r["ref"]: r
+        for r in mkb_banks(spark, os.path.join(FIX, "mkb_bank.tsv")).collect()
+    }
+    # F003 (missing latitude) and A102 (empty Megjegyzés) drop
+    assert set(rows) == {"F001", "A101", "F002"}
+    b1 = rows["F001"]
+    assert b1["code"] == "humkbbank"
+    assert b1["public_holiday_open"] is False and b1["nonstop"] is False
+    assert b1["phone"] == "+36 1 268 7066"  # extracted from description
+    assert b1["description"].startswith("Akadálymentesen megközelíthető.; ")
+    assert b1["website"] == "https://www.mkb.hu/idopont"  # // collapsed
+    assert b1["sa_open"] == "nan"  # empty cell = pandas NaN → 'nan' literal
+    a1 = rows["A101"]
+    assert a1["code"] == "humkbatm"
+    assert a1["public_holiday_open"] is True and a1["nonstop"] is True
+    assert a1["city"] == "szeged"  # raw clean_string, NOT clean_city
+    assert a1["mo_open"] is None  # ATM path never touches the day block
+    b2 = rows["F002"]
+    assert b2["mo_open"] == "7:30"  # raw strip, no zfill
+    assert b2["mo_close"] == "nan"
+    assert b2["fr_close"] is None  # whitespace-only cell is the one NULL
+    assert b2["phone"] == "+36 62 565 758"  # 06-prefix rewritten to +36
