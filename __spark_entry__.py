@@ -911,6 +911,21 @@ def _q_provider_mkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mkb_banks(spark, path)
 
 
+def _q_provider_mav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_mav (dataproviders/hu_mav.py:55-106): the provider layer over
+    the S14 GTFS source — constant code, clean_string'd name/additional
+    ref, check_hu_boundary fix (while the formatted `original` string
+    keeps the RAW pre-fix coordinate order and Python float rendering).
+    Fixed fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import mav_stations
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "mav_gtfs.zip",
+    )
+    return mav_stations(spark, path)
+
+
 def _q_atp_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hu_alltheplaces spider registry (hu_alltheplaces.py:227-351) as one
     plan over the insights JSON: falsy brand chain, first-brand-wins per
@@ -1766,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_shell": _q_provider_shell,
         "provider_fire": _q_provider_fire,
         "provider_mkb": _q_provider_mkb,
+        "provider_mav": _q_provider_mav,
         "doc_split": _q_doc_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "tag_merge": _q_tag_merge,
@@ -2220,6 +2236,18 @@ def oracle_sql() -> dict[str, str]:
             "conscriptionnumber, original, mo_open, mo_close, tu_open, "
             "tu_close, we_open, we_close, th_open, th_close, fr_open, "
             "fr_close, sa_open, sa_close, su_open, su_close)"
+        ),
+        "provider_mav": (
+            "SELECT * FROM (VALUES "
+            "('humavstart', 'Budapest-Nyugati', 'S1', 47.5106, 19.0568, "
+            " 'id=S1 lat=47.5106 lon=19.0568 name=Budapest-Nyugati'), "
+            "('humavstart', 'Szeged', 'S2', 46.2419, 20.1439, "
+            " 'id=S2 lat=46.2419 lon=20.1439 name=Szeged'), "
+            "('humavstart', 'Keleti pályaudvar', 'S3', 47.5007, 19.084, "
+            " 'id=S3 lat=19.084 lon=47.5007 name=Keleti pályaudvar'), "
+            "('humavstart', 'Győr', 'S4', 47.683, 17.6344, "
+            " 'id=S4 lat=47.683 lon=17.6344 name= Győr')"
+            ") AS t(code, name, poi_additional_ref, lat, lon, original)"
         ),
         "provider_mkb": (
             "SELECT * FROM (VALUES "

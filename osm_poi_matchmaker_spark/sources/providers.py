@@ -1470,3 +1470,50 @@ def mkb_banks(spark: SparkSession, tsv_path: str) -> DataFrame:
             for oc, suffix in (("nyitás", "open"), ("zárás", "close"))
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# MÁV railway stations (dataproviders/hu_mav.py:55-106)
+# ---------------------------------------------------------------------------
+
+
+def mav_stations(spark: SparkSession, gtfs_zip_path: str) -> DataFrame:
+    """MÁV GTFS stops (``dataproviders/hu_mav.py:55-106``) — the provider
+    layer over the S14 GTFS source: constant 'humavstart' code,
+    name = stop_name.strip() through the clean_string setter,
+    poi_additional_ref = clean_string(stop_id), check_hu_boundary
+    coordinates, and the formatted ``original`` string
+    ``'id={} lat={} lon={} name={}'`` built from the RAW feed values
+    (floats render via Python str() — kept in the Arrow UDF for byte
+    parity with the reference's ``.format``)."""
+    from ..sources.readers import read_gtfs_stops
+
+    stops = read_gtfs_stops(spark, gtfs_zip_path)
+
+    @F.pandas_udf(T.StringType())
+    def _mav_original_udf(stop_id, lat, lon, name):
+        import pandas as _pd
+
+        def fmt(i, la, lo, n):
+            raw = "id={} lat={} lon={} name={}".format(
+                i, la if _pd.notna(la) else None, lo if _pd.notna(lo) else None, n
+            )
+            from ..functions.hu_address import clean_string
+
+            return clean_string(raw)
+
+        return _pd.Series(
+            [fmt(*vals) for vals in zip(stop_id, lat, lon, name)], dtype="object"
+        )
+
+    lat_fixed, lon_fixed = fix_hu_coordinates(F.col("stop_lat"), F.col("stop_lon"))
+    return stops.select(
+        F.lit("humavstart").alias("code"),
+        clean_string_udf(F.col("stop_name")).alias("name"),
+        clean_string_udf(F.col("stop_id")).alias("poi_additional_ref"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        _mav_original_udf(
+            F.col("stop_id"), F.col("stop_lat"), F.col("stop_lon"), F.col("stop_name")
+        ).alias("original"),
+    )

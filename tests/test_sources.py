@@ -450,3 +450,22 @@ def test_mkb_provider_mapping(spark):
     assert b2["mo_close"] == "nan"
     assert b2["fr_close"] is None  # whitespace-only cell is the one NULL
     assert b2["phone"] == "+36 62 565 758"  # 06-prefix rewritten to +36
+
+
+def test_mav_provider_mapping(spark):
+    """hu_mav.py:55-106: provider layer over GTFS stops — name strip via
+    clean_string, boundary-fixed lat/lon while `original` keeps the raw
+    pre-fix coordinate order and Python float rendering."""
+    from osm_poi_matchmaker_spark.sources.providers import mav_stations
+
+    rows = {
+        r["poi_additional_ref"]: r
+        for r in mav_stations(spark, os.path.join(FIX, "mav_gtfs.zip")).collect()
+    }
+    assert set(rows) == {"S1", "S2", "S3", "S4"}
+    s3 = rows["S3"]
+    assert s3["lat"] == 47.5007 and s3["lon"] == 19.084  # fixed
+    assert s3["original"] == "id=S3 lat=19.084 lon=47.5007 name=Keleti pályaudvar"
+    s4 = rows["S4"]
+    assert s4["name"] == "Győr"  # clean_string
+    assert s4["original"].endswith("name= Győr")  # raw pad collapsed mid-string
