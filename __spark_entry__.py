@@ -926,6 +926,23 @@ def _q_provider_mav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mav_stations(spark, path)
 
 
+def _q_provider_gls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_gls (dataproviders/hu_gls.py:75-133): the branch chain with
+    setter re-reads (a None intermediate drops the record), email through
+    the PHONE cleaner (copy-paste bug → NULL), the dead
+    len('name'.split('|')) description branch, locker/shop code split
+    with name=branch for shops, [lat,lon] location array, raw per-day
+    hour tuples (last entry per day wins). Fixed fixture → golden-row
+    oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import gls_points
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "gls.json",
+    )
+    return gls_points(spark, path)
+
+
 def _q_atp_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hu_alltheplaces spider registry (hu_alltheplaces.py:227-351) as one
     plan over the insights JSON: falsy brand chain, first-brand-wins per
@@ -1782,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_fire": _q_provider_fire,
         "provider_mkb": _q_provider_mkb,
         "provider_mav": _q_provider_mav,
+        "provider_gls": _q_provider_gls,
         "doc_split": _q_doc_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "tag_merge": _q_tag_merge,
@@ -2236,6 +2254,36 @@ def oracle_sql() -> dict[str, str]:
             "conscriptionnumber, original, mo_open, mo_close, tu_open, "
             "tu_close, we_open, we_close, th_open, th_close, fr_open, "
             "fr_close, sa_open, sa_close, su_open, su_close)"
+        ),
+        "provider_gls": (
+            "SELECT * FROM (VALUES "
+            "('huglscso', true, 'Tesco Fogarasi', CAST(NULL AS STRING), "
+            " 47.5005, 19.1007, '1148', 'Budapest', 'GLS-1001', "
+            " 'Fogarasi út 15.', 'Fogarasi út', '15', CAST(NULL AS STRING), "
+            " '+36 1 802 0265', CAST(NULL AS STRING), "
+            " 'Bevásárlóközpont földszint', "
+            " '08:00', '20:00', '08:00', '20:00', NULL, NULL, NULL, NULL, "
+            " NULL, NULL, '09:00', '14:00', NULL, NULL), "
+            "('huglspp', false, 'Csomagpont Rossmann', 'Csomagpont Rossmann', "
+            " 46.253, 20.1414, '6722', 'Szeged', 'GLS-2002', "
+            " 'Kossuth Lajos sugárút 75.', 'Kossuth Lajos sugárút', '75', "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            " '07:00', '19:00', NULL, NULL, NULL, NULL, NULL, NULL, "
+            " NULL, NULL, NULL, NULL, '08:00', '12:00'), "
+            "(CAST(NULL AS STRING), CAST(NULL AS BOOLEAN), 'GLS pont Pécs', "
+            " CAST(NULL AS STRING), 46.0727, 18.2323, '7621', 'Pécs', "
+            " 'GLS-5005', 'Király utca 66.', 'Király utca', '66', "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), 'Ismeretlen típus', "
+            " NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, "
+            " NULL, NULL, NULL, NULL, NULL, NULL)"
+            ") AS t(code, public_holiday_open, branch, name, lat, lon, "
+            "postcode, city, ref, original, street, housenumber, "
+            "conscriptionnumber, phone, email, description, mo_open, "
+            "mo_close, tu_open, tu_close, we_open, we_close, th_open, "
+            "th_close, fr_open, fr_close, sa_open, sa_close, su_open, "
+            "su_close)"
         ),
         "provider_mav": (
             "SELECT * FROM (VALUES "

@@ -1517,3 +1517,160 @@ def mav_stations(spark: SparkSession, gtfs_zip_path: str) -> DataFrame:
             F.col("stop_id"), F.col("stop_lat"), F.col("stop_lon"), F.col("stop_name")
         ).alias("original"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GLS parcel lockers / shops (dataproviders/hu_gls.py:75-133)
+# ---------------------------------------------------------------------------
+
+_GLS_REC_T = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("externalId", T.StringType()),
+        T.StructField("location", T.ArrayType(T.DoubleType())),
+        T.StructField(
+            "contact",
+            T.StructType(
+                [
+                    T.StructField("postalCode", T.StringType()),
+                    T.StructField("city", T.StringType()),
+                    T.StructField("address", T.StringType()),
+                    T.StructField("phone", T.StringType()),
+                    T.StructField("email", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField("description", T.StringType()),
+        T.StructField("features", T.ArrayType(T.StringType())),
+        T.StructField("hours", T.ArrayType(T.ArrayType(T.StringType()))),
+    ]
+)
+
+_GLS_BRANCH_T = T.StructType(
+    [
+        T.StructField("branch", T.StringType()),
+        T.StructField("dropped", T.BooleanType()),
+    ]
+)
+
+
+import pandas as pd  # noqa: E402 — UDF type hints
+
+
+@F.pandas_udf(_GLS_BRANCH_T)
+def _gls_branch_udf(names: pd.Series) -> pd.DataFrame:
+    """The hu_gls.py:89-93 branch chain WITH the property re-read: every
+    assignment passes through the clean_branch setter, and steps 2-4
+    re.sub/.replace the PREVIOUS setter output — so a None intermediate
+    (empty first '|' segment, or a name the '^GLS automata' sub empties)
+    raises and drops the record. Step 5 (clean_string) is None-safe."""
+    import re as _re
+
+    import pandas as _pd
+
+    from ..functions import hu_address as _hu
+
+    def chain(name):
+        if name is None:
+            return (None, True)  # None.split → AttributeError
+        b = _hu.clean_branch(_hu.clean_string(name.split("|")[0]))
+        if b is None:
+            return (None, True)  # re.sub(pattern, '', None) → TypeError
+        b = _hu.clean_branch(_re.sub("^GLS automata", "", b, flags=_re.IGNORECASE))
+        if b is None:
+            return (None, True)
+        b = _hu.clean_branch(_re.sub(r"\(.*\)", "", b))
+        if b is None:
+            return (None, True)  # None.replace → AttributeError
+        b = _hu.clean_branch(b.replace("Csak bankkártyás fizetés", ""))
+        b = _hu.clean_branch(_hu.clean_string(b))
+        return (b, False)
+
+    rows = [chain(n) for n in names]
+    return _pd.DataFrame(rows, columns=["branch", "dropped"])
+
+
+def gls_points(spark: SparkSession, json_path: str) -> DataFrame:
+    """GLS parcel-locker/shop feed (``dataproviders/hu_gls.py:75-133``).
+
+    Quirks preserved:
+
+    - the branch chain re-reads the clean_branch setter output between
+      regex steps (see :func:`_gls_branch_udf`) — a None intermediate
+      drops the record;
+    - ``email`` runs through ``clean_phone_to_str`` (copy-paste bug,
+      :112) — real e-mail addresses become NULL;
+    - the description conditional tests ``len('name'.split('|'))`` — the
+      LITERAL string ``'name'`` — which is always 1, so the
+      join-the-name-segments branch is dead code and description is
+      always ``clean_string(description)`` (:113-114);
+    - 'parcel-locker' → huglscso/pho True; 'parcel-shop' → huglspp/pho
+      False + name = branch; unknown types keep NULLs (after a clean
+      ``clear_all``; records dropped mid-stream overwrite every field the
+      next record also writes, so the fixture keeps drop sequences
+      leak-free — unlike mobiliti/fire where the leak is the point);
+    - ``location`` is a [lat, lon] array — NULL or short arrays raise at
+      the index and drop the record (:103-104); NULL ``hours`` raises at
+      the loop (:116); per-day values are stored RAW, last entry per
+      day-number wins (day_open/day_close assign without cleaning,
+      poi_dataset.py:954-958).
+    """
+    s = (
+        spark.read.schema(T.StructType([T.StructField("items", T.ArrayType(_GLS_REC_T))]))
+        .option("multiLine", "true")
+        .json(json_path)
+        .select(F.explode("items").alias("i"))
+        .select("i.*")
+    )
+    br = _gls_branch_udf(F.col("name"))
+    s = s.select("*", br.branch.alias("branch"), br.dropped.alias("br_dropped")).where(
+        ~F.col("br_dropped")
+        & F.col("location").isNotNull()
+        & (F.size("location") >= 2)
+        & F.col("hours").isNotNull()
+        & F.col("contact").isNotNull()
+    )
+    t = F.col("type")
+    code = F.when(t == "parcel-locker", F.lit("huglscso")).when(
+        t == "parcel-shop", F.lit("huglspp")
+    )
+    pho = F.when(t == "parcel-locker", F.lit(True)).when(
+        t == "parcel-shop", F.lit(False)
+    )
+    lat_fixed, lon_fixed = fix_hu_coordinates(
+        F.col("location")[0], F.col("location")[1]
+    )
+    ex = extract_street_udf(F.col("contact.address"))
+
+    def day_slot(d, idx):
+        entry = F.try_element_at(
+            F.filter(F.col("hours"), lambda x: x[0] == F.lit(str(d))), F.lit(-1)
+        )
+        return entry[idx]
+
+    day_names = ["mo", "tu", "we", "th", "fr", "sa", "su"]
+    return s.select(
+        code.alias("code"),
+        pho.alias("public_holiday_open"),
+        F.col("branch"),
+        F.when(t == "parcel-shop", F.col("branch")).alias("name"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        clean_postcode_udf(F.col("contact.postalCode")).alias("postcode"),
+        clean_city_udf(F.col("contact.city")).alias("city"),
+        clean_string_udf(F.col("externalId")).alias("ref"),
+        clean_string_udf(F.col("contact.address")).alias("original"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        clean_phone_udf(F.col("contact.phone")).alias("phone"),
+        # hu_gls.py:112 — email through the PHONE cleaner (bug preserved)
+        clean_phone_udf(F.col("contact.email")).alias("email"),
+        clean_string_udf(F.col("description")).alias("description"),
+        *[
+            day_slot(d + 1, idx).alias(f"{day_names[d]}_{suffix}")
+            for d in range(7)
+            for idx, suffix in ((1, "open"), (2, "close"))
+        ],
+    )

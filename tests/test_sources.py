@@ -469,3 +469,31 @@ def test_mav_provider_mapping(spark):
     s4 = rows["S4"]
     assert s4["name"] == "Győr"  # clean_string
     assert s4["original"].endswith("name= Győr")  # raw pad collapsed mid-string
+
+
+def test_gls_provider_mapping(spark):
+    """hu_gls.py:75-133: branch chain with setter re-reads and drop-on-None
+    intermediates, email through the phone cleaner (bug), dead description
+    branch, locker/shop split, location-array and hours drops."""
+    from osm_poi_matchmaker_spark.sources.providers import gls_points
+
+    rows = {
+        r["ref"]: r
+        for r in gls_points(spark, os.path.join(FIX, "gls.json")).collect()
+    }
+    # GLS-0000 (NULL hours), GLS-3003 (branch chain empties), GLS-4004
+    # (NULL name), GLS-6006 (NULL location) all drop
+    assert set(rows) == {"GLS-1001", "GLS-2002", "GLS-5005"}
+    g1 = rows["GLS-1001"]
+    assert g1["branch"] == "Tesco Fogarasi"  # 'GLS Automata' prefix + '|' tail
+    assert g1["name"] is None  # lockers never set name
+    assert g1["email"] is None  # e-mail through clean_phone_to_str → NULL
+    assert g1["description"] == "Bevásárlóközpont földszint"  # dead else
+    assert g1["sa_open"] == "09:00" and g1["we_open"] is None
+    g2 = rows["GLS-2002"]
+    assert g2["branch"] == "Csomagpont Rossmann"  # parens + payment note cut
+    assert g2["name"] == "Csomagpont Rossmann"  # shop: name = branch
+    assert g2["public_holiday_open"] is False
+    assert g2["su_open"] == "08:00"  # day key '7' → Sunday
+    g5 = rows["GLS-5005"]
+    assert g5["code"] is None and g5["public_holiday_open"] is None  # unknown
