@@ -943,6 +943,21 @@ def _q_provider_gls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gls_points(spark, path)
 
 
+def _q_provider_mol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_mol (dataproviders/hu_mol.py:80-131): ' Sziget ' waterway-fuel
+    name check, Fresh-Corner-without-SHOP/AD_BLUE/TOLL classification,
+    explicit True/False service booleans (vs shell's set-True-or-NULL),
+    the dead pho=True overwritten by False, drops on NULL
+    name/services/gpsPosition. Fixed fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import mol_stations
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "mol.json",
+    )
+    return mol_stations(spark, path)
+
+
 def _q_atp_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hu_alltheplaces spider registry (hu_alltheplaces.py:227-351) as one
     plan over the insights JSON: falsy brand chain, first-brand-wins per
@@ -1800,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_mkb": _q_provider_mkb,
         "provider_mav": _q_provider_mav,
         "provider_gls": _q_provider_gls,
+        "provider_mol": _q_provider_mol,
         "doc_split": _q_doc_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "tag_merge": _q_tag_merge,
@@ -2254,6 +2270,25 @@ def oracle_sql() -> dict[str, str]:
             "conscriptionnumber, original, mo_open, mo_close, tu_open, "
             "tu_close, we_open, we_close, th_open, th_close, fr_open, "
             "fr_close, sa_open, sa_close, su_open, su_close)"
+        ),
+        "provider_mol": (
+            "SELECT * FROM (VALUES "
+            "('humolfu', '1061', 'Budapest', 'Andrássy út 23.', 47.5062, "
+            " 19.0651, 'Andrássy út', '23', CAST(NULL AS STRING), false, "
+            " true, true, false, true, true, true, true, true, true, true), "
+            "('humolwfu', '1031', 'Budapest', 'Nánási út 1.', 47.567, 19.07, "
+            " 'Nánási út', '1', CAST(NULL AS STRING), false, "
+            " false, false, false, false, false, true, true, true, true, true), "
+            "('humolfaf', '9022', 'Győr', 'Bajcsy-Zsilinszky út 9.', 47.6875, "
+            " 17.635, 'Bajcsy-Zsilinszky út', '9', CAST(NULL AS STRING), false, "
+            " false, true, true, false, false, true, true, true, true, true), "
+            "('humolfu', '9222', 'Hegyeshalom', 'Fő utca 2.', 47.9089, "
+            " 17.1572, 'Fő utca', '2', CAST(NULL AS STRING), false, "
+            " false, true, false, false, false, true, true, true, true, true)"
+            ") AS t(code, postcode, city, original, lat, lon, street, "
+            "housenumber, conscriptionnumber, public_holiday_open, truck, "
+            "food, rent_lpg_bottles, fuel_adblue, fuel_lpg, fuel_octane_95, "
+            "fuel_diesel, fuel_octane_100, fuel_diesel_gtl, compressed_air)"
         ),
         "provider_gls": (
             "SELECT * FROM (VALUES "

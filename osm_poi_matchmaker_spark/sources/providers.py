@@ -1674,3 +1674,92 @@ def gls_points(spark: SparkSession, json_path: str) -> DataFrame:
             for idx, suffix in ((1, "open"), (2, "close"))
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# MOL fuel stations (dataproviders/hu_mol.py:80-131)
+# ---------------------------------------------------------------------------
+
+_MOL_REC_T = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("services", T.ArrayType(T.StringType())),
+        T.StructField(
+            "gpsPosition",
+            T.StructType(
+                [
+                    T.StructField("latitude", T.DoubleType()),
+                    T.StructField("longitude", T.DoubleType()),
+                ]
+            ),
+        ),
+        T.StructField("postcode", T.StringType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("address", T.StringType()),
+    ]
+)
+
+
+def mol_stations(spark: SparkSession, json_path: str) -> DataFrame:
+    """MOL fuel-station feed (``dataproviders/hu_mol.py:80-131``) as one
+    declarative projection. Semantics preserved:
+
+    - ``' Sziget '`` (spaces included) in the name → waterway-fuel code;
+      else Fresh-Corner-without-SHOP/AD_BLUE/TOLL_TERMINAL → fast-food
+      code; else fuel (:90-99). A NULL name or NULL services raises at
+      the membership test → record dropped, as does a NULL gpsPosition
+      at ``.get`` (:103-104);
+    - service booleans are EXPLICIT True/False (``True if ... else
+      False``, :108-117) — unlike the Shell provider's set-True-or-NULL;
+      fuel 95/diesel/100/GTL and compressed_air unconditionally True;
+    - public_holiday_open is assigned True at :107 and then False at
+      :123 — last assignment wins, the True is dead;
+    - street extraction runs on the feed's street-level address;
+      postcode clean_string→clean_postcode setter, city clean_city.
+    """
+    s = (
+        spark.read.schema(T.ArrayType(_MOL_REC_T).elementType)
+        .option("multiLine", "true")
+        .json(json_path)
+        .where(
+            F.col("name").isNotNull()
+            & F.col("services").isNotNull()
+            & F.col("gpsPosition").isNotNull()
+        )
+    )
+    sv = F.col("services")
+    has = lambda a: F.array_contains(sv, a)
+    code = F.when(F.col("name").contains(" Sziget "), F.lit("humolwfu")).otherwise(
+        F.when(
+            has("FRESH_CORNER")
+            & ~(has("SHOP") | has("AD_BLUE") | has("TOLL_TERMINAL")),
+            F.lit("humolfaf"),
+        ).otherwise(F.lit("humolfu"))
+    )
+    lat_fixed, lon_fixed = fix_hu_coordinates(
+        F.col("gpsPosition.latitude"), F.col("gpsPosition.longitude")
+    )
+    ex = extract_street_udf(F.col("address"))
+    return s.select(
+        code.alias("code"),
+        clean_postcode_udf(F.col("postcode")).alias("postcode"),
+        clean_city_udf(F.col("city")).alias("city"),
+        clean_string_udf(F.col("address")).alias("original"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        # :107 sets True, :123 overwrites with False — last wins
+        F.lit(False).alias("public_holiday_open"),
+        has("TRUCK_PARK").alias("truck"),
+        has("FRESH_CORNER").alias("food"),
+        has("CYLINDER_PB_GAS").alias("rent_lpg_bottles"),
+        has("AD_BLUE").alias("fuel_adblue"),
+        has("LPG").alias("fuel_lpg"),
+        F.lit(True).alias("fuel_octane_95"),
+        F.lit(True).alias("fuel_diesel"),
+        F.lit(True).alias("fuel_octane_100"),
+        F.lit(True).alias("fuel_diesel_gtl"),
+        F.lit(True).alias("compressed_air"),
+    )

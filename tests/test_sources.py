@@ -497,3 +497,24 @@ def test_gls_provider_mapping(spark):
     assert g2["su_open"] == "08:00"  # day key '7' → Sunday
     g5 = rows["GLS-5005"]
     assert g5["code"] is None and g5["public_holiday_open"] is None  # unknown
+
+
+def test_mol_provider_mapping(spark):
+    """hu_mol.py:80-131: ' Sziget ' waterway check, Fresh-Corner-only
+    classification, explicit True/False booleans, dead pho=True."""
+    from osm_poi_matchmaker_spark.sources.providers import mol_stations
+
+    rows = {
+        r["postcode"]: r
+        for r in mol_stations(spark, os.path.join(FIX, "mol.json")).collect()
+    }
+    # NULL name, NULL services, NULL gpsPosition all drop
+    assert set(rows) == {"1061", "1031", "9022", "9222"}
+    assert rows["1031"]["code"] == "humolwfu"  # ' Sziget ' with spaces
+    assert rows["1061"]["code"] == "humolfu"  # FRESH_CORNER but SHOP present
+    assert rows["9022"]["code"] == "humolfaf"  # Fresh-Corner-only
+    assert rows["9222"]["code"] == "humolfu"  # TOLL_TERMINAL excludes faf
+    r1 = rows["1061"]
+    assert r1["truck"] is True and r1["rent_lpg_bottles"] is False  # explicit
+    assert r1["public_holiday_open"] is False  # the :107 True is dead
+    assert rows["1031"]["city"] == "Budapest"  # clean_city titles 'budapest'
