@@ -958,6 +958,22 @@ def _q_provider_mol(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mol_stations(spark, path)
 
 
+def _q_provider_kh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_kh_bank (dataproviders/hu_kh_bank.py:55-90): per-record-varying
+    first-key payload extraction (Python dict order — pandas UDF, not
+    from_json), all-or-nothing abort on any record error, the guarded
+    address block that leaves NULLs instead of overwriting on a blank
+    address, provider-name-driven bank/ATM variant. Fixed fixture →
+    golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import kh_bank_pois
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "kh_bank.json",
+    )
+    return kh_bank_pois(spark, path, "K&H Bank")
+
+
 def _q_atp_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hu_alltheplaces spider registry (hu_alltheplaces.py:227-351) as one
     plan over the insights JSON: falsy brand chain, first-brand-wins per
@@ -1816,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_mav": _q_provider_mav,
         "provider_gls": _q_provider_gls,
         "provider_mol": _q_provider_mol,
+        "provider_kh": _q_provider_kh,
         "doc_split": _q_doc_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "tag_merge": _q_tag_merge,
@@ -2270,6 +2287,24 @@ def oracle_sql() -> dict[str, str]:
             "conscriptionnumber, original, mo_open, mo_close, tu_open, "
             "tu_close, we_open, we_close, th_open, th_close, fr_open, "
             "fr_close, sa_open, sa_close, su_open, su_close)"
+        ),
+        "provider_kh": (
+            "SELECT * FROM (VALUES "
+            "('hukhbank', false, false, 47.4806, 19.0653, '1095', "
+            " 'Budapest', 'Lechner Ödön fasor', '9', CAST(NULL AS STRING), "
+            " '1095 Budapest, Lechner Ödön fasor 9.', '+36 1 328 9000'), "
+            "('hukhbank', false, false, 47.4961, 19.0496, '1051', "
+            " 'Budapest', 'Vigadó tér', '3', CAST(NULL AS STRING), "
+            " '1051 Budapest, Vigadó tér 3.', CAST(NULL AS STRING)), "
+            "('hukhbank', false, false, 47.5312, 21.6242, "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), '+36 52 123 456'), "
+            "('hukhbank', false, false, 47.5316, 19.0624, '4025', "
+            " 'Debrecen', 'Piac utca', '22', CAST(NULL AS STRING), "
+            " '4025 Debrecen, Piac utca 22.', CAST(NULL AS STRING))"
+            ") AS t(code, public_holiday_open, nonstop, lat, lon, postcode, "
+            "city, street, housenumber, conscriptionnumber, original, phone)"
         ),
         "provider_mol": (
             "SELECT * FROM (VALUES "

@@ -1763,3 +1763,101 @@ def mol_stations(spark: SparkSession, json_path: str) -> DataFrame:
         F.lit(True).alias("fuel_diesel_gtl"),
         F.lit(True).alias("compressed_air"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K&H Bank branches / ATMs (dataproviders/hu_kh_bank.py:55-90)
+# ---------------------------------------------------------------------------
+
+_KH_REC_T = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("lat", T.DoubleType()),
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("address", T.StringType()),
+            T.StructField("phone", T.StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_KH_REC_T)
+def _kh_extract_udf(docs: pd.Series) -> pd.Series:
+    """hu_kh_bank.py:61-81 — each result object's payload lives under a
+    PER-RECORD-VARYING first key (``next(iter(poi_data))``, i.e. the
+    first key in JSON document order), with ``phoneNumber`` as a sibling.
+    There is NO per-record except: any record error (missing latitude/
+    longitude/address key, non-dict payload) escapes the loop and the
+    insert never runs — the whole feed yields ZERO rows (all-or-nothing).
+    Python json preserves document key order, so this extraction is a
+    pandas UDF, not a from_json map."""
+    import json as _json
+
+    def one(txt):
+        if txt is None:
+            return None
+        try:
+            recs = []
+            for poi in _json.loads(txt).get("results"):
+                first = next(iter(poi))
+                payload = poi.get(first)
+                recs.append(
+                    (
+                        float(payload["latitude"]),
+                        float(payload["longitude"]),
+                        payload["address"],
+                        poi.get("phoneNumber"),
+                    )
+                )
+            return recs
+        except Exception:
+            return None  # abort-on-error: the entire feed is lost
+
+    return pd.Series([one(t) for t in docs], dtype="object")
+
+
+def kh_bank_pois(
+    spark: SparkSession, json_path: str, provider_name: str = "K&H Bank"
+) -> DataFrame:
+    """K&H branch/ATM feed (``dataproviders/hu_kh_bank.py:55-90``). The
+    module runs as TWO provider instances distinguished only by
+    ``self.name`` (:63-68) — ``provider_name`` selects the variant:
+    'K&H Bank' → hukhbank/pho False/nonstop False, 'K&H Bank ATM' →
+    hukhatm/pho True/nonstop True; any other name leaves code/pho NULL
+    (and nonstop False via the ``== 'hukhatm'`` else). The address block
+    is GUARDED: a blank address leaves postcode/city/street/housenumber/
+    conscriptionnumber/original NULL rather than overwriting (:75-79 —
+    the one provider that checks before assigning). Dynamic-first-key
+    payload extraction and the all-or-nothing error semantics live in
+    :func:`_kh_extract_udf`."""
+    doc = spark.read.text(json_path, wholetext=True)
+    recs = doc.select(
+        F.explode(_kh_extract_udf(F.col("value"))).alias("r")
+    ).select("r.*")
+
+    if provider_name == "K&H Bank":
+        code, pho = F.lit("hukhbank"), F.lit(False)
+    elif provider_name == "K&H Bank ATM":
+        code, pho = F.lit("hukhatm"), F.lit(True)
+    else:
+        code = F.lit(None).cast("string")
+        pho = F.lit(None).cast("boolean")
+    nonstop = F.lit(provider_name == "K&H Bank ATM")
+
+    lat_fixed, lon_fixed = fix_hu_coordinates(F.col("lat"), F.col("lon"))
+    addr_ok = clean_string_udf(F.col("address")).isNotNull()
+    ex = parse_address_udf(F.col("address"))
+    return recs.select(
+        code.alias("code"),
+        pho.alias("public_holiday_open"),
+        nonstop.alias("nonstop"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        F.when(addr_ok, clean_postcode_udf(ex.postcode)).alias("postcode"),
+        F.when(addr_ok, clean_string_udf(ex.city)).alias("city"),
+        F.when(addr_ok, ex.street).alias("street"),
+        F.when(addr_ok, set_housenumber_udf(ex.housenumber)).alias("housenumber"),
+        F.when(addr_ok, ex.conscriptionnumber).alias("conscriptionnumber"),
+        F.when(addr_ok, clean_string_udf(F.col("address"))).alias("original"),
+        clean_phone_udf(F.col("phone")).alias("phone"),
+    )

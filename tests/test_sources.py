@@ -518,3 +518,30 @@ def test_mol_provider_mapping(spark):
     assert r1["truck"] is True and r1["rent_lpg_bottles"] is False  # explicit
     assert r1["public_holiday_open"] is False  # the :107 True is dead
     assert rows["1031"]["city"] == "Budapest"  # clean_city titles 'budapest'
+
+
+def test_kh_provider_mapping(spark):
+    """hu_kh_bank.py:55-90: dynamic-first-key payloads, the guarded
+    address block, bank/ATM name variants, all-or-nothing abort."""
+    from osm_poi_matchmaker_spark.sources.providers import kh_bank_pois
+
+    bank = kh_bank_pois(spark, os.path.join(FIX, "kh_bank.json"), "K&H Bank")
+    rows = sorted(bank.collect(), key=lambda r: (r["lat"]))
+    assert len(rows) == 4
+    assert all(r["code"] == "hukhbank" for r in rows)
+    assert all(r["nonstop"] is False for r in rows)
+    blank = [r for r in rows if r["original"] is None]
+    assert len(blank) == 1  # '  ' address: guard leaves every field NULL
+    assert blank[0]["phone"] == "+36 52 123 456"  # ...but phone still set
+    swapped = [r for r in rows if r["lat"] == 47.5316][0]
+    assert swapped["lon"] == 19.0624  # boundary fix
+    atm = kh_bank_pois(spark, os.path.join(FIX, "kh_bank.json"), "K&H Bank ATM")
+    a = atm.limit(1).collect()[0]
+    assert a["code"] == "hukhatm" and a["nonstop"] is True
+    assert a["public_holiday_open"] is True
+    other = kh_bank_pois(spark, os.path.join(FIX, "kh_bank.json"), "Ismeretlen")
+    o = other.limit(1).collect()[0]
+    assert o["code"] is None and o["nonstop"] is False  # == 'hukhatm' else
+    # a record missing 'latitude' aborts the WHOLE feed (no per-record try)
+    bad = kh_bank_pois(spark, os.path.join(FIX, "kh_bank_bad.json"))
+    assert bad.count() == 0
