@@ -22,6 +22,7 @@ hutescoext; else hutescosup unless Levél → husmrktsup).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1553,9 +1554,6 @@ _GLS_BRANCH_T = T.StructType(
         T.StructField("dropped", T.BooleanType()),
     ]
 )
-
-
-import pandas as pd  # noqa: E402 — UDF type hints
 
 
 @F.pandas_udf(_GLS_BRANCH_T)
