@@ -1189,6 +1189,23 @@ _SHELL_REC_T = T.StructType(
 )
 
 
+def _shell_street_expr(c):
+    """hu_shell.py:67-70 as pure array exprs: ``address.lower().split()``
+    (any-whitespace split, empties dropped like Python's argless split),
+    every token EXCEPT THE LAST TWO ``str.capitalize()``d (= upper(first
+    char) on an already-lowercased token), re-joined with single spaces."""
+    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
+    cap = lambda x: F.concat(
+        F.upper(x.substr(F.lit(1), F.lit(1))), x.substr(F.lit(2), F.length(x))
+    )
+    return F.array_join(
+        F.transform(
+            toks, lambda x, i: F.when(i < F.size(toks) - 2, cap(x)).otherwise(x)
+        ),
+        " ",
+    )
+
+
 def shell_stations(spark: SparkSession, json_path: str) -> DataFrame:
     """Shell fuel-station feed (``dataproviders/hu_shell.py:50-113``) as one
     fully declarative projection — no sequential state, every cleaner a
@@ -1224,18 +1241,7 @@ def shell_stations(spark: SparkSession, json_path: str) -> DataFrame:
         )
     )
 
-    toks = F.filter(F.split(F.lower(F.col("address")), r"\s+"), lambda x: x != "")
-    # str.capitalize() on an already-lowercased token = upper(first char)
-    cap = lambda x: F.concat(
-        F.upper(x.substr(F.lit(1), F.lit(1))), x.substr(F.lit(2), F.length(x))
-    )
-    street_tmp = F.array_join(
-        F.transform(
-            toks, lambda x, i: F.when(i < F.size(toks) - 2, cap(x)).otherwise(x)
-        ),
-        " ",
-    )
-    ex = extract_street_udf(street_tmp)
+    ex = extract_street_udf(_shell_street_expr(F.col("address")))
     lat_fixed, lon_fixed = fix_hu_coordinates(F.col("lat"), F.col("lng"))
     am = F.col("amenities")
     has = lambda a: F.array_contains(am, a)
