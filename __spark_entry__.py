@@ -974,6 +974,38 @@ def _q_provider_kh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kh_bank_pois(spark, path, "K&H Bank")
 
 
+def _q_provider_aldi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_aldi (dataproviders/hu_aldi.py:54-98): HU filter, the dayIdx
+    probe with the mi-=7 Sunday fold and FIRST-match-wins break, raw
+    city through clean_string (no clean_city), phone through clean_string
+    (not the phone formatter), drops on NULL openUntilSorted/
+    openingHours. Fixed fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import aldi_stores
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "aldi.json",
+    )
+    return aldi_stores(spark, path)
+
+
+def _q_provider_dm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_dm (dataproviders/hu_dm.py:50-97): strip().upper() country
+    check, street split(',')[0].title() extraction, the str.format
+    'None' website quirk AND clean_string eating the path's leading
+    slash, the hours aggregate-fold where empty timeRanges aborts
+    keeping prior days while NULL timeRanges drops the record,
+    out-of-range weekDays skipped, last same-day entry wins. Fixed
+    fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import dm_stores
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "dm.json",
+    )
+    return dm_stores(spark, path)
+
+
 def _q_atp_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hu_alltheplaces spider registry (hu_alltheplaces.py:227-351) as one
     plan over the insights JSON: falsy brand chain, first-brand-wins per
@@ -1833,6 +1865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_gls": _q_provider_gls,
         "provider_mol": _q_provider_mol,
         "provider_kh": _q_provider_kh,
+        "provider_aldi": _q_provider_aldi,
+        "provider_dm": _q_provider_dm,
         "doc_split": _q_doc_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "tag_merge": _q_tag_merge,
@@ -2287,6 +2321,50 @@ def oracle_sql() -> dict[str, str]:
             "conscriptionnumber, original, mo_open, mo_close, tu_open, "
             "tu_close, we_open, we_close, th_open, th_close, fr_open, "
             "fr_close, sa_open, sa_close, su_open, su_close)"
+        ),
+        "provider_aldi": (
+            "SELECT * FROM (VALUES "
+            "('hualdisup', 'budaörs', 47.4563, 18.9625, 'Malomkő utca', '6', "
+            " CAST(NULL AS STRING), '2040', 'Malomkő utca 6.', false, "
+            " '+36 80 020 534', "
+            " '07:00', '21:00', '07:00', '21:00', '07:00', '21:00', "
+            " '07:00', '21:00', '07:00', '21:00', '07:00', '21:00', "
+            " '08:00', '18:00'), "
+            "('hualdisup', 'Szeged', 46.2548, 20.1489, 'Rókusi körút', "
+            " '42-64', CAST(NULL AS STRING), '6724', 'Rókusi körút 42-64.', "
+            " false, CAST(NULL AS STRING), "
+            " '07:00', '20:00', NULL, NULL, NULL, NULL, NULL, NULL, "
+            " NULL, NULL, NULL, NULL, '09:00', '17:00')"
+            ") AS t(code, city, lat, lon, street, housenumber, "
+            "conscriptionnumber, postcode, original, public_holiday_open, "
+            "phone, mo_open, mo_close, tu_open, tu_close, we_open, we_close, "
+            "th_open, th_close, fr_open, fr_close, sa_open, sa_close, "
+            "su_open, su_close)"
+        ),
+        "provider_dm": (
+            "SELECT * FROM (VALUES "
+            "('hudmche', '1052', 'Budapest', "
+            " 'https://www.dm.huuzletek/budapest-deak', "
+            " 'Deák Ferenc utca 23., 1. emelet', 47.4979, 19.0546, "
+            " 'Deák Ferenc utca', '23', CAST(NULL AS STRING), "
+            " '+36 1 266 1200', 'D123', false, "
+            " '08:00', '20:00', '08:00', '20:00', NULL, NULL, NULL, NULL, "
+            " NULL, NULL, NULL, NULL, '09:00', '14:00'), "
+            "('hudmche', '1138', 'Budapest', 'https://www.dm.huuzletek/vaci', "
+            " 'váci út 1-3', 47.5312, 19.0654, 'Váci út', '1-3', "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), 'D456', false, "
+            " '07:00', '19:00', NULL, NULL, NULL, NULL, NULL, NULL, "
+            " NULL, NULL, NULL, NULL, NULL, NULL), "
+            "('hudmche', '9021', 'Győr', 'https://www.dm.huNone', "
+            " 'fő tér 7.', 47.6875, 17.6349, 'Fő tér', '7', "
+            " CAST(NULL AS STRING), '+36 96 310 000', 'D321', false, "
+            " '08:30', '17:30', NULL, NULL, NULL, NULL, NULL, NULL, "
+            " NULL, NULL, NULL, NULL, NULL, NULL)"
+            ") AS t(code, postcode, city, website, original, lat, lon, "
+            "street, housenumber, conscriptionnumber, phone, ref, "
+            "public_holiday_open, mo_open, mo_close, tu_open, tu_close, "
+            "we_open, we_close, th_open, th_close, fr_open, fr_close, "
+            "sa_open, sa_close, su_open, su_close)"
         ),
         "provider_kh": (
             "SELECT * FROM (VALUES "

@@ -203,3 +203,13 @@ def replace_html_newlines_udf(s: pd.Series) -> pd.Series:
     reference takes when it feeds None (hu_mkb_bank.py:91 raises in
     ``reduce`` on a None text); the drop itself is the provider's filter."""
     return s.map(hu.replace_html_newlines, na_action="ignore")
+
+
+@F.pandas_udf(T.StringType())
+def title_udf(s: pd.Series) -> pd.Series:
+    """Python ``str.title()`` (capitalizes after hyphens/apostrophes —
+    NOT Spark's initcap). hu_dm.py:71-73 titles the street substring
+    before extraction."""
+    return pd.Series(
+        [v.title() if isinstance(v, str) else None for v in s], dtype="object"
+    )

@@ -44,6 +44,7 @@ from ..functions.spark_udfs import (
     replace_html_newlines_udf,
     set_branch_udf,
     set_housenumber_udf,
+    title_udf,
 )
 
 _OPENING_T = T.MapType(T.StringType(), T.ArrayType(T.StringType()))
@@ -1864,4 +1865,265 @@ def kh_bank_pois(
         F.when(addr_ok, ex.conscriptionnumber).alias("conscriptionnumber"),
         F.when(addr_ok, clean_string_udf(F.col("address"))).alias("original"),
         clean_phone_udf(F.col("phone")).alias("phone"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ALDI stores (dataproviders/hu_aldi.py:54-98)
+# ---------------------------------------------------------------------------
+
+_ALDI_REC_T = T.StructType(
+    [
+        T.StructField("countryCode", T.StringType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("latitude", T.DoubleType()),
+        T.StructField("longitude", T.DoubleType()),
+        T.StructField("streetAddress", T.StringType()),
+        T.StructField("postalCode", T.StringType()),
+        T.StructField("phoneNumber", T.StringType()),
+        T.StructField(
+            "openUntilSorted",
+            T.StructType(
+                [
+                    T.StructField(
+                        "openingHours",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("dayIdx", T.IntegerType()),
+                                    T.StructField("open", T.StringType()),
+                                    T.StructField("close", T.StringType()),
+                                ]
+                            )
+                        ),
+                    )
+                ]
+            ),
+        ),
+    ]
+)
+
+# hu_aldi.py:77-85 — outer day loop i=0..6 probes dayIdx mi=i+1, except
+# i=6 where `if mi > 6: mi -= 7` folds 7 → 0 (Sunday's feed index)
+_ALDI_DAY_IDX = [1, 2, 3, 4, 5, 6, 0]
+
+
+def aldi_stores(spark: SparkSession, json_path: str) -> DataFrame:
+    """ALDI store feed (``dataproviders/hu_aldi.py:54-98``). Quirks:
+
+    - non-'HU' countryCode silently skipped (:64); NULL ``openUntilSorted``
+      or NULL ``openingHours`` raises in the day loop → record dropped;
+    - the day probe maps Mo..Sa to dayIdx 1..6 and Su to 0 (the
+      ``mi -= 7`` fold), and ``break``s on the FIRST matching entry —
+      first-match-wins, raw values (day_open stores uncleaned, :77-85);
+    - city is the RAW feed value through the clean_string setter (NOT
+      clean_city, :68); phone through clean_string (NOT the phone
+      cleaner, :76); name never set.
+    """
+    s = (
+        spark.read.schema(T.ArrayType(_ALDI_REC_T).elementType)
+        .option("multiLine", "true")
+        .json(json_path)
+        .where(
+            (F.col("countryCode") == "HU")
+            & F.col("openUntilSorted").isNotNull()
+            & F.col("openUntilSorted.openingHours").isNotNull()
+        )
+    )
+    oh = F.col("openUntilSorted.openingHours")
+    lat_fixed, lon_fixed = fix_hu_coordinates(F.col("latitude"), F.col("longitude"))
+    ex = extract_street_udf(F.col("streetAddress"))
+
+    def day_slot(feed_idx, field):
+        first = F.try_element_at(
+            F.filter(oh, lambda x: x.dayIdx == F.lit(feed_idx)), F.lit(1)
+        )
+        return first[field]
+
+    day_names = ["mo", "tu", "we", "th", "fr", "sa", "su"]
+    return s.select(
+        F.lit("hualdisup").alias("code"),
+        clean_string_udf(F.col("city")).alias("city"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        clean_postcode_udf(F.col("postalCode")).alias("postcode"),
+        clean_string_udf(F.col("streetAddress")).alias("original"),
+        F.lit(False).alias("public_holiday_open"),
+        # :76 — clean_string, NOT the phone formatter
+        clean_string_udf(F.col("phoneNumber")).alias("phone"),
+        *[
+            day_slot(_ALDI_DAY_IDX[i], field).alias(f"{day_names[i]}_{suffix}")
+            for i in range(7)
+            for field, suffix in (("open", "open"), ("close", "close"))
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# dm drogerie markt (dataproviders/hu_dm.py:50-97)
+# ---------------------------------------------------------------------------
+
+_DM_REC_T = T.StructType(
+    [
+        T.StructField("localeCountry", T.StringType()),
+        T.StructField(
+            "address",
+            T.StructType(
+                [
+                    T.StructField("zip", T.StringType()),
+                    T.StructField("street", T.StringType()),
+                    T.StructField("city", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField("storeUrlPath", T.StringType()),
+        T.StructField(
+            "location",
+            T.StructType(
+                [
+                    T.StructField("lat", T.DoubleType()),
+                    T.StructField("lon", T.DoubleType()),
+                ]
+            ),
+        ),
+        T.StructField("phone", T.StringType()),
+        T.StructField("storeNumber", T.StringType()),
+        T.StructField(
+            "openingHours",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("weekDay", T.IntegerType()),
+                        T.StructField(
+                            "timeRanges",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField("opening", T.StringType()),
+                                        T.StructField("closing", T.StringType()),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+_DM_ACC_FIELDS = ["aborted", "dropped"] + [
+    f"d{j}{oc}" for j in range(1, 8) for oc in ("o", "c")
+]
+_DM_ACC_T = ", ".join(
+    f"{f} {'boolean' if f in ('aborted', 'dropped') else 'string'}"
+    for f in _DM_ACC_FIELDS
+)
+
+
+def _dm_hours_fold():
+    """hu_dm.py:76-87 as one ``aggregate`` fold over ``openingHours``.
+
+    The reference's inner try catches ONLY IndexError/KeyError: an entry
+    with an EMPTY timeRanges raises IndexError at ``[0]`` → the hours
+    loop ABORTS but the record is still added with the days set so far;
+    an entry with NULL timeRanges raises TypeError → uncaught → the
+    whole record drops. Entries with weekDay outside 1..7 are skipped
+    without touching timeRanges. Later same-day entries overwrite
+    earlier ones (no break)."""
+    zero = F.expr(
+        "named_struct("
+        + ", ".join(
+            f"'{f}', " + ("false" if f in ("aborted", "dropped") else "cast(null as string)")
+            for f in _DM_ACC_FIELDS
+        )
+        + ")"
+    )
+
+    def merge(acc, e):
+        valid = e.weekDay.isNotNull() & (e.weekDay >= 1) & (e.weekDay <= 7)
+        halted = acc.aborted | acc.dropped
+        tr_null = e.timeRanges.isNull()
+        tr_empty = F.size(e.timeRanges) == 0
+        first = e.timeRanges[0]
+
+        def field(f):
+            if f == "aborted":
+                return (acc.aborted | (valid & ~tr_null & tr_empty)).alias(f)
+            if f == "dropped":
+                return (acc.dropped | (valid & tr_null)).alias(f)
+            j = int(f[1])
+            oc = "opening" if f.endswith("o") else "closing"
+            hit = valid & ~tr_null & ~tr_empty & (e.weekDay == j)
+            return F.when(hit, first[oc]).otherwise(acc[f]).alias(f)
+
+        return F.when(halted, acc).otherwise(
+            F.struct(*[field(f) for f in _DM_ACC_FIELDS])
+        )
+
+    return F.aggregate(
+        F.coalesce(F.col("openingHours"), F.array()), zero, merge
+    )
+
+
+def dm_stores(spark: SparkSession, json_path: str) -> DataFrame:
+    """dm store feed (``dataproviders/hu_dm.py:50-97``). Quirks preserved:
+
+    - ``localeCountry.strip().upper() == 'HU'`` — a NULL raises → drop
+      (:58); NULL address/location structs raise at subscripts → drop;
+      NULL storeNumber raises at ``.strip()`` → drop (:75);
+    - street extraction runs on ``address.street.split(',')[0].title()``
+      — Python title(), kept as a pandas UDF (:61-73);
+    - website = ``'https://www.dm.hu{}'.format(clean_string(...))`` —
+      a NULL path renders the literal 'None' (str.format, :65-66);
+    - the hours fold (see :func:`_dm_hours_fold`): empty timeRanges
+      aborts the loop keeping prior days (record still added), NULL
+      timeRanges drops the record, out-of-range weekDays are skipped.
+    """
+    s = (
+        spark.read.schema(T.ArrayType(_DM_REC_T).elementType)
+        .option("multiLine", "true")
+        .json(json_path)
+        .where(
+            F.col("localeCountry").isNotNull()
+            & (F.upper(_strip(F.col("localeCountry"))) == "HU")
+            & F.col("address").isNotNull()
+            & F.col("address.street").isNotNull()
+            & F.col("location").isNotNull()
+            & F.col("storeNumber").isNotNull()
+        )
+        .withColumn("_oh", _dm_hours_fold())
+        .where(~F.col("_oh.dropped"))
+    )
+    street_tmp = F.split(F.col("address.street"), ",").getItem(0)
+    ex = extract_street_udf(title_udf(street_tmp))
+    lat_fixed, lon_fixed = fix_hu_coordinates(
+        F.col("location.lat"), F.col("location.lon")
+    )
+    day_names = ["mo", "tu", "we", "th", "fr", "sa", "su"]
+    return s.select(
+        F.lit("hudmche").alias("code"),
+        clean_postcode_udf(F.col("address.zip")).alias("postcode"),
+        clean_city_udf(F.col("address.city")).alias("city"),
+        F.concat(
+            F.lit("https://www.dm.hu"),
+            F.coalesce(clean_string_udf(F.col("storeUrlPath")), F.lit("None")),
+        ).alias("website"),
+        clean_string_udf(F.col("address.street")).alias("original"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        clean_phone_udf(F.col("phone")).alias("phone"),
+        clean_string_udf(F.col("storeNumber")).alias("ref"),
+        F.lit(False).alias("public_holiday_open"),
+        *[
+            F.col(f"_oh.d{j + 1}{oc}").alias(f"{day_names[j]}_{suffix}")
+            for j in range(7)
+            for oc, suffix in (("o", "open"), ("c", "close"))
+        ],
     )

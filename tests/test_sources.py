@@ -545,3 +545,50 @@ def test_kh_provider_mapping(spark):
     # a record missing 'latitude' aborts the WHOLE feed (no per-record try)
     bad = kh_bank_pois(spark, os.path.join(FIX, "kh_bank_bad.json"))
     assert bad.count() == 0
+
+
+def test_aldi_provider_mapping(spark):
+    """hu_aldi.py:54-98: dayIdx probe with the Sunday mi-=7 fold and
+    first-match-wins break, raw city, clean_string phone, drops."""
+    from osm_poi_matchmaker_spark.sources.providers import aldi_stores
+
+    rows = {
+        r["postcode"]: r
+        for r in aldi_stores(spark, os.path.join(FIX, "aldi.json")).collect()
+    }
+    # AT store filtered; NULL openUntilSorted / NULL openingHours drop
+    assert set(rows) == {"2040", "6724"}
+    r1 = rows["2040"]
+    assert r1["city"] == "budaörs"  # raw clean_string, NOT clean_city
+    assert r1["su_open"] == "08:00"  # dayIdx 0 = Sunday (mi -= 7 fold)
+    r2 = rows["6724"]
+    assert r2["lat"] == 46.2548  # swapped feed coords fixed
+    assert r2["mo_open"] == "07:00"  # FIRST dayIdx-1 entry wins (break)
+    assert r2["su_open"] == "09:00"  # first dayIdx-0 entry wins
+    assert r2["tu_open"] is None
+
+
+def test_dm_provider_mapping(spark):
+    """hu_dm.py:50-97: strip/upper country check, title()d street split,
+    website format quirks, the abort-vs-drop hours fold."""
+    from osm_poi_matchmaker_spark.sources.providers import dm_stores
+
+    rows = {
+        r["ref"]: r
+        for r in dm_stores(spark, os.path.join(FIX, "dm.json")).collect()
+    }
+    # AT skipped; NULL localeCountry, NULL storeNumber, and the record
+    # with a NULL timeRanges entry (D789) all drop
+    assert set(rows) == {"D123", "D456", "D321"}
+    d1 = rows["D123"]
+    assert d1["street"] == "Deák Ferenc utca"  # split(',')[0].title() → b2
+    # clean_string strips the path's leading slash → broken URL, faithfully
+    assert d1["website"] == "https://www.dm.huuzletek/budapest-deak"
+    assert d1["su_open"] == "09:00"  # weekDay 9 entry skipped, 7 processed
+    d2 = rows["D456"]
+    assert d2["mo_open"] == "07:00"
+    assert d2["fr_open"] is None  # empty timeRanges ABORTS the loop...
+    assert d2["ref"] == "D456"  # ...but the record is still added
+    d4 = rows["D321"]
+    assert d4["website"] == "https://www.dm.huNone"  # str.format(None)
+    assert d4["mo_open"] == "08:30"  # last same-day entry wins (no break)
