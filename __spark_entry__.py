@@ -1006,6 +1006,49 @@ def _q_provider_dm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dm_stores(spark, path)
 
 
+def _q_provider_penny(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_penny_market (dataproviders/hu_penny_market.py:52-82): street =
+    clean_string(street.split(',')[0]).title() → better_2, with drops
+    when the first segment clean_strings to None (.title() raises) or
+    address/street are NULL. Fixed fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import penny_stores
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "penny.json",
+    )
+    return penny_stores(spark, path)
+
+
+def _q_provider_pepco(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_pepco (dataproviders/hu_pepco.py:52-103): exact-name city gate
+    against the admin_level-8 set (broadcast semi-join), the DEAD
+    opening-hours probe (int keys vs string keys — no day ever set) that
+    still drops records missing the key, NULL-coordinate drops. Fixed
+    fixture + fixed city dim → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import pepco_stores
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "pepco.json",
+    )
+    dim = spark.createDataFrame([("Budapest",), ("Szeged",)], ["name"])
+    return pepco_stores(spark, path, dim)
+
+
+def _q_provider_obi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_obi (dataproviders/hu_obi.py:47-78): zip .strip() NULL drop,
+    guarded phone/website, clean_email, no day parsing. Fixed fixture →
+    golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import obi_stores
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "obi.json",
+    )
+    return obi_stores(spark, path)
+
+
 def _q_atp_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hu_alltheplaces spider registry (hu_alltheplaces.py:227-351) as one
     plan over the insights JSON: falsy brand chain, first-brand-wins per
@@ -1867,6 +1910,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_kh": _q_provider_kh,
         "provider_aldi": _q_provider_aldi,
         "provider_dm": _q_provider_dm,
+        "provider_penny": _q_provider_penny,
+        "provider_pepco": _q_provider_pepco,
+        "provider_obi": _q_provider_obi,
         "doc_split": _q_doc_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "tag_merge": _q_tag_merge,
@@ -2321,6 +2367,45 @@ def oracle_sql() -> dict[str, str]:
             "conscriptionnumber, original, mo_open, mo_close, tu_open, "
             "tu_close, we_open, we_close, th_open, th_close, fr_open, "
             "fr_close, sa_open, sa_close, su_open, su_close)"
+        ),
+        "provider_penny": (
+            "SELECT * FROM (VALUES "
+            "('hupennysup', '6722', 'Szeged', 'sugár út 1, bevásárlópark', "
+            " 46.2661, 20.1582, 'Sugár út', '1', CAST(NULL AS STRING), "
+            " '+36 80 555 666', 'P101', false), "
+            "('hupennysup', '1173', 'Budapest', 'Pesti út 237.', "
+            " 47.4839, 19.2631, 'Pesti út', '237', CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), 'P102', false)"
+            ") AS t(code, postcode, city, original, lat, lon, street, "
+            "housenumber, conscriptionnumber, phone, ref, "
+            "public_holiday_open)"
+        ),
+        "provider_pepco": (
+            "SELECT * FROM (VALUES "
+            "('hupepcoclo', 'Budapest', 47.5316, 19.0624, 'Szentendrei út', "
+            " '227-229', CAST(NULL AS STRING), 'Szentendrei út 227-229.', "
+            " '1039', '+36 1 240 1000', false), "
+            "('hupepcoclo', 'Szeged', 46.2536, 20.1461, "
+            " 'Kossuth Lajos utca', '11-13', CAST(NULL AS STRING), "
+            " 'Kossuth Lajos utca 11-13.', '6722', CAST(NULL AS STRING), "
+            " false)"
+            ") AS t(code, city, lat, lon, street, housenumber, "
+            "conscriptionnumber, original, postcode, phone, "
+            "public_holiday_open)"
+        ),
+        "provider_obi": (
+            "SELECT * FROM (VALUES "
+            "('huobidiy', '1097', 'Budapest', "
+            " 'Könyves Kálmán körút 12-14.', 47.4777, 19.0887, "
+            " 'Könyves Kálmán körút', '12-14', CAST(NULL AS STRING), "
+            " '+36 1 323 2120', 'OBI-015', 'budapest.lurdy@obi.hu', "
+            " 'https://www.obi.hu/aruhaz/lurdy'), "
+            "('huobidiy', '9023', 'Győr', 'Alkotás utca 53.', 47.6652, "
+            " 17.6416, 'Alkotás utca', '53', CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), 'OBI-021', CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING))"
+            ") AS t(code, postcode, city, original, lat, lon, street, "
+            "housenumber, conscriptionnumber, phone, ref, email, website)"
         ),
         "provider_aldi": (
             "SELECT * FROM (VALUES "

@@ -2127,3 +2127,208 @@ def dm_stores(spark: SparkSession, json_path: str) -> DataFrame:
             for oc, suffix in (("o", "open"), ("c", "close"))
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Penny Market (dataproviders/hu_penny_market.py:52-82)
+# ---------------------------------------------------------------------------
+
+_PENNY_REC_T = T.StructType(
+    [
+        T.StructField(
+            "address",
+            T.StructType(
+                [
+                    T.StructField("zip", T.StringType()),
+                    T.StructField("street", T.StringType()),
+                    T.StructField("city", T.StringType()),
+                    T.StructField("latitude", T.DoubleType()),
+                    T.StructField("longitude", T.DoubleType()),
+                ]
+            ),
+        ),
+        T.StructField("phone", T.StringType()),
+        T.StructField("id", T.StringType()),
+    ]
+)
+
+
+def penny_stores(spark: SparkSession, json_path: str) -> DataFrame:
+    """Penny Market feed (``dataproviders/hu_penny_market.py:52-82``):
+    street = ``clean_string(street.split(',')[0]).title()`` into
+    extract_street_housenumber_better_2 — a street whose first segment
+    clean_strings to None raises at ``.title()`` and drops the record
+    (:64, :69-70); NULL address struct or NULL street raise at the
+    subscripts → dropped; numeric feed ids stringify; pho False."""
+    s = (
+        spark.read.schema(T.ArrayType(_PENNY_REC_T).elementType)
+        .option("multiLine", "true")
+        .json(json_path)
+    )
+    street_first = clean_string_udf(F.split(F.col("address.street"), ",").getItem(0))
+    s = s.where(
+        F.col("address").isNotNull()
+        & F.col("address.street").isNotNull()
+        & street_first.isNotNull()
+    )
+    ex = extract_street_udf(title_udf(street_first))
+    lat_fixed, lon_fixed = fix_hu_coordinates(
+        F.col("address.latitude"), F.col("address.longitude")
+    )
+    return s.select(
+        F.lit("hupennysup").alias("code"),
+        clean_postcode_udf(F.col("address.zip")).alias("postcode"),
+        clean_city_udf(F.col("address.city")).alias("city"),
+        clean_string_udf(F.col("address.street")).alias("original"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        clean_phone_udf(F.col("phone")).alias("phone"),
+        clean_string_udf(F.col("id")).alias("ref"),
+        F.lit(False).alias("public_holiday_open"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pepco (dataproviders/hu_pepco.py:52-103)
+# ---------------------------------------------------------------------------
+
+_PEPCO_REC_T = T.StructType(
+    [
+        T.StructField("city", T.StringType()),
+        T.StructField(
+            "coordinates",
+            T.StructType(
+                [
+                    T.StructField("lat", T.DoubleType()),
+                    T.StructField("lng", T.DoubleType()),
+                ]
+            ),
+        ),
+        T.StructField("streetAddress", T.StringType()),
+        T.StructField("postalCode", T.StringType()),
+        T.StructField("phoneNumber", T.StringType()),
+        T.StructField("openingHours", T.StringType()),
+    ]
+)
+
+
+def pepco_stores(
+    spark: SparkSession, json_path: str, admin_cities: DataFrame | None = None
+) -> DataFrame:
+    """Pepco feed (``dataproviders/hu_pepco.py:52-103``). The European
+    feed is limited to Hungary by an EXACT-name lookup of the raw city
+    value against admin_level='8' polygons (query_osm_city_name,
+    libs/osm.py:112-126) — here a broadcast semi-join against
+    ``admin_cities(name)``; empty or unknown cities drop (:68-74).
+    ``admin_cities=None`` degrades to keeping all non-empty cities
+    (documented: no dimension available). The opening-hours block is
+    DEAD CODE faithfully preserved: ``if i in opening`` probes INT keys
+    against the JSON object's STRING keys (or a list's dict values), so
+    no day is ever set — but a missing/NULL ``openingHours`` still
+    raises (KeyError / ``in None``) and drops the record (:88-92).
+    NULL coordinates raise at the subscript → dropped; pho False."""
+    s = (
+        spark.read.schema(T.ArrayType(_PEPCO_REC_T).elementType)
+        .option("multiLine", "true")
+        .json(json_path)
+        .where(
+            F.col("city").isNotNull()
+            & (F.col("city") != "")
+            & F.col("coordinates").isNotNull()
+            & F.col("openingHours").isNotNull()
+        )
+    )
+    if admin_cities is not None:
+        s = s.join(
+            F.broadcast(admin_cities.select(F.col("name").alias("city"))),
+            "city",
+            "left_semi",
+        )
+    lat_fixed, lon_fixed = fix_hu_coordinates(
+        F.col("coordinates.lat"), F.col("coordinates.lng")
+    )
+    ex = extract_street_udf(F.col("streetAddress"))
+    return s.select(
+        F.lit("hupepcoclo").alias("code"),
+        clean_city_udf(F.col("city")).alias("city"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        clean_string_udf(F.col("streetAddress")).alias("original"),
+        clean_postcode_udf(F.col("postalCode")).alias("postcode"),
+        clean_phone_udf(F.col("phoneNumber")).alias("phone"),
+        F.lit(False).alias("public_holiday_open"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OBI (dataproviders/hu_obi.py:47-78)
+# ---------------------------------------------------------------------------
+
+_OBI_REC_T = T.StructType(
+    [
+        T.StructField(
+            "address",
+            T.StructType(
+                [
+                    T.StructField("zip", T.StringType()),
+                    T.StructField("city", T.StringType()),
+                    T.StructField("street", T.StringType()),
+                    T.StructField("lat", T.DoubleType()),
+                    T.StructField("lon", T.DoubleType()),
+                ]
+            ),
+        ),
+        T.StructField("phone", T.StringType()),
+        T.StructField("storeNumber", T.StringType()),
+        T.StructField("email", T.StringType()),
+        T.StructField("path", T.StringType()),
+    ]
+)
+
+
+def obi_stores(spark: SparkSession, json_path: str) -> DataFrame:
+    """OBI feed (``dataproviders/hu_obi.py:47-78``): zip ``.strip()``
+    raises on NULL → record dropped (:56); phone and website are
+    present-and-non-empty guarded (:63-68); email through clean_email;
+    no day parsing (the reference's TODO)."""
+    s = (
+        spark.read.schema(
+            T.StructType([T.StructField("stores", T.ArrayType(_OBI_REC_T))])
+        )
+        .option("multiLine", "true")
+        .json(json_path)
+        .select(F.explode("stores").alias("s"))
+        .select("s.*")
+        .where(F.col("address").isNotNull() & F.col("address.zip").isNotNull())
+    )
+    ex = extract_street_udf(F.col("address.street"))
+    lat_fixed, lon_fixed = fix_hu_coordinates(
+        F.col("address.lat"), F.col("address.lon")
+    )
+    return s.select(
+        F.lit("huobidiy").alias("code"),
+        clean_postcode_udf(F.col("address.zip")).alias("postcode"),
+        clean_city_udf(F.col("address.city")).alias("city"),
+        clean_string_udf(F.col("address.street")).alias("original"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        F.when(
+            F.col("phone").isNotNull() & (F.col("phone") != ""),
+            clean_phone_udf(F.col("phone")),
+        ).alias("phone"),
+        clean_string_udf(F.col("storeNumber")).alias("ref"),
+        clean_email_udf(F.col("email")).alias("email"),
+        F.when(
+            F.col("path").isNotNull() & (F.col("path") != ""),
+            clean_url_udf(F.col("path")),
+        ).alias("website"),
+    )

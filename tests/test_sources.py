@@ -592,3 +592,43 @@ def test_dm_provider_mapping(spark):
     d4 = rows["D321"]
     assert d4["website"] == "https://www.dm.huNone"  # str.format(None)
     assert d4["mo_open"] == "08:30"  # last same-day entry wins (no break)
+
+
+def test_penny_pepco_obi_provider_mapping(spark):
+    """Batch: hu_penny_market.py:52-82 (split-title street, None-segment
+    drop), hu_pepco.py:52-103 (admin-city semi-join gate, dead day probe,
+    openingHours-presence drop), hu_obi.py:47-78 (zip strip drop,
+    guarded phone/website)."""
+    from osm_poi_matchmaker_spark.sources.providers import (
+        obi_stores,
+        penny_stores,
+        pepco_stores,
+    )
+
+    penny = {
+        r["ref"]: r
+        for r in penny_stores(spark, os.path.join(FIX, "penny.json")).collect()
+    }
+    assert set(penny) == {"P101", "P102"}  # empty-segment + NULL street drop
+    assert penny["P101"]["street"] == "Sugár út"  # split(',')[0].title()
+    assert penny["P102"]["lat"] == 47.4839  # swapped coords fixed
+
+    dim = spark.createDataFrame([("Budapest",), ("Szeged",)], ["name"])
+    pepco = {
+        r["postcode"]: r
+        for r in pepco_stores(
+            spark, os.path.join(FIX, "pepco.json"), dim
+        ).collect()
+    }
+    # Wien (not in dim), empty city, NULL openingHours, NULL coords drop
+    assert set(pepco) == {"1039", "6722"}
+    # without the dim the existence check degrades to keep-all-non-empty
+    assert pepco_stores(spark, os.path.join(FIX, "pepco.json")).count() == 3
+
+    obi = {
+        r["ref"]: r
+        for r in obi_stores(spark, os.path.join(FIX, "obi.json")).collect()
+    }
+    assert set(obi) == {"OBI-015", "OBI-021"}  # NULL zip drops
+    assert obi["OBI-015"]["website"] == "https://www.obi.hu/aruhaz/lurdy"
+    assert obi["OBI-021"]["phone"] is None  # '' phone guarded
