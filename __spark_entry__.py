@@ -1049,6 +1049,64 @@ def _q_provider_obi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return obi_stores(spark, path)
 
 
+def _q_provider_ofotert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_ofotert (dataproviders/hu_ofotert.py:54-87): inner-try day loop
+    that aborts on NULL arrays / short arrays / NULL elements keeping
+    prior days, the vacuous tuple-truthiness guard, clean_string phone.
+    Fixed fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import ofotert_stores
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "ofotert.json",
+    )
+    return ofotert_stores(spark, path)
+
+
+def _q_provider_oil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_oil (dataproviders/hu_oil.py:51-81): the branch bug — a LIST
+    through clean_string stringifies to its repr and [1] picks the quote
+    character, so branch is always the literal apostrophe; raw-strip
+    website with literal default; store/id NULL drops. Fixed fixture →
+    golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import oil_stations
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "oil.json",
+    )
+    return oil_stations(spark, path)
+
+
+def _q_provider_omv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_omv (dataproviders/hu_omv.py:57-98): one open_hours range
+    fanned to all seven days, the 00:00-24:00 → nonstop+pho flip with
+    NULLed days, (y,x)=(lat,lon) coordinates, unconditional fuel family.
+    Fixed fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import omv_stations
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "omv.json",
+    )
+    return omv_stations(spark, path)
+
+
+def _q_provider_kulcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_kulcs_patika (dataproviders/hu_kulcs_patika.py:49-79): the
+    .get('poi') access OUTSIDE the per-record try truncates the feed at
+    the first NULL poi (min-position window), NULL patika drops just its
+    record, name-vs-branch split on the 'Kulcs patika' substring, waxeye
+    address split. Fixed fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import kulcs_patika_stores
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "kulcs_patika.json",
+    )
+    return kulcs_patika_stores(spark, path)
+
+
 def _q_atp_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hu_alltheplaces spider registry (hu_alltheplaces.py:227-351) as one
     plan over the insights JSON: falsy brand chain, first-brand-wins per
@@ -1913,6 +1971,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_penny": _q_provider_penny,
         "provider_pepco": _q_provider_pepco,
         "provider_obi": _q_provider_obi,
+        "provider_ofotert": _q_provider_ofotert,
+        "provider_oil": _q_provider_oil,
+        "provider_omv": _q_provider_omv,
+        "provider_kulcs": _q_provider_kulcs,
         "doc_split": _q_doc_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "tag_merge": _q_tag_merge,
@@ -2367,6 +2429,88 @@ def oracle_sql() -> dict[str, str]:
             "conscriptionnumber, original, mo_open, mo_close, tu_open, "
             "tu_close, we_open, we_close, th_open, th_close, fr_open, "
             "fr_close, sa_open, sa_close, su_open, su_close)"
+        ),
+        "provider_ofotert": (
+            "SELECT * FROM (VALUES "
+            "('huofoteopt', 47.513, 19.0622, '1066', 'Ofotért Teréz körút', "
+            " 'Budapest', 'Váci út', '178', CAST(NULL AS STRING), "
+            " '+36 1 301 0695', 'Váci út 178.', false, 'OF-001', "
+            " '09:00', '17:30', '09:00', '17:30', '09:00', '17:30', "
+            " '09:00', '17:30', '09:00', '17:30', NULL, NULL, NULL, NULL), "
+            "('huofoteopt', 46.253, 20.1482, '6722', 'Ofotért Szeged', "
+            " 'Szeged', 'Budafoki út', '111', CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), 'Budafoki út 111.', false, 'OF-002', "
+            " '08:00', '16:00', '08:00', '16:00', NULL, NULL, NULL, NULL, "
+            " NULL, NULL, NULL, NULL, NULL, NULL), "
+            "('huofoteopt', 47.687, 17.634, '9021', 'Ofotért Győr', "
+            " 'Győr', 'Szent István út', '10', CAST(NULL AS STRING), "
+            " '+36 96 311 316', 'Szent István út 10.', false, 'OF-003', "
+            " NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, "
+            " NULL, NULL, NULL, NULL)"
+            ") AS t(code, lat, lon, postcode, branch, city, street, "
+            "housenumber, conscriptionnumber, phone, original, "
+            "public_holiday_open, ref, mo_open, mo_close, tu_open, "
+            "tu_close, we_open, we_close, th_open, th_close, fr_open, "
+            "fr_close, sa_open, sa_close, su_open, su_close)"
+        ),
+        "provider_oil": (
+            "SELECT * FROM (VALUES "
+            "('huoilfu', '1117', 'Budapest', 47.4658, 19.0423, "
+            " 'Budafoki út 111.', 'Budafoki út', '111', "
+            " CAST(NULL AS STRING), '+36 1 205 3377', true, true, "
+            " 'OIL-07', 'https://www.oil-benzinkutak.hu/kut/07', ''''), "
+            "('huoilfu', '6722', 'Szeged', 46.253, 20.1482, "
+            " 'Váci út 178.', 'Váci út', '178', CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), true, true, 'OIL-12', "
+            " 'https://www.oil-benzinkutak.hu', '''')"
+            ") AS t(code, postcode, city, lat, lon, original, street, "
+            "housenumber, conscriptionnumber, phone, fuel_octane_95, "
+            "fuel_diesel, ref, website, branch)"
+        ),
+        "provider_omv": (
+            "SELECT * FROM (VALUES "
+            "('huomvfu', '1113', 'Budapest', true, true, 47.4725, 19.0312, "
+            " 'Budafoki út 111.', 'Budafoki út', '111', "
+            " CAST(NULL AS STRING), '+36 1 209 1800', "
+            " true, true, true, true, true, "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING)), "
+            "('huomvfu', '9027', 'Győr', CAST(NULL AS BOOLEAN), false, "
+            " 47.6893, 17.6521, 'Szent István út 10.', 'Szent István út', "
+            " '10', CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            " true, true, true, true, true, "
+            " '06:00', '22:00', '06:00', '22:00', '06:00', '22:00', "
+            " '06:00', '22:00', '06:00', '22:00', '06:00', '22:00', "
+            " '06:00', '22:00'), "
+            "('huomvfu', '6725', 'Szeged', CAST(NULL AS BOOLEAN), false, "
+            " 46.2412, 20.1332, 'Váci út 178.', 'Váci út', '178', "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            " true, true, true, true, true, "
+            " NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, "
+            " NULL, NULL, NULL, NULL)"
+            ") AS t(code, postcode, city, nonstop, public_holiday_open, "
+            "lat, lon, original, street, housenumber, conscriptionnumber, "
+            "phone, fuel_octane_95, fuel_diesel, fuel_octane_100, "
+            "fuel_diesel_gtl, compressed_air, mo_open, mo_close, tu_open, "
+            "tu_close, we_open, we_close, th_open, th_close, fr_open, "
+            "fr_close, sa_open, sa_close, su_open, su_close)"
+        ),
+        "provider_kulcs": (
+            "SELECT * FROM (VALUES "
+            "('hukulcspha', CAST(NULL AS STRING), 'Kulcs patika Teréz', "
+            " '+36 1 311 4439', 47.5088, 19.0634, '1066', 'Budapest', "
+            " 'Teréz körút', '36', CAST(NULL AS STRING), false), "
+            "('hukulcspha', 'Arany Kígyó Gyógyszertár', "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), 46.2498, 20.1477, "
+            " '6721', 'Szeged', 'Tisza Lajos körút', '87', "
+            " CAST(NULL AS STRING), false)"
+            ") AS t(code, name, branch, phone, lat, lon, postcode, city, "
+            "street, housenumber, conscriptionnumber, public_holiday_open)"
         ),
         "provider_penny": (
             "SELECT * FROM (VALUES "

@@ -2332,3 +2332,268 @@ def obi_stores(spark: SparkSession, json_path: str) -> DataFrame:
             clean_url_udf(F.col("path")),
         ).alias("website"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ofotért (dataproviders/hu_ofotert.py:54-87)
+# ---------------------------------------------------------------------------
+
+_OFO_REC_T = T.StructType(
+    [
+        T.StructField("geo_lat", T.DoubleType()),
+        T.StructField("geo_lng", T.DoubleType()),
+        T.StructField("address_zip", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("address_city", T.StringType()),
+        T.StructField("address_street", T.StringType()),
+        T.StructField("phone_numbers", T.StringType()),
+        T.StructField("opening_times", T.ArrayType(T.StringType())),
+        T.StructField("gv_id", T.StringType()),
+    ]
+)
+
+
+def ofotert_stores(spark: SparkSession, json_path: str) -> DataFrame:
+    """Ofotért feed (``dataproviders/hu_ofotert.py:54-87``). The day loop
+    sits in its own try (:71-80): a NULL ``opening_times`` (subscript
+    raises at i=0), a short array (IndexError mid-loop), or a NULL
+    element (regex .search(None)) ABORTS the loop keeping the days set
+    so far — the record is always added. The vacuous guard at :73-74
+    (``clean_opening_hours(...) is not None and != ''`` — it returns a
+    TUPLE, never None/'') is always true, so every reachable day is
+    assigned, possibly (None, None). Phone through clean_string, not the
+    phone formatter (:69)."""
+    s = (
+        spark.read.schema(T.StructType([T.StructField("stores", T.ArrayType(_OFO_REC_T))]))
+        .option("multiLine", "true")
+        .json(json_path)
+        .select(F.explode("stores").alias("s"))
+        .select("s.*")
+    )
+    arr = F.coalesce(F.col("opening_times"), F.array())
+    first_null = F.array_position(
+        F.transform(arr, lambda x: x.isNull()), F.lit(True)
+    )
+    effective = F.when(first_null > 0, first_null - 1).otherwise(F.size(arr))
+    lat_fixed, lon_fixed = fix_hu_coordinates(F.col("geo_lat"), F.col("geo_lng"))
+    ex = extract_street_udf(F.col("address_street"))
+    day_names = ["mo", "tu", "we", "th", "fr", "sa", "su"]
+    day_cols = []
+    for i, d in enumerate(day_names):
+        o, c = _clean_opening_hours_expr(arr[i])
+        reach = F.lit(i) < effective
+        day_cols.append(F.when(reach, o).alias(f"{d}_open"))
+        day_cols.append(F.when(reach, c).alias(f"{d}_close"))
+    return s.select(
+        F.lit("huofoteopt").alias("code"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        clean_postcode_udf(F.col("address_zip")).alias("postcode"),
+        set_branch_udf(F.col("name")).alias("branch"),
+        clean_city_udf(F.col("address_city")).alias("city"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        clean_string_udf(F.col("phone_numbers")).alias("phone"),
+        clean_string_udf(F.col("address_street")).alias("original"),
+        F.lit(False).alias("public_holiday_open"),
+        clean_string_udf(F.col("gv_id")).alias("ref"),
+        *day_cols,
+    )
+
+
+# ---------------------------------------------------------------------------
+# OIL! fuel stations (dataproviders/hu_oil.py:51-81)
+# ---------------------------------------------------------------------------
+
+_OIL_REC_T = T.StructType(
+    [
+        T.StructField("zip", T.StringType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lng", T.DoubleType()),
+        T.StructField("address", T.StringType()),
+        T.StructField("phone", T.StringType()),
+        T.StructField("id", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("store", T.StringType()),
+    ]
+)
+
+
+def oil_stations(spark: SparkSession, json_path: str) -> DataFrame:
+    """OIL! feed (``dataproviders/hu_oil.py:51-81``). The famous branch
+    bug preserved: ``clean_string(store.split(' ', 1))`` receives a LIST,
+    stringifies it to its repr, and ``tmp[1]`` then indexes the SECOND
+    CHARACTER of that repr — always the quote — so branch is the literal
+    ``'`` for every record (:75-76, verified against the reference
+    functions). NULL store or NULL id (.strip()) drop the record;
+    website is the RAW .strip()'d url (no clean_url) with a literal
+    default (:70-74); only fuel 95/diesel set."""
+    s = (
+        spark.read.schema(T.ArrayType(_OIL_REC_T).elementType)
+        .option("multiLine", "true")
+        .json(json_path)
+        .where(F.col("store").isNotNull() & F.col("id").isNotNull())
+    )
+    lat_fixed, lon_fixed = fix_hu_coordinates(F.col("lat"), F.col("lng"))
+    ex = extract_street_udf(F.col("address"))
+    return s.select(
+        F.lit("huoilfu").alias("code"),
+        clean_postcode_udf(F.col("zip")).alias("postcode"),
+        clean_city_udf(F.col("city")).alias("city"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        clean_string_udf(F.col("address")).alias("original"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        clean_phone_udf(F.col("phone")).alias("phone"),
+        F.lit(True).alias("fuel_octane_95"),
+        F.lit(True).alias("fuel_diesel"),
+        clean_string_udf(F.col("id")).alias("ref"),
+        F.when(
+            F.col("url").isNotNull() & (F.col("url") != ""), _strip(F.col("url"))
+        )
+        .otherwise(F.lit("https://www.oil-benzinkutak.hu"))
+        .alias("website"),
+        F.lit("'").alias("branch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OMV fuel stations (dataproviders/hu_omv.py:57-98)
+# ---------------------------------------------------------------------------
+
+_OMV_REC_T = T.StructType(
+    [
+        T.StructField("postcode", T.StringType()),
+        T.StructField("town_l", T.StringType()),
+        T.StructField("open_hours", T.StringType()),
+        T.StructField("y", T.DoubleType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("address_l", T.StringType()),
+        T.StructField("telnr", T.StringType()),
+    ]
+)
+
+
+def omv_stations(spark: SparkSession, json_path: str) -> DataFrame:
+    """OMV feed (``dataproviders/hu_omv.py:57-98``): ONE ``open_hours``
+    range fans out to all seven days; exactly '00:00'-'24:00' flips to
+    nonstop + public_holiday_open True with the day columns NULLed
+    (:68-82); coordinates arrive as (y, x) = (lat, lon); unconditional
+    fuel/compressed-air True family."""
+    s = (
+        spark.read.schema(T.ArrayType(_OMV_REC_T).elementType)
+        .option("multiLine", "true")
+        .json(json_path)
+    )
+    o, c = _clean_opening_hours_expr(F.col("open_hours"))
+    has_oh = F.col("open_hours").isNotNull()
+    is_nonstop = has_oh & (o == "00:00") & (c == "24:00")
+    day_o = F.when(has_oh & ~is_nonstop, o)
+    day_c = F.when(has_oh & ~is_nonstop, c)
+    lat_fixed, lon_fixed = fix_hu_coordinates(F.col("y"), F.col("x"))
+    ex = extract_street_udf(F.col("address_l"))
+    day_names = ["mo", "tu", "we", "th", "fr", "sa", "su"]
+    return s.select(
+        F.lit("huomvfu").alias("code"),
+        clean_postcode_udf(F.col("postcode")).alias("postcode"),
+        clean_city_udf(F.col("town_l")).alias("city"),
+        F.when(is_nonstop, F.lit(True)).alias("nonstop"),
+        F.when(is_nonstop, F.lit(True)).otherwise(F.lit(False)).alias(
+            "public_holiday_open"
+        ),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        clean_string_udf(F.col("address_l")).alias("original"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        clean_phone_udf(F.col("telnr")).alias("phone"),
+        F.lit(True).alias("fuel_octane_95"),
+        F.lit(True).alias("fuel_diesel"),
+        F.lit(True).alias("fuel_octane_100"),
+        F.lit(True).alias("fuel_diesel_gtl"),
+        F.lit(True).alias("compressed_air"),
+        *[
+            col.alias(f"{d}_{suffix}")
+            for d in day_names
+            for col, suffix in ((day_o, "open"), (day_c, "close"))
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kulcs patika pharmacies (dataproviders/hu_kulcs_patika.py:49-79)
+# ---------------------------------------------------------------------------
+
+_KULCS_REC_T = T.StructType(
+    [
+        T.StructField(
+            "poi",
+            T.StructType(
+                [
+                    T.StructField("patika", T.StringType()),
+                    T.StructField("phone", T.StringType()),
+                    T.StructField("latitude", T.DoubleType()),
+                    T.StructField("longitude", T.DoubleType()),
+                    T.StructField("address", T.StringType()),
+                ]
+            ),
+        )
+    ]
+)
+
+
+def kulcs_patika_stores(spark: SparkSession, json_path: str) -> DataFrame:
+    """Kulcs patika feed (``dataproviders/hu_kulcs_patika.py:49-79``).
+    The ``poi_data.get('poi')`` access sits OUTSIDE the per-record try
+    (:59), so the first record with a NULL ``poi`` aborts the loop —
+    records before it survive (they were already added), everything
+    after is LOST. That truncation is a min-position window over the
+    posexploded feed. Inside the try: a name NOT containing
+    'Kulcs patika' goes to the ``name`` column with branch explicitly
+    None, otherwise to ``branch`` with name unset; a NULL ``patika``
+    (``in None``) drops just that record (:61-65); waxeye address
+    split; pho False."""
+    doc = spark.read.text(json_path, wholetext=True)
+    recs = doc.select(
+        F.posexplode(
+            F.from_json(
+                "value",
+                T.StructType(
+                    [T.StructField("patikaIdList", T.ArrayType(_KULCS_REC_T))]
+                ),
+            ).getField("patikaIdList")
+        ).alias("pos", "r")
+    ).select("pos", "r.poi.*", F.col("r.poi").isNull().alias("poi_null"))
+
+    from pyspark.sql import Window
+
+    cutoff = F.min(F.when(F.col("poi_null"), F.col("pos"))).over(
+        Window.partitionBy()
+    )
+    recs = recs.withColumn("cutoff", cutoff).where(
+        (F.col("cutoff").isNull() | (F.col("pos") < F.col("cutoff")))
+        & ~F.col("poi_null")
+        & F.col("patika").isNotNull()
+    )
+    is_kulcs = F.col("patika").contains("Kulcs patika")
+    lat_fixed, lon_fixed = fix_hu_coordinates(F.col("latitude"), F.col("longitude"))
+    ex = parse_address_udf(F.col("address"))
+    return recs.select(
+        F.lit("hukulcspha").alias("code"),
+        F.when(~is_kulcs, clean_string_udf(F.col("patika"))).alias("name"),
+        F.when(is_kulcs, set_branch_udf(F.col("patika"))).alias("branch"),
+        clean_phone_udf(F.col("phone")).alias("phone"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        clean_postcode_udf(ex.postcode).alias("postcode"),
+        clean_string_udf(ex.city).alias("city"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        F.lit(False).alias("public_holiday_open"),
+    )

@@ -632,3 +632,54 @@ def test_penny_pepco_obi_provider_mapping(spark):
     assert set(obi) == {"OBI-015", "OBI-021"}  # NULL zip drops
     assert obi["OBI-015"]["website"] == "https://www.obi.hu/aruhaz/lurdy"
     assert obi["OBI-021"]["phone"] is None  # '' phone guarded
+
+
+def test_ofotert_oil_omv_kulcs_provider_mapping(spark):
+    """Batch: hu_ofotert.py:54-87 (inner-try day abort keeping prior days),
+    hu_oil.py:51-81 (the list-through-clean_string branch bug → literal
+    apostrophe), hu_omv.py:57-98 (single range fan-out, 00:00-24:00 →
+    nonstop flip), hu_kulcs_patika.py:49-79 (feed truncation at the first
+    NULL poi, name-vs-branch split)."""
+    from osm_poi_matchmaker_spark.sources.providers import (
+        kulcs_patika_stores,
+        ofotert_stores,
+        oil_stations,
+        omv_stations,
+    )
+
+    ofo = {
+        r["ref"]: r
+        for r in ofotert_stores(spark, os.path.join(FIX, "ofotert.json")).collect()
+    }
+    assert ofo["OF-001"]["mo_open"] == "09:00"  # '9:00 - 17:30' zfilled
+    assert ofo["OF-001"]["sa_open"] is None  # 'zárva': no range → (None,None)
+    assert ofo["OF-002"]["we_open"] is None  # short array: IndexError abort
+    assert ofo["OF-002"]["tu_open"] == "08:00"  # ...prior days kept
+    assert ofo["OF-003"]["mo_open"] is None  # NULL array: abort at i=0
+    assert ofo["OF-003"]["ref"] == "OF-003"  # ...record still added
+
+    oil = {
+        r["ref"]: r
+        for r in oil_stations(spark, os.path.join(FIX, "oil.json")).collect()
+    }
+    assert set(oil) == {"OIL-07", "OIL-12"}  # NULL store / NULL id drop
+    assert all(r["branch"] == "'" for r in oil.values())  # the repr[1] bug
+    assert oil["OIL-07"]["website"] == "https://www.oil-benzinkutak.hu/kut/07"
+    assert oil["OIL-12"]["website"] == "https://www.oil-benzinkutak.hu"
+
+    omv = {
+        r["postcode"]: r
+        for r in omv_stations(spark, os.path.join(FIX, "omv.json")).collect()
+    }
+    assert omv["1113"]["nonstop"] is True  # 00:00-24:00 flip
+    assert omv["1113"]["mo_open"] is None  # ...days NULLed
+    assert omv["9027"]["su_close"] == "22:00"  # one range fans to 7 days
+    assert omv["6725"]["public_holiday_open"] is False  # NULL hours branch
+
+    kp = kulcs_patika_stores(spark, os.path.join(FIX, "kulcs_patika.json"))
+    rows = {(r["name"], r["branch"]): r for r in kp.collect()}
+    # NULL patika drops its record; NULL poi truncates: 'Elveszett' lost
+    assert set(rows) == {
+        (None, "Kulcs patika Teréz"),
+        ("Arany Kígyó Gyógyszertár", None),
+    }
