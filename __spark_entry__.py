@@ -1107,6 +1107,62 @@ def _q_provider_kulcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kulcs_patika_stores(spark, path)
 
 
+def _q_provider_deichmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_deichmann (dataproviders/hu_deichmann.py:58-99): clean_street
+    raw street (no better_2), original from the TOP-LEVEL street key,
+    double-try day loop aborting on any error while keeping prior days,
+    branch from address.appartment, ref from the name field. Fixed
+    fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import deichmann_stores
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "deichmann.json",
+    )
+    return deichmann_stores(spark, path)
+
+
+def _q_provider_yves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_yves_rocher (dataproviders/hu_yves_rocher.py:52-90): the dead
+    day probe (NULL hours still drops), phone;mobile combination chain.
+    Fixed fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import yves_rocher_stores
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "yves_rocher.json",
+    )
+    return yves_rocher_stores(spark, path)
+
+
+def _q_provider_benu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_benu (dataproviders/hu_benu.py:51-90): brand-substring
+    name-vs-branch split, START-anchored PATTERN_FULL_URL website match
+    (mid-text URLs → NULL), extract_all_address postcode/city with the
+    street overwritten from better_2(address_street). Fixed fixture →
+    golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import benu_stores
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "benu.json",
+    )
+    return benu_stores(spark, path)
+
+
+def _q_provider_easybox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_easybox (dataproviders/hu_easybox.py:53-79): countryId==237 HU
+    filter, better_2 street split, clean_string'd branch/original. Fixed
+    fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import easybox_lockers
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "easybox.json",
+    )
+    return easybox_lockers(spark, path)
+
+
 def _q_atp_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hu_alltheplaces spider registry (hu_alltheplaces.py:227-351) as one
     plan over the insights JSON: falsy brand chain, first-brand-wins per
@@ -1975,6 +2031,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_oil": _q_provider_oil,
         "provider_omv": _q_provider_omv,
         "provider_kulcs": _q_provider_kulcs,
+        "provider_deichmann": _q_provider_deichmann,
+        "provider_yves": _q_provider_yves,
+        "provider_benu": _q_provider_benu,
+        "provider_easybox": _q_provider_easybox,
         "doc_split": _q_doc_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "tag_merge": _q_tag_merge,
@@ -2429,6 +2489,72 @@ def oracle_sql() -> dict[str, str]:
             "conscriptionnumber, original, mo_open, mo_close, tu_open, "
             "tu_close, we_open, we_close, th_open, th_close, fr_open, "
             "fr_close, sa_open, sa_close, su_open, su_close)"
+        ),
+        "provider_deichmann": (
+            "SELECT * FROM (VALUES "
+            "('hudeichsho', 47.4979, 19.0546, '1052', 'Budapest', "
+            " 'Fő utca', '11', '+36 1 266 2200', 'Váci utca 11.', "
+            " 'Deichmann Váci', false, 'D-1052', "
+            " '09:00', '19:00', '09:00', '19:00', '09:00', '19:00', "
+            " '09:00', '19:00', '09:00', '20:00', '09:00', '14:00', "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING)), "
+            "('hudeichsho', 46.253, 20.1482, '6722', 'Szeged', "
+            " 'Váci utca', '3', CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), false, 'D-6722', "
+            " '10:00', '18:00', NULL, NULL, NULL, NULL, NULL, NULL, "
+            " NULL, NULL, NULL, NULL, NULL, NULL), "
+            "('hudeichsho', 47.687, 17.634, '9021', 'Győr', "
+            " 'Baross Gábor út', '27', CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), 'Deichmann Győr', false, 'D-9021', "
+            " NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, "
+            " NULL, NULL, NULL, NULL)"
+            ") AS t(code, lat, lon, postcode, city, street, housenumber, "
+            "phone, original, branch, public_holiday_open, ref, mo_open, "
+            "mo_close, tu_open, tu_close, we_open, we_close, th_open, "
+            "th_close, fr_open, fr_close, sa_open, sa_close, su_open, "
+            "su_close)"
+        ),
+        "provider_yves": (
+            "SELECT * FROM (VALUES "
+            "('huyvesrcos', 47.4979, 19.0546, '1052', 'Váci utca', '11', "
+            " CAST(NULL AS STRING), 'Budapest', 'Váci utca 11.', "
+            " '+36 1 266 5533;+36 30 123 4567', false), "
+            "('huyvesrcos', 46.253, 20.1482, '6722', 'Tisza Lajos körút', "
+            " '47', CAST(NULL AS STRING), 'Szeged', "
+            " 'Tisza Lajos körút 47.', '+36 70 765 4321', false), "
+            "('huyvesrcos', 47.687, 17.634, '9021', 'Kossuth utca', '5', "
+            " CAST(NULL AS STRING), 'Győr', 'Kossuth utca 5.', "
+            " '+36 96 311 222', false)"
+            ") AS t(code, lat, lon, postcode, street, housenumber, "
+            "conscriptionnumber, city, original, phone, "
+            "public_holiday_open)"
+        ),
+        "provider_benu": (
+            "SELECT * FROM (VALUES "
+            "('hubenupha', CAST(NULL AS STRING), "
+            " 'BENU Gyógyszertár Budapest Oktogon', "
+            " 'https://benu.hu/gyogyszertar/oktogon', '1052', 'Budapest', "
+            " 47.5042, 19.0628, 'Andrássy út', '39', CAST(NULL AS STRING), "
+            " 'Andrássy út 39.', '+36 1 312 4319', false), "
+            "('hubenupha', 'Szent Margit Gyógyszertár', "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), '6722', 'Szeged', "
+            " 46.2519, 20.1448, 'Tisza Lajos körút', '47', "
+            " CAST(NULL AS STRING), 'Tisza Lajos körút 47.', "
+            " CAST(NULL AS STRING), false)"
+            ") AS t(code, name, branch, website, postcode, city, lat, lon, "
+            "street, housenumber, conscriptionnumber, original, phone, "
+            "public_holiday_open)"
+        ),
+        "provider_easybox": (
+            "SELECT * FROM (VALUES "
+            "('hueasybcso', 47.4979, 19.0546, 'Budapest', "
+            " 'easybox Váci utca', 'Váci utca 11.', 'Váci utca', '11', "
+            " CAST(NULL AS STRING), false, 'EB-1001'), "
+            "('hueasybcso', 46.253, 20.1482, 'Szeged', 'easybox Tisza', "
+            " 'Tisza Lajos körút 47.', 'Tisza Lajos körút', '47', "
+            " CAST(NULL AS STRING), false, 'EB-1002')"
+            ") AS t(code, lat, lon, city, branch, original, street, "
+            "housenumber, conscriptionnumber, public_holiday_open, ref)"
         ),
         "provider_ofotert": (
             "SELECT * FROM (VALUES "

@@ -213,3 +213,14 @@ def title_udf(s: pd.Series) -> pd.Series:
     return pd.Series(
         [v.title() if isinstance(v, str) else None for v in s], dtype="object"
     )
+
+
+@F.pandas_udf(_ADDR_STRUCT)
+def extract_all_address_udf(s: pd.Series) -> pd.DataFrame:
+    """F3: the regex (non-waxeye) full-address split
+    (``extract_all_address``, address.py:291-312)."""
+    rows = [hu.extract_all_address(v) for v in s]
+    return pd.DataFrame(
+        rows,
+        columns=["postcode", "city", "street", "housenumber", "conscriptionnumber"],
+    )

@@ -39,6 +39,7 @@ from ..functions.spark_udfs import (
     clean_street_udf,
     clean_string_udf,
     clean_url_udf,
+    extract_all_address_udf,
     extract_phone_udf,
     extract_street_udf,
     replace_html_newlines_udf,
@@ -2596,4 +2597,304 @@ def kulcs_patika_stores(spark: SparkSession, json_path: str) -> DataFrame:
         set_housenumber_udf(ex.housenumber).alias("housenumber"),
         ex.conscriptionnumber.alias("conscriptionnumber"),
         F.lit(False).alias("public_holiday_open"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deichmann (dataproviders/hu_deichmann.py:58-99)
+# ---------------------------------------------------------------------------
+
+_DEICH_DAY_T = T.StructType(
+    [
+        T.StructField(
+            "openingTime",
+            T.StructType([T.StructField("formattedHour", T.StringType())]),
+        ),
+        T.StructField(
+            "closingTime",
+            T.StructType([T.StructField("formattedHour", T.StringType())]),
+        ),
+    ]
+)
+
+_DEICH_REC_T = T.StructType(
+    [
+        T.StructField(
+            "geoPoint",
+            T.StructType(
+                [
+                    T.StructField("latitude", T.DoubleType()),
+                    T.StructField("longitude", T.DoubleType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "address",
+            T.StructType(
+                [
+                    T.StructField("postalCode", T.StringType()),
+                    T.StructField("town", T.StringType()),
+                    T.StructField("line1", T.StringType()),
+                    T.StructField("line2", T.StringType()),
+                    T.StructField("phone", T.StringType()),
+                    T.StructField("appartment", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField("street", T.StringType()),
+        T.StructField(
+            "openingHours",
+            T.StructType(
+                [T.StructField("weekDayOpeningList", T.ArrayType(_DEICH_DAY_T))]
+            ),
+        ),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+
+def deichmann_stores(spark: SparkSession, json_path: str) -> DataFrame:
+    """Deichmann feed (``dataproviders/hu_deichmann.py:58-99``). Quirks:
+
+    - street = clean_street(address.line1) RAW — no better_2 extraction;
+      housenumber = address.line2 through the setter; branch =
+      address.appartment; ref = the NAME field (:73-74, :89-91);
+    - ``original`` reads the TOP-LEVEL 'street' key, not the address
+      (:76) — typically NULL;
+    - the day loop is double-try'd (:77-87): ANY error (NULL
+      openingHours/list/short list/NULL openingTime or closingTime)
+      aborts keeping the days set so far, record always added. Each
+      day's opening AND closing are computed before assignment, so a
+      NULL closingTime leaves that day fully unset."""
+    s = (
+        spark.read.schema(T.StructType([T.StructField("shops", T.ArrayType(_DEICH_REC_T))]))
+        .option("multiLine", "true")
+        .json(json_path)
+        .select(F.explode("shops").alias("s"))
+        .select("s.*")
+        .where(F.col("geoPoint").isNotNull() & F.col("address").isNotNull())
+    )
+    wl = F.col("openingHours.weekDayOpeningList")
+    arr = F.coalesce(wl, F.array())
+    # first index whose entry would raise (NULL entry / NULL opening or
+    # closing struct) — days at or past it stay NULL
+    bad = F.array_position(
+        F.transform(
+            arr,
+            lambda x: x.isNull()
+            | x.openingTime.isNull()
+            | x.closingTime.isNull(),
+        ),
+        F.lit(True),
+    )
+    effective = F.when(F.col("openingHours").isNull() | wl.isNull(), F.lit(0)).otherwise(
+        F.when(bad > 0, bad - 1).otherwise(F.size(arr))
+    )
+    lat_fixed, lon_fixed = fix_hu_coordinates(
+        F.col("geoPoint.latitude"), F.col("geoPoint.longitude")
+    )
+    day_names = ["mo", "tu", "we", "th", "fr", "sa", "su"]
+    day_cols = []
+    for i, d in enumerate(day_names):
+        reach = F.lit(i) < effective
+        day_cols.append(
+            F.when(reach, arr[i].openingTime.formattedHour).alias(f"{d}_open")
+        )
+        day_cols.append(
+            F.when(reach, arr[i].closingTime.formattedHour).alias(f"{d}_close")
+        )
+    return s.select(
+        F.lit("hudeichsho").alias("code"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        clean_postcode_udf(F.col("address.postalCode")).alias("postcode"),
+        clean_city_udf(F.col("address.town")).alias("city"),
+        clean_street_udf(F.col("address.line1")).alias("street"),
+        set_housenumber_udf(F.col("address.line2")).alias("housenumber"),
+        clean_string_udf(F.col("address.phone")).alias("phone"),
+        clean_string_udf(F.col("street")).alias("original"),
+        set_branch_udf(F.col("address.appartment")).alias("branch"),
+        F.lit(False).alias("public_holiday_open"),
+        clean_string_udf(F.col("name")).alias("ref"),
+        *day_cols,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Yves Rocher (dataproviders/hu_yves_rocher.py:52-90)
+# ---------------------------------------------------------------------------
+
+_YVES_REC_T = T.StructType(
+    [
+        T.StructField("latitude", T.DoubleType()),
+        T.StructField("longitude", T.DoubleType()),
+        T.StructField("hours", T.StringType()),
+        T.StructField("zip", T.StringType()),
+        T.StructField("address", T.StringType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("phone", T.StringType()),
+        T.StructField("mobile", T.StringType()),
+    ]
+)
+
+
+def yves_rocher_stores(spark: SparkSession, json_path: str) -> DataFrame:
+    """Yves Rocher feed (``dataproviders/hu_yves_rocher.py:52-90``): the
+    same dead day probe as pepco (int keys vs the JSON object's string
+    keys — no day is ever set, NULL ``hours`` still drops the record at
+    ``in None``); phone and mobile combine with ';' when both present,
+    mobile alone becomes the phone (:78-88); postcode raw through the
+    clean_postcode setter; website explicitly None."""
+    s = (
+        spark.read.schema(T.StructType([T.StructField("list", T.ArrayType(_YVES_REC_T))]))
+        .option("multiLine", "true")
+        .json(json_path)
+        .select(F.explode("list").alias("s"))
+        .select("s.*")
+        .where(F.col("hours").isNotNull())
+    )
+    lat_fixed, lon_fixed = fix_hu_coordinates(F.col("latitude"), F.col("longitude"))
+    ex = extract_street_udf(F.col("address"))
+    phone_ok = F.col("phone").isNotNull() & (F.col("phone") != "")
+    mobile_ok = F.col("mobile").isNotNull() & (F.col("mobile") != "")
+    p = F.when(phone_ok, clean_phone_udf(F.col("phone")))
+    m = clean_phone_udf(F.col("mobile"))
+    combined = (
+        F.when(mobile_ok & p.isNotNull(), F.concat(p, F.lit(";"), m))
+        .when(mobile_ok & p.isNull(), m)
+        .otherwise(p)
+    )
+    return s.select(
+        F.lit("huyvesrcos").alias("code"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        clean_postcode_udf(F.col("zip")).alias("postcode"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        clean_city_udf(F.col("city")).alias("city"),
+        clean_string_udf(F.col("address")).alias("original"),
+        combined.alias("phone"),
+        F.lit(False).alias("public_holiday_open"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BENU pharmacies (dataproviders/hu_benu.py:51-90)
+# ---------------------------------------------------------------------------
+
+_BENU_REC_T = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("address", T.StringType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lng", T.DoubleType()),
+        T.StructField("address_street", T.StringType()),
+        T.StructField("phone", T.StringType()),
+    ]
+)
+
+# the reference's PATTERN_FULL_URL (address.py:41), matched with Python
+# re semantics inside the UDF — the `\+-=` class range differs between
+# regex dialects, so this stays Python-side
+_BENU_URL_RX = r"((https?):((//)|(\\\\))+([\w\d:#@%/;$()~_?\+-=\\\.&](#!)?)*)"
+
+
+@F.pandas_udf(T.StringType())
+def _benu_website_udf(desc: pd.Series) -> pd.Series:
+    import re as _re
+
+    rx = _re.compile(_BENU_URL_RX)
+
+    def one(v):
+        if v is None:
+            return None
+        m = rx.match(v)
+        return m.group(0).strip() if m is not None else None
+
+    return pd.Series([one(v) for v in desc], dtype="object")
+
+
+def benu_stores(spark: SparkSession, json_path: str) -> DataFrame:
+    """BENU feed (``dataproviders/hu_benu.py:51-90``): 'BENU Gyógyszertár'
+    substring name-vs-branch split (NULL name drops at ``in None``);
+    website = PATTERN_FULL_URL.match(description) — anchored at the
+    string START, so a URL mid-text yields None (:70-74); postcode/city
+    from the regex extract_all_address over the full address while
+    street/housenumber/conscriptionnumber are OVERWRITTEN from
+    better_2(address_street) (:75-79); original is the raw
+    address_street."""
+    s = (
+        spark.read.schema(T.ArrayType(_BENU_REC_T).elementType)
+        .option("multiLine", "true")
+        .json(json_path)
+        .where(F.col("name").isNotNull())
+    )
+    is_benu = F.col("name").contains("BENU Gyógyszertár")
+    full = extract_all_address_udf(F.col("address"))
+    ex = extract_street_udf(F.col("address_street"))
+    lat_fixed, lon_fixed = fix_hu_coordinates(F.col("lat"), F.col("lng"))
+    return s.select(
+        F.lit("hubenupha").alias("code"),
+        F.when(~is_benu, clean_string_udf(F.col("name"))).alias("name"),
+        F.when(is_benu, set_branch_udf(F.col("name"))).alias("branch"),
+        _benu_website_udf(F.col("description")).alias("website"),
+        clean_postcode_udf(full.postcode).alias("postcode"),
+        clean_string_udf(full.city).alias("city"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        clean_string_udf(F.col("address_street")).alias("original"),
+        clean_phone_udf(F.col("phone")).alias("phone"),
+        F.lit(False).alias("public_holiday_open"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sameday easybox lockers (dataproviders/hu_easybox.py:53-79)
+# ---------------------------------------------------------------------------
+
+_EASYBOX_REC_T = T.StructType(
+    [
+        T.StructField("countryId", T.IntegerType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lng", T.DoubleType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("address", T.StringType()),
+        T.StructField("lockerId", T.StringType()),
+    ]
+)
+
+
+def easybox_lockers(spark: SparkSession, json_path: str) -> DataFrame:
+    """Sameday easybox feed (``dataproviders/hu_easybox.py:53-79``):
+    countryId == 237 selects Hungary; raw address through the
+    clean_string original setter; better_2 street split; ref from
+    lockerId (numeric ids stringify); pho False."""
+    s = (
+        spark.read.schema(T.StructType([T.StructField("data", T.ArrayType(_EASYBOX_REC_T))]))
+        .option("multiLine", "true")
+        .json(json_path)
+        .select(F.explode("data").alias("s"))
+        .select("s.*")
+        .where(F.col("countryId") == 237)
+    )
+    lat_fixed, lon_fixed = fix_hu_coordinates(F.col("lat"), F.col("lng"))
+    ex = extract_street_udf(F.col("address"))
+    return s.select(
+        F.lit("hueasybcso").alias("code"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        clean_city_udf(F.col("city")).alias("city"),
+        set_branch_udf(F.col("name")).alias("branch"),
+        clean_string_udf(F.col("address")).alias("original"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        F.lit(False).alias("public_holiday_open"),
+        clean_string_udf(F.col("lockerId")).alias("ref"),
     )

@@ -683,3 +683,62 @@ def test_ofotert_oil_omv_kulcs_provider_mapping(spark):
         (None, "Kulcs patika Teréz"),
         ("Arany Kígyó Gyógyszertár", None),
     }
+
+
+def test_deichmann_yves_benu_easybox_provider_mapping(spark):
+    """Batch: hu_deichmann.py:58-99 (clean_street raw street, top-level
+    original key, double-try day abort), hu_yves_rocher.py:52-90 (dead
+    day probe, phone;mobile chain), hu_benu.py:51-90 (anchored URL match,
+    extract_all/better_2 split), hu_easybox.py:53-79 (countryId filter)."""
+    from osm_poi_matchmaker_spark.sources.providers import (
+        benu_stores,
+        deichmann_stores,
+        easybox_lockers,
+        yves_rocher_stores,
+    )
+
+    dei = {
+        r["ref"]: r
+        for r in deichmann_stores(
+            spark, os.path.join(FIX, "deichmann.json")
+        ).collect()
+    }
+    assert dei["D-1052"]["street"] == "Fő utca"  # clean_street, no better_2
+    assert dei["D-1052"]["original"] == "Váci utca 11."  # top-level key
+    assert dei["D-1052"]["su_open"] is None  # NULL formattedHour day 7 set
+    assert dei["D-1052"]["sa_close"] == "14:00"
+    assert dei["D-6722"]["tu_open"] is None  # NULL closingTime aborts day 2
+    assert dei["D-6722"]["mo_open"] == "10:00"  # ...prior day kept
+    assert dei["D-9021"]["mo_open"] is None  # NULL openingHours: no days
+
+    yv = {
+        r["postcode"]: r
+        for r in yves_rocher_stores(
+            spark, os.path.join(FIX, "yves_rocher.json")
+        ).collect()
+    }
+    assert set(yv) == {"1052", "6722", "9021"}  # NULL hours drops
+    assert yv["1052"]["phone"] == "+36 1 266 5533;+36 30 123 4567"
+    assert yv["6722"]["phone"] == "+36 70 765 4321"  # mobile alone
+    assert yv["9021"]["phone"] == "+36 96 311 222"  # phone alone
+
+    benu = {
+        r["postcode"]: r
+        for r in benu_stores(spark, os.path.join(FIX, "benu.json")).collect()
+    }
+    assert set(benu) == {"1052", "6722"}  # NULL name drops
+    b1 = benu["1052"]
+    assert b1["branch"] == "BENU Gyógyszertár Budapest Oktogon"
+    assert b1["website"] == "https://benu.hu/gyogyszertar/oktogon"
+    assert b1["street"] == "Andrássy út"  # address_street overwrites
+    b2_ = benu["6722"]
+    assert b2_["name"] == "Szent Margit Gyógyszertár"
+    assert b2_["website"] is None  # mid-text URL: .match is start-anchored
+    assert b2_["city"] == "Szeged"  # extract_all_address over full address
+
+    eb = {
+        r["ref"]: r
+        for r in easybox_lockers(spark, os.path.join(FIX, "easybox.json")).collect()
+    }
+    assert set(eb) == {"EB-1001", "EB-1002"}  # RO locker filtered
+    assert eb["EB-1002"]["lat"] == 46.253  # swapped coords fixed
