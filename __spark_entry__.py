@@ -1163,6 +1163,68 @@ def _q_provider_easybox(spark: SparkSession, sf_dir: str) -> DataFrame:
     return easybox_lockers(spark, path)
 
 
+def _q_provider_sber(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_sber_bank (dataproviders/hu_sber_bank.py:53-121): two record
+    streams from one document (ATM + branch), kerület→county city swap,
+    the '{} {}'.format(street, houseNumber.split('.')[0]) composite with
+    its literal-'None' quirk, branch day entries with ''→None and
+    skipped NULL entries, drops on NULL houseNumber/openTime. Fixed
+    fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import sber_bank_pois
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "sber.json",
+    )
+    return sber_bank_pois(spark, path)
+
+
+def _q_provider_nemzeti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_nemzetidohanybolt (dataproviders/hu_nemzetidohanybolt.py:40-55):
+    NO per-record try — a record missing the city/lat/address KEY
+    truncates the feed (min-position window over a MapType parse),
+    missing VALUES under .get keys flow as NULLs. Fixed fixture →
+    golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import (
+        nemzeti_dohanybolt_stores,
+    )
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "nemzeti.json",
+    )
+    return nemzeti_dohanybolt_stores(spark, path)
+
+
+def _q_provider_cib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_cib_bank (dataproviders/hu_cib_bank.py:57-95): IN_SERVICE
+    filter, name-driven bank/ATM variant, clean_street street with
+    streetNo housenumber (no extraction), NULL-location drops. Fixed
+    fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import cib_bank_pois
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "cib.json",
+    )
+    return cib_bank_pois(spark, path, "CIB Bank")
+
+
+def _q_provider_magnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_magnet_bank (dataproviders/hu_magnet_bank.py:55-85): the
+    address guard wraps the field block but add() sits outside it, so
+    NULL-address records emit ALL-NULL rows; type 1 → ATM, 0/2 → bank
+    with email + the hardcoded phone; unknown types keep NULLs; waxeye
+    address split. Fixed fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import magnet_bank_pois
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "magnet.json",
+    )
+    return magnet_bank_pois(spark, path)
+
+
 def _q_atp_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hu_alltheplaces spider registry (hu_alltheplaces.py:227-351) as one
     plan over the insights JSON: falsy brand chain, first-brand-wins per
@@ -2035,6 +2097,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_yves": _q_provider_yves,
         "provider_benu": _q_provider_benu,
         "provider_easybox": _q_provider_easybox,
+        "provider_sber": _q_provider_sber,
+        "provider_nemzeti": _q_provider_nemzeti,
+        "provider_cib": _q_provider_cib,
+        "provider_magnet": _q_provider_magnet,
         "doc_split": _q_doc_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "tag_merge": _q_tag_merge,
@@ -2489,6 +2555,75 @@ def oracle_sql() -> dict[str, str]:
             "conscriptionnumber, original, mo_open, mo_close, tu_open, "
             "tu_close, we_open, we_close, th_open, th_close, fr_open, "
             "fr_close, sa_open, sa_close, su_open, su_close)"
+        ),
+        "provider_sber": (
+            "SELECT * FROM (VALUES "
+            "('husberatm', true, '1062', 'Budapest', 47.5079, 19.0655, "
+            " 'Rákóczi út', '1-3', CAST(NULL AS STRING), 'Rákóczi út 1-3', "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            " NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, "
+            " NULL, NULL, NULL, NULL), "
+            "('husberatm', false, '6722', 'Szeged', 46.2546, 20.1483, "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), 'None 12', CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), "
+            " NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, "
+            " NULL, NULL, NULL, NULL), "
+            "('husberbank', false, '9022', 'Győr', 47.6828, 17.6342, "
+            " 'Alkotmány utca', '16', CAST(NULL AS STRING), "
+            " 'Alkotmány utca 16', 'gyor@sberbank.hu', '+36 96 550 750', "
+            " '08:00', '17:00', '08:00', '17:00', NULL, NULL, NULL, NULL, "
+            " '08:00', '16:00', NULL, NULL, NULL, NULL)"
+            ") AS t(code, public_holiday_open, postcode, city, lat, lon, "
+            "street, housenumber, conscriptionnumber, original, email, "
+            "phone, mo_open, mo_close, tu_open, tu_close, we_open, "
+            "we_close, th_open, th_close, fr_open, fr_close, sa_open, "
+            "sa_close, su_open, su_close)"
+        ),
+        "provider_nemzeti": (
+            "SELECT * FROM (VALUES "
+            "('hunemdotob', '1062', 'Budapest', 'Andrássy út 98.', 47.5097, "
+            " 19.0702, 'Andrássy út', '98', CAST(NULL AS STRING), false), "
+            "('hunemdotob', CAST(NULL AS STRING), 'Szeged', "
+            " 'Kossuth utca 5.', 46.2532, 20.1449, 'Kossuth utca', '5', "
+            " CAST(NULL AS STRING), false)"
+            ") AS t(code, postcode, city, original, lat, lon, street, "
+            "housenumber, conscriptionnumber, public_holiday_open)"
+        ),
+        "provider_cib": (
+            "SELECT * FROM (VALUES "
+            "('hucibbank', false, 47.5079, 19.0655, 'Budapest', '1062', "
+            " '98', 'Andrássy utca', 'CIB Oktogon fiók', '+36 1 423 1000', "
+            " 'oktogon@cib.hu', '1062 Budapest, Andrássy út 98.'), "
+            "('hucibbank', false, 47.6828, 17.6342, 'Győr', '9022', '16', "
+            " 'Medve utca', 'CIB Győr fiók', CAST(NULL AS STRING), "
+            " 'gyor@cib.hu', '9022 Győr, Medve utca 16.')"
+            ") AS t(code, public_holiday_open, lat, lon, city, postcode, "
+            "housenumber, street, branch, phone, email, original)"
+        ),
+        "provider_magnet": (
+            "SELECT * FROM (VALUES "
+            "('humagnatm', true, CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), '1062', 'Budapest', 'Andrássy út', "
+            " '98', CAST(NULL AS STRING), 47.5097, 19.0702, "
+            " '1062 Budapest, Andrássy út 98.'), "
+            "('humagnbank', false, 'info@magnetbank.hu', '+36 1 428 8888', "
+            " '1066', 'Budapest', 'Teréz körút', '36', "
+            " CAST(NULL AS STRING), 47.5088, 19.0634, "
+            " '1066 Budapest, Teréz körút 36.'), "
+            "(CAST(NULL AS STRING), CAST(NULL AS BOOLEAN), "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), '6721', 'Szeged', "
+            " 'Tisza Lajos körút', '87', CAST(NULL AS STRING), 46.2498, "
+            " 20.1477, '6721 Szeged, Tisza Lajos körút 87.'), "
+            "(CAST(NULL AS STRING), CAST(NULL AS BOOLEAN), "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), CAST(NULL AS DOUBLE), "
+            " CAST(NULL AS DOUBLE), CAST(NULL AS STRING))"
+            ") AS t(code, public_holiday_open, email, phone, postcode, "
+            "city, street, housenumber, conscriptionnumber, lat, lon, "
+            "original)"
         ),
         "provider_deichmann": (
             "SELECT * FROM (VALUES "

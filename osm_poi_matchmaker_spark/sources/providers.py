@@ -2898,3 +2898,346 @@ def easybox_lockers(spark: SparkSession, json_path: str) -> DataFrame:
         F.lit(False).alias("public_holiday_open"),
         clean_string_udf(F.col("lockerId")).alias("ref"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sberbank branches + ATMs (dataproviders/hu_sber_bank.py:53-121)
+# ---------------------------------------------------------------------------
+
+_SBER_ADDR_T = T.StructType(
+    [
+        T.StructField("zipCode", T.StringType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("county", T.StringType()),
+        T.StructField("coordinateX", T.DoubleType()),
+        T.StructField("coordinateY", T.DoubleType()),
+        T.StructField("street", T.StringType()),
+        T.StructField("houseNumber", T.StringType()),
+    ]
+)
+
+_SBER_DOC_T = T.StructType(
+    [
+        T.StructField(
+            "atmList",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("atmNonstop", T.BooleanType()),
+                        T.StructField("address", _SBER_ADDR_T),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "branchList",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("address", _SBER_ADDR_T),
+                        T.StructField("emailAppointment", T.StringType()),
+                        T.StructField("phone", T.StringType()),
+                        T.StructField(
+                            "openTime",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField("from", T.StringType()),
+                                        T.StructField("to", T.StringType()),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def sber_bank_pois(spark: SparkSession, json_path: str) -> DataFrame:
+    """Sberbank feed (``dataproviders/hu_sber_bank.py:53-121``): ONE
+    document feeds TWO record streams (atmList → husberatm with
+    pho = atmNonstop-is-True; branchList → husberbank with pho False,
+    email/phone and per-day openTime). Shared quirks:
+
+    - Budapest districts: a city containing 'kerület' is replaced by the
+      COUNTY field (:65-67, the raw city otherwise — clean_string setter);
+    - street_tmp = ``'{} {}'.format(street, houseNumber.split('.')[0])``
+      — NULL houseNumber raises → drop; NULL street renders the literal
+      'None ...' (str.format quirk); ``original`` is that raw composite;
+    - branch phone reads ``poi_data.get('phone'.split('/')[0])`` — the
+      split runs on the KEY STRING and is a no-op (:96);
+    - branch day entries: '' from/to → None; entries beyond index 6
+      raise in day_open and are skipped by the inner continue (:97-114).
+    """
+    doc = (
+        spark.read.schema(_SBER_DOC_T).option("multiLine", "true").json(json_path)
+    )
+
+    def common(rec):
+        city_raw = rec("address.city")
+        city = F.when(
+            city_raw.contains("kerület"), rec("address.county")
+        ).otherwise(city_raw)
+        street_tmp = F.concat_ws(
+            " ",
+            F.coalesce(rec("address.street"), F.lit("None")),
+            F.split(rec("address.houseNumber"), r"\.").getItem(0),
+        )
+        lat_fixed, lon_fixed = fix_hu_coordinates(
+            rec("address.coordinateX"), rec("address.coordinateY")
+        )
+        ex = extract_street_udf(street_tmp)
+        return [
+            clean_postcode_udf(rec("address.zipCode")).alias("postcode"),
+            clean_string_udf(city).alias("city"),
+            lat_fixed.alias("lat"),
+            lon_fixed.alias("lon"),
+            ex.street.alias("street"),
+            set_housenumber_udf(ex.housenumber).alias("housenumber"),
+            ex.conscriptionnumber.alias("conscriptionnumber"),
+            clean_string_udf(street_tmp).alias("original"),
+        ]
+
+    atms = (
+        doc.select(F.explode("atmList").alias("a"))
+        .where(F.col("a.address").isNotNull() & F.col("a.address.houseNumber").isNotNull())
+        .select(
+            F.lit("husberatm").alias("code"),
+            F.coalesce(F.col("a.atmNonstop") == True, F.lit(False)).alias(  # noqa: E712
+                "public_holiday_open"
+            ),
+            *common(lambda p: F.col(f"a.{p}")),
+            F.lit(None).cast("string").alias("email"),
+            F.lit(None).cast("string").alias("phone"),
+            *[
+                F.lit(None).cast("string").alias(f"{d}_{oc}")
+                for d in ("mo", "tu", "we", "th", "fr", "sa", "su")
+                for oc in ("open", "close")
+            ],
+        )
+    )
+
+    def day_slot(i, field):
+        e = F.col("b.openTime")[i]
+        v = e[field]
+        ok = (F.lit(i) < F.size(F.coalesce(F.col("b.openTime"), F.array()))) & e.isNotNull()
+        return F.when(ok, F.nullif(v, F.lit("")))
+
+    branches = (
+        doc.select(F.explode("branchList").alias("b"))
+        .where(
+            F.col("b.address").isNotNull()
+            & F.col("b.address.houseNumber").isNotNull()
+            # `for ... in openTime` raises on NULL → record dropped
+            & F.col("b.openTime").isNotNull()
+        )
+        .select(
+            F.lit("husberbank").alias("code"),
+            F.lit(False).alias("public_holiday_open"),
+            *common(lambda p: F.col(f"b.{p}")),
+            clean_email_udf(F.col("b.emailAppointment")).alias("email"),
+            clean_phone_udf(F.col("b.phone")).alias("phone"),
+            *[
+                day_slot(i, oc_field).alias(f"{d}_{oc}")
+                for i, d in enumerate(("mo", "tu", "we", "th", "fr", "sa", "su"))
+                for oc_field, oc in (("from", "open"), ("to", "close"))
+            ],
+        )
+    )
+    return atms.unionByName(branches)
+
+
+# ---------------------------------------------------------------------------
+# Nemzeti Dohánybolt (dataproviders/hu_nemzetidohanybolt.py:40-55)
+# ---------------------------------------------------------------------------
+
+_NEMZETI_REC_T = T.StructType(
+    [
+        T.StructField("postcode", T.StringType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("address", T.StringType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lng", T.DoubleType()),
+    ]
+)
+
+
+def nemzeti_dohanybolt_stores(spark: SparkSession, json_path: str) -> DataFrame:
+    """Nemzeti Dohánybolt feed (``dataproviders/hu_nemzetidohanybolt.py:
+    40-55``): the only provider with NO per-record try at all — the first
+    record that raises (missing 'city'/'lat'/'address' KEY) truncates the
+    feed, prior records surviving (same min-position window as
+    kulcs_patika). NULL VALUES under present keys flow through the
+    cleaners without raising."""
+    doc = spark.read.text(json_path, wholetext=True)
+    recs = doc.select(
+        F.posexplode(F.from_json("value", T.ArrayType(T.MapType(T.StringType(), T.StringType())))).alias(
+            "pos", "m"
+        )
+    )
+    raises = (
+        ~F.map_contains_key(F.col("m"), "city")
+        | ~F.map_contains_key(F.col("m"), "lat")
+        | ~F.map_contains_key(F.col("m"), "address")
+    )
+    from pyspark.sql import Window
+
+    cutoff = F.min(F.when(raises, F.col("pos"))).over(Window.partitionBy())
+    recs = recs.withColumn("cutoff", cutoff).where(
+        F.col("cutoff").isNull() | (F.col("pos") < F.col("cutoff"))
+    )
+    m = F.col("m")
+    lat_fixed, lon_fixed = fix_hu_coordinates(
+        m["lat"].cast("double"), m["lng"].cast("double")
+    )
+    ex = extract_street_udf(m["address"])
+    return recs.select(
+        F.lit("hunemdotob").alias("code"),
+        clean_postcode_udf(m["postcode"]).alias("postcode"),
+        clean_city_udf(m["city"]).alias("city"),
+        clean_string_udf(m["address"]).alias("original"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        F.lit(False).alias("public_holiday_open"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CIB Bank branches / ATMs (dataproviders/hu_cib_bank.py:57-95)
+# ---------------------------------------------------------------------------
+
+_CIB_REC_T = T.StructType(
+    [
+        T.StructField("locationStatus", T.StringType()),
+        T.StructField(
+            "location",
+            T.StructType(
+                [
+                    T.StructField("lat", T.DoubleType()),
+                    T.StructField("lon", T.DoubleType()),
+                ]
+            ),
+        ),
+        T.StructField("city", T.StringType()),
+        T.StructField("zip", T.StringType()),
+        T.StructField("streetNo", T.StringType()),
+        T.StructField("streetName", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("phone", T.StringType()),
+        T.StructField("email", T.StringType()),
+        T.StructField("fullAddress", T.StringType()),
+    ]
+)
+
+
+def cib_bank_pois(
+    spark: SparkSession, json_path: str, provider_name: str = "CIB Bank"
+) -> DataFrame:
+    """CIB feed (``dataproviders/hu_cib_bank.py:57-95``): only
+    'IN_SERVICE' locations; the module runs as two instances — the
+    'CIB Bank' name selects hucibbank/pho False, anything else
+    hucibatm/pho True (:66-71); street via clean_street(streetName) with
+    housenumber from streetNo (no extraction); NULL location raises at
+    the subscript → record dropped (per-record try, unlike kh_bank)."""
+    s = (
+        spark.read.schema(
+            T.StructType([T.StructField("availableLocations", T.ArrayType(_CIB_REC_T))])
+        )
+        .option("multiLine", "true")
+        .json(json_path)
+        .select(F.explode("availableLocations").alias("s"))
+        .select("s.*")
+        .where(
+            (F.col("locationStatus") == "IN_SERVICE")
+            & F.col("location").isNotNull()
+        )
+    )
+    if provider_name == "CIB Bank":
+        code, pho = F.lit("hucibbank"), F.lit(False)
+    else:
+        code, pho = F.lit("hucibatm"), F.lit(True)
+    lat_fixed, lon_fixed = fix_hu_coordinates(
+        F.col("location.lat"), F.col("location.lon")
+    )
+    return s.select(
+        code.alias("code"),
+        pho.alias("public_holiday_open"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        clean_city_udf(F.col("city")).alias("city"),
+        clean_postcode_udf(F.col("zip")).alias("postcode"),
+        set_housenumber_udf(F.col("streetNo")).alias("housenumber"),
+        clean_street_udf(F.col("streetName")).alias("street"),
+        set_branch_udf(F.col("name")).alias("branch"),
+        clean_phone_udf(F.col("phone")).alias("phone"),
+        clean_email_udf(F.col("email")).alias("email"),
+        clean_string_udf(F.col("fullAddress")).alias("original"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MagNet Bank branches / ATMs (dataproviders/hu_magnet_bank.py:55-85)
+# ---------------------------------------------------------------------------
+
+_MAGNET_REC_T = T.StructType(
+    [
+        T.StructField("address", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("email", T.StringType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+    ]
+)
+
+
+def magnet_bank_pois(spark: SparkSession, json_path: str) -> DataFrame:
+    """MagNet feed (``dataproviders/hu_magnet_bank.py:55-85``): the
+    ``if address is not None`` guard wraps every FIELD assignment but
+    ``add()`` sits OUTSIDE it — NULL-address records are still emitted
+    as all-NULL rows (:62-80). type '1' → ATM/pho True; '0'/'2' → bank/
+    pho False + email + the HARDCODED '+36 1 428 8888' phone; unknown
+    types keep code/pho NULL. Waxeye address split."""
+    s = (
+        spark.read.schema(
+            T.StructType([T.StructField("result", T.ArrayType(_MAGNET_REC_T))])
+        )
+        .option("multiLine", "true")
+        .json(json_path)
+        .select(F.explode("result").alias("s"))
+        .select("s.*")
+    )
+    has_addr = F.col("address").isNotNull()
+    t = F.col("type")
+    code = F.when(
+        has_addr,
+        F.when(t == "1", F.lit("humagnatm")).when(
+            t.isin("0", "2"), F.lit("humagnbank")
+        ),
+    )
+    pho = F.when(
+        has_addr,
+        F.when(t == "1", F.lit(True)).when(t.isin("0", "2"), F.lit(False)),
+    )
+    is_bank = has_addr & t.isin("0", "2")
+    ex = parse_address_udf(F.col("address"))
+    lat_fixed, lon_fixed = fix_hu_coordinates(F.col("lat"), F.col("lon"))
+    return s.select(
+        code.alias("code"),
+        pho.alias("public_holiday_open"),
+        F.when(is_bank, clean_email_udf(F.col("email"))).alias("email"),
+        F.when(is_bank, F.lit("+36 1 428 8888")).alias("phone"),
+        F.when(has_addr, clean_postcode_udf(ex.postcode)).alias("postcode"),
+        F.when(has_addr, clean_string_udf(ex.city)).alias("city"),
+        F.when(has_addr, ex.street).alias("street"),
+        F.when(has_addr, set_housenumber_udf(ex.housenumber)).alias("housenumber"),
+        F.when(has_addr, ex.conscriptionnumber).alias("conscriptionnumber"),
+        F.when(has_addr, lat_fixed).alias("lat"),
+        F.when(has_addr, lon_fixed).alias("lon"),
+        F.when(has_addr, clean_string_udf(F.col("address"))).alias("original"),
+    )

@@ -742,3 +742,50 @@ def test_deichmann_yves_benu_easybox_provider_mapping(spark):
     }
     assert set(eb) == {"EB-1001", "EB-1002"}  # RO locker filtered
     assert eb["EB-1002"]["lat"] == 46.253  # swapped coords fixed
+
+
+def test_sber_nemzeti_cib_magnet_provider_mapping(spark):
+    """Batch: hu_sber_bank.py:53-121 (two-stream doc, kerület→county,
+    'None 12' composite, day-entry quirks), hu_nemzetidohanybolt.py:40-55
+    (no per-record try → key-missing truncation), hu_cib_bank.py:57-95
+    (IN_SERVICE + name variants), hu_magnet_bank.py:55-85 (all-NULL rows
+    for NULL addresses)."""
+    from osm_poi_matchmaker_spark.sources.providers import (
+        cib_bank_pois,
+        magnet_bank_pois,
+        nemzeti_dohanybolt_stores,
+        sber_bank_pois,
+    )
+
+    sber = sber_bank_pois(spark, os.path.join(FIX, "sber.json")).collect()
+    by_pc = {r["postcode"]: r for r in sber}
+    assert len(sber) == 3  # NULL houseNumber atm + NULL openTime branch drop
+    assert by_pc["1062"]["city"] == "Budapest"  # 'kerület' → county
+    assert by_pc["6722"]["original"] == "None 12"  # str.format(None) quirk
+    assert by_pc["6722"]["street"] is None  # better_2 rejects 'None 12'
+    b = by_pc["9022"]
+    assert b["we_open"] is None  # '' → None
+    assert b["th_open"] is None  # NULL entry skipped
+    assert b["fr_open"] == "08:00" and b["sa_open"] is None  # 5-entry list
+
+    nz = nemzeti_dohanybolt_stores(spark, os.path.join(FIX, "nemzeti.json"))
+    rows = {r["city"]: r for r in nz.collect()}
+    # record 3 misses the 'lat' KEY → truncation: Pécs (after it) is lost
+    assert set(rows) == {"Budapest", "Szeged"}
+    assert rows["Szeged"]["postcode"] is None  # missing VALUE: kept, NULL
+
+    cib = cib_bank_pois(spark, os.path.join(FIX, "cib.json"), "CIB Bank")
+    crows = {r["postcode"]: r for r in cib.collect()}
+    assert set(crows) == {"1062", "9022"}  # CLOSED + NULL location drop
+    assert crows["9022"]["street"] == "Medve utca"  # clean_street 'u.'
+    atm = cib_bank_pois(spark, os.path.join(FIX, "cib.json"), "CIB Bank ATM")
+    assert atm.limit(1).collect()[0]["code"] == "hucibatm"
+
+    mag = magnet_bank_pois(spark, os.path.join(FIX, "magnet.json")).collect()
+    assert len(mag) == 4  # the NULL-address record still emits
+    null_row = [r for r in mag if r["original"] is None]
+    assert len(null_row) == 1 and null_row[0]["code"] is None  # all-NULL row
+    bank = [r for r in mag if r["code"] == "humagnbank"][0]
+    assert bank["phone"] == "+36 1 428 8888"  # hardcoded
+    unknown = [r for r in mag if r["original"] and "Szeged" in r["original"]][0]
+    assert unknown["code"] is None  # type '7' keeps NULL after clear_all
