@@ -1225,6 +1225,44 @@ def _q_provider_magnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return magnet_bank_pois(spark, path)
 
 
+def _q_provider_avia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_avia (dataproviders/hu_avia.py:50-100): markers JS variable
+    extracted with use_replace=True (apostrophes → double quotes before
+    the parse), raw-title city overwritten by the waxeye split when cim
+    is non-empty, formatted website path, '1'-string service flags →
+    explicit True/False family. Fixed fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import avia_stations
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "avia.html",
+    )
+    pages = spark.read.text(path, wholetext=True).select(
+        F.col("value").alias("html")
+    )
+    return avia_stations(pages)
+
+
+def _q_provider_mobil_petrol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_mobil_petrol (dataproviders/hu_mobil_petrol.py:49-98): the
+    totem_stations dict iterated in document order, and the locals()
+    LEAK — open_from/open_to persist across loop iterations, so a
+    non-nonstop record with no matching range inherits the last matched
+    range from an earlier record (carry-forward window); '0-24' →
+    nonstop+pho with no days; NULL services/location drop. Fixed
+    fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import mobil_petrol_stations
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "mobil_petrol.html",
+    )
+    pages = spark.read.text(path, wholetext=True).select(
+        F.col("value").alias("html")
+    )
+    return mobil_petrol_stations(pages)
+
+
 def _q_atp_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hu_alltheplaces spider registry (hu_alltheplaces.py:227-351) as one
     plan over the insights JSON: falsy brand chain, first-brand-wins per
@@ -2098,6 +2136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_benu": _q_provider_benu,
         "provider_easybox": _q_provider_easybox,
         "provider_sber": _q_provider_sber,
+        "provider_avia": _q_provider_avia,
+        "provider_mobil_petrol": _q_provider_mobil_petrol,
         "provider_nemzeti": _q_provider_nemzeti,
         "provider_cib": _q_provider_cib,
         "provider_magnet": _q_provider_magnet,
@@ -2555,6 +2595,62 @@ def oracle_sql() -> dict[str, str]:
             "conscriptionnumber, original, mo_open, mo_close, tu_open, "
             "tu_close, we_open, we_close, th_open, th_close, fr_open, "
             "fr_close, sa_open, sa_close, su_open, su_close)"
+        ),
+        "provider_avia": (
+            "SELECT * FROM (VALUES "
+            "('huaviafu', 'Budapest', 'A101', 47.4658, 19.0423, '1117', "
+            " 'Budafoki út', '111', CAST(NULL AS STRING), "
+            " '/toltoallomas/?id=A101', '1117 Budapest, Budafoki út 111.', "
+            " '+36 1 205 3377', 'bp111@avia.hu', false, "
+            " true, true, true, false, false, true, true, false, true, "
+            " false), "
+            "('huaviafu', 'Szeged kút', CAST(NULL AS STRING), 46.2532, "
+            " 20.1449, CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), false, "
+            " false, true, false, true, true, false, false, true, false, "
+            " true)"
+            ") AS t(code, city, ref, lat, lon, postcode, street, "
+            "housenumber, conscriptionnumber, website, original, phone, "
+            "email, public_holiday_open, fuel_octane_95, fuel_diesel, "
+            "fuel_octane_98, fuel_lpg, fuel_e85, rent_lpg_bottles, "
+            "compressed_air, restaurant, food, truck)"
+        ),
+        "provider_mobil_petrol": (
+            "SELECT * FROM (VALUES "
+            "('humobpefu', 'https://mobilpetrol.hu/kut/1', 'Budapest', "
+            " 'Budafoki út 111.', 47.4658, 19.0423, CAST(NULL AS STRING), "
+            " 'Budafoki út', '111', CAST(NULL AS STRING), "
+            " '+36 1 205 3377', CAST(NULL AS BOOLEAN), false, "
+            " '06:00', '22:00', '06:00', '22:00', '06:00', '22:00', "
+            " '06:00', '22:00', '06:00', '22:00', '06:00', '22:00', "
+            " '06:00', '22:00'), "
+            "('humobpefu', CAST(NULL AS STRING), 'Szeged', "
+            " 'Kossuth utca 5.', 46.2532, 20.1449, CAST(NULL AS STRING), "
+            " 'Kossuth utca', '5', CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), true, true, "
+            " NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, "
+            " NULL, NULL, NULL, NULL), "
+            "('humobpefu', CAST(NULL AS STRING), 'Győr', "
+            " 'Alkotmány utca 16', 47.6828, 17.6342, CAST(NULL AS STRING), "
+            " 'Alkotmány utca', '16', CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), CAST(NULL AS BOOLEAN), false, "
+            " '06:00', '22:00', '06:00', '22:00', '06:00', '22:00', "
+            " '06:00', '22:00', '06:00', '22:00', '06:00', '22:00', "
+            " '06:00', '22:00'), "
+            "('humobpefu', CAST(NULL AS STRING), 'Pécs', "
+            " 'Király utca 66.', 46.0766, 18.2311, CAST(NULL AS STRING), "
+            " 'Király utca', '66', CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), CAST(NULL AS BOOLEAN), false, "
+            " '05:00', '22:00', '05:00', '22:00', '05:00', '22:00', "
+            " '05:00', '22:00', '05:00', '22:00', '05:00', '22:00', "
+            " '05:00', '22:00')"
+            ") AS t(code, website, city, original, lat, lon, postcode, "
+            "street, housenumber, conscriptionnumber, phone, nonstop, "
+            "public_holiday_open, mo_open, mo_close, tu_open, tu_close, "
+            "we_open, we_close, th_open, th_close, fr_open, fr_close, "
+            "sa_open, sa_close, su_open, su_close)"
         ),
         "provider_sber": (
             "SELECT * FROM (VALUES "

@@ -128,7 +128,7 @@ def html_to_text(raw: bytes | str, joiner: str = "\n") -> str:
     return joiner.join(c.chunks)
 
 
-def extract_javascript_variable(raw: bytes | str, varname: str):
+def extract_javascript_variable(raw: bytes | str, varname: str, use_replace: bool = False):
     """First ``var <name> = {...};`` payload found in any <script> tag —
     vectorized analogue of libs/address.py:237-263.
 
@@ -146,6 +146,12 @@ def extract_javascript_variable(raw: bytes | str, varname: str):
         re.MULTILINE | re.DOTALL,
     )
     for script in sc.scripts:
+        if pattern.match(script) is None:
+            continue
+        # use_replace (address.py:249): ALL apostrophes → double quotes
+        # across the whole matching script BEFORE the payload slice
+        if use_replace:
+            script = script.replace("'", '"')
         m = pattern.match(script)
         if m is not None:
             return m.group(1)
@@ -202,6 +208,21 @@ def script_array_udf(html: pd.Series, marker: pd.Series) -> pd.Series:
         [
             None if h is None else extract_script_array(h, mk)
             for h, mk in zip(html, marker)
+        ],
+        dtype="object",
+    )
+
+
+@F.pandas_udf(T.StringType())
+def js_var_replace_udf(html: pd.Series, varname: pd.Series) -> pd.Series:
+    """F11 with use_replace=True (address.py:249) — the avia feed stores
+    the markers payload with single quotes."""
+    return pd.Series(
+        [
+            extract_javascript_variable(h, v, use_replace=True)
+            if h is not None
+            else None
+            for h, v in zip(html, varname)
         ],
         dtype="object",
     )

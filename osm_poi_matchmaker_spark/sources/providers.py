@@ -3241,3 +3241,224 @@ def magnet_bank_pois(spark: SparkSession, json_path: str) -> DataFrame:
         F.when(has_addr, lon_fixed).alias("lon"),
         F.when(has_addr, clean_string_udf(F.col("address"))).alias("original"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AVIA fuel stations (dataproviders/hu_avia.py:50-100)
+# ---------------------------------------------------------------------------
+
+_AVIA_REC_T = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("title", T.StringType()),
+            T.StructField("kutid", T.StringType()),
+            T.StructField("lat", T.DoubleType()),
+            T.StructField("lng", T.DoubleType()),
+            T.StructField("cim", T.StringType()),
+            T.StructField("tel", T.StringType()),
+            T.StructField("email", T.StringType()),
+            T.StructField("b95", T.StringType()),
+            T.StructField("b95g", T.StringType()),
+            T.StructField("dies", T.StringType()),
+            T.StructField("gdies", T.StringType()),
+            T.StructField("b98", T.StringType()),
+            T.StructField("lpg", T.StringType()),
+            T.StructField("e85", T.StringType()),
+            T.StructField("pgaz", T.StringType()),
+            T.StructField("komp", T.StringType()),
+            T.StructField("etterem", T.StringType()),
+            T.StructField("bufe", T.StringType()),
+            T.StructField("kpark", T.StringType()),
+        ]
+    )
+)
+
+
+def avia_stations(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """AVIA feed (``dataproviders/hu_avia.py:50-100``): the markers JS
+    variable extracted with use_replace=True (every apostrophe in the
+    script becomes a double quote before parsing, address.py:249); city
+    starts as the raw ``title`` (the ``if self.data.city is None`` guard
+    is always true after clear_all) and is then OVERWRITTEN by the
+    waxeye split when ``cim`` is non-empty (:61-70); website is a
+    formatted /toltoallomas/?id= path when kutid clean_strings non-None;
+    '1'-string service flags → explicit True/False family."""
+    from ..extract.html import js_var_replace_udf
+
+    payload = js_var_replace_udf(F.col(html_col), F.lit("markers"))
+    s = (
+        pages.select(F.from_json(payload, _AVIA_REC_T).alias("markers"))
+        .where(F.col("markers").isNotNull())
+        .select(F.explode("markers").alias("s"))
+        .select("s.*")
+    )
+    kutid_c = clean_string_udf(F.col("kutid"))
+    cim_ok = F.col("cim").isNotNull() & (F.col("cim") != "")
+    ex = parse_address_udf(F.col("cim"))
+    lat_fixed, lon_fixed = fix_hu_coordinates(F.col("lat"), F.col("lng"))
+    flag = lambda c: c == "1"
+    return s.select(
+        F.lit("huaviafu").alias("code"),
+        F.when(cim_ok, clean_string_udf(ex.city))
+        .otherwise(clean_string_udf(F.col("title")))
+        .alias("city"),
+        F.when(
+            F.col("kutid").isNotNull() & (F.col("kutid") != ""),
+            clean_string_udf(F.col("kutid")),
+        ).alias("ref"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        F.when(cim_ok, clean_postcode_udf(ex.postcode)).alias("postcode"),
+        F.when(cim_ok, ex.street).alias("street"),
+        F.when(cim_ok, set_housenumber_udf(ex.housenumber)).alias("housenumber"),
+        F.when(cim_ok, ex.conscriptionnumber).alias("conscriptionnumber"),
+        F.when(
+            kutid_c.isNotNull(),
+            F.concat(F.lit("/toltoallomas/?id="), kutid_c),
+        ).alias("website"),
+        clean_string_udf(F.col("cim")).alias("original"),
+        clean_phone_udf(F.col("tel")).alias("phone"),
+        clean_email_udf(F.col("email")).alias("email"),
+        F.lit(False).alias("public_holiday_open"),
+        (flag(F.col("b95")) | flag(F.col("b95g"))).alias("fuel_octane_95"),
+        (flag(F.col("dies")) | flag(F.col("gdies"))).alias("fuel_diesel"),
+        flag(F.col("b98")).alias("fuel_octane_98"),
+        flag(F.col("lpg")).alias("fuel_lpg"),
+        flag(F.col("e85")).alias("fuel_e85"),
+        flag(F.col("pgaz")).alias("rent_lpg_bottles"),
+        flag(F.col("komp")).alias("compressed_air"),
+        flag(F.col("etterem")).alias("restaurant"),
+        flag(F.col("bufe")).alias("food"),
+        flag(F.col("kpark")).alias("truck"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mobil Petrol (dataproviders/hu_mobil_petrol.py:49-98)
+# ---------------------------------------------------------------------------
+
+_MOBPE_REC_T = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("description", T.StringType()),
+            T.StructField("city", T.StringType()),
+            T.StructField("address", T.StringType()),
+            T.StructField("lat", T.DoubleType()),
+            T.StructField("lng", T.DoubleType()),
+            T.StructField("phone", T.StringType()),
+            T.StructField("services", T.StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_MOBPE_REC_T)
+def _mobpe_extract_udf(payload: pd.Series) -> pd.Series:
+    """totem_stations is a JSON OBJECT iterated via .values()
+    (hu_mobil_petrol.py:57) — document key order matters for the
+    locals() leak below, so extraction stays Python-side."""
+    import json as _json
+
+    def one(txt):
+        if txt is None:
+            return None
+        try:
+            recs = []
+            for i, v in enumerate(_json.loads(txt).values()):
+                loc = v.get("location") or {}
+                recs.append(
+                    (
+                        i,
+                        v.get("description"),
+                        v.get("city"),
+                        v.get("address"),
+                        loc.get("lat"),
+                        loc.get("lng"),
+                        v.get("phone"),
+                        v.get("services"),
+                    )
+                )
+            return recs
+        except Exception:
+            return None
+
+    return pd.Series([one(t) for t in payload], dtype="object")
+
+
+# the elif chain order at hu_mobil_petrol.py:74-87
+_MOBPE_RANGES = [("6-22", "06:00", "22:00"), ("6-21", "06:00", "21:00"),
+                 ("5-22", "05:00", "22:00"), ("6-18", "06:00", "18:00")]
+
+
+def mobil_petrol_stations(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Mobil Petrol feed (``dataproviders/hu_mobil_petrol.py:49-98``).
+    The day range comes from a services-substring elif chain whose
+    ``if 'open_from' in locals()`` guard reads FUNCTION-level locals —
+    open_from/open_to persist across loop iterations, so a non-nonstop
+    record with NO matching range inherits the LAST matched range from
+    any earlier record in the feed (:70-89). That is a carry-forward
+    window over the document order. '0-24' → nonstop+pho True with no
+    day assignment; NULL services raises at ``in`` → record dropped;
+    NULL location drops at the subscript. postcode is explicitly None."""
+    from ..extract.html import js_var_udf
+
+    payload = js_var_udf(F.col(html_col), F.lit("totem_stations"))
+    recs = (
+        pages.select(_mobpe_extract_udf(payload).alias("recs"))
+        .where(F.col("recs").isNotNull())
+        .select(F.explode("recs").alias("s"))
+        .select("s.*")
+        .where(F.col("services").isNotNull() & F.col("lat").isNotNull())
+    )
+    sv = F.col("services")
+    is_nonstop = sv.contains("0-24")
+    # the elif chain: FIRST matching probe wins (chain order)
+    matched_o, matched_c = None, None
+    for probe, o, c in _MOBPE_RANGES:
+        cond = sv.contains(probe)
+        matched_o = F.when(cond, F.lit(o)) if matched_o is None else matched_o.when(cond, F.lit(o))
+        matched_c = F.when(cond, F.lit(c)) if matched_c is None else matched_c.when(cond, F.lit(c))
+
+    from pyspark.sql import Window
+
+    w = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    carry_o = F.last(
+        F.when(~is_nonstop, matched_o), ignorenulls=True
+    ).over(w)
+    carry_c = F.last(
+        F.when(~is_nonstop, matched_c), ignorenulls=True
+    ).over(w)
+    staged = recs.select(
+        "*",
+        is_nonstop.alias("_nonstop"),
+        carry_o.alias("_oh_o"),
+        carry_c.alias("_oh_c"),
+    )
+    lat_fixed, lon_fixed = fix_hu_coordinates(F.col("lat"), F.col("lng"))
+    ex = extract_street_udf(F.col("address"))
+    day_o = F.when(~F.col("_nonstop"), F.col("_oh_o"))
+    day_c = F.when(~F.col("_nonstop"), F.col("_oh_c"))
+    day_names = ["mo", "tu", "we", "th", "fr", "sa", "su"]
+    return staged.select(
+        F.lit("humobpefu").alias("code"),
+        clean_url_udf(F.col("description")).alias("website"),
+        clean_city_udf(F.col("city")).alias("city"),
+        clean_string_udf(F.col("address")).alias("original"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        F.lit(None).cast("string").alias("postcode"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        clean_phone_udf(F.col("phone")).alias("phone"),
+        F.when(F.col("_nonstop"), F.lit(True)).alias("nonstop"),
+        F.when(F.col("_nonstop"), F.lit(True)).otherwise(F.lit(False)).alias(
+            "public_holiday_open"
+        ),
+        *[
+            col.alias(f"{d}_{suffix}")
+            for d in day_names
+            for col, suffix in ((day_o, "open"), (day_c, "close"))
+        ],
+    )

@@ -789,3 +789,40 @@ def test_sber_nemzeti_cib_magnet_provider_mapping(spark):
     assert bank["phone"] == "+36 1 428 8888"  # hardcoded
     unknown = [r for r in mag if r["original"] and "Szeged" in r["original"]][0]
     assert unknown["code"] is None  # type '7' keeps NULL after clear_all
+
+
+def test_avia_mobil_petrol_provider_mapping(spark):
+    """Batch: hu_avia.py:50-100 (use_replace JS extraction, title city
+    with waxeye overwrite, '1'-flag family), hu_mobil_petrol.py:49-98
+    (the locals() range leak across records, nonstop flip, drops)."""
+    from osm_poi_matchmaker_spark.sources.providers import (
+        avia_stations,
+        mobil_petrol_stations,
+    )
+
+    pages = spark.createDataFrame(
+        [(open(os.path.join(FIX, "avia.html"), encoding="utf-8").read(),)],
+        ["html"],
+    )
+    avia = {r["city"]: r for r in avia_stations(pages).collect()}
+    a1 = avia["Budapest"]
+    assert a1["website"] == "/toltoallomas/?id=A101"
+    assert a1["fuel_octane_95"] is True  # b95g='0' but b95='1'
+    assert a1["fuel_diesel"] is True  # gdies='1'
+    a2 = avia["Szeged kút"]  # empty cim: raw title stays the city
+    assert a2["street"] is None and a2["ref"] is None  # '' kutid → None
+    assert a2["fuel_octane_95"] is False  # explicit False family
+
+    pages2 = spark.createDataFrame(
+        [(open(os.path.join(FIX, "mobil_petrol.html"), encoding="utf-8").read(),)],
+        ["html"],
+    )
+    mp = {r["city"]: r for r in mobil_petrol_stations(pages2).collect()}
+    # NULL location (Sehol) and NULL services (Miskolc) drop
+    assert set(mp) == {"Budapest", "Szeged", "Győr", "Pécs"}
+    assert mp["Szeged"]["nonstop"] is True  # '0-24'
+    assert mp["Szeged"]["mo_open"] is None
+    assert mp["Budapest"]["mo_open"] == "06:00"  # own 6-22 match
+    # the locals() leak: 'shop'-only Győr inherits Budapest's range
+    assert mp["Győr"]["mo_open"] == "06:00"
+    assert mp["Pécs"]["mo_open"] == "05:00"  # own 5-22 match
