@@ -1263,6 +1263,59 @@ def _q_provider_mobil_petrol(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mobil_petrol_stations(pages)
 
 
+def _q_provider_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_ccc (dataproviders/hu_ccc.py:62-87): store list from the text
+    of <div id="pos-list-json">, better_2 housenumber overwritten by the
+    dot-stripped house_number (NULL → drop), dead openings field. Fixed
+    fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import ccc_stores
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "ccc.html",
+    )
+    pages = spark.read.text(path, wholetext=True).select(
+        F.col("value").alias("html")
+    )
+    return ccc_stores(pages)
+
+
+def _q_provider_jysk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_jysk (dataproviders/hu_jysk.py:48-80): index-page react-props
+    ATTRIBUTE JSON + per-store detail pages (the reference's per-record
+    HTTP fetch becomes a broadcast join on storeId; missing detail →
+    dropped), raw-name branch overwritten by clean_branch(shop_name).
+    Fixed fixtures → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import jysk_stores
+
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures")
+    idx = spark.read.text(os.path.join(base, "jysk_index.html"), wholetext=True).select(
+        F.col("value").alias("html")
+    )
+    det = spark.createDataFrame(
+        [
+            ("J001", open(os.path.join(base, "jysk_j001.html"), encoding="utf-8").read()),
+            ("J002", open(os.path.join(base, "jysk_j002.html"), encoding="utf-8").read()),
+        ],
+        ["ref", "html"],
+    )
+    return jysk_stores(idx, det)
+
+
+def _q_provider_tom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_tom_market (dataproviders/hu_tom_market.py:45-82): company-
+    suffix names (' e.v.', ' kft.', ' bt'…) skip the record entirely;
+    empty names keep the record with a NULL branch. Fixed fixture →
+    golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import tom_market_stores
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "tom_market.json",
+    )
+    return tom_market_stores(spark, path)
+
+
 def _q_atp_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hu_alltheplaces spider registry (hu_alltheplaces.py:227-351) as one
     plan over the insights JSON: falsy brand chain, first-brand-wins per
@@ -2138,6 +2191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_sber": _q_provider_sber,
         "provider_avia": _q_provider_avia,
         "provider_mobil_petrol": _q_provider_mobil_petrol,
+        "provider_ccc": _q_provider_ccc,
+        "provider_jysk": _q_provider_jysk,
+        "provider_tom": _q_provider_tom,
         "provider_nemzeti": _q_provider_nemzeti,
         "provider_cib": _q_provider_cib,
         "provider_magnet": _q_provider_magnet,
@@ -2595,6 +2651,40 @@ def oracle_sql() -> dict[str, str]:
             "conscriptionnumber, original, mo_open, mo_close, tu_open, "
             "tu_close, we_open, we_close, th_open, th_close, fr_open, "
             "fr_close, sa_open, sa_close, su_open, su_close)"
+        ),
+        "provider_ccc": (
+            "SELECT * FROM (VALUES "
+            "('hucccsho', 47.4979, 19.0546, '1052', 'Budapest', "
+            " 'Váci utca', '11', CAST(NULL AS STRING), 'Váci utca 11.', "
+            " false), "
+            "('hucccsho', 46.2532, 20.1449, '6722', 'Szeged', "
+            " 'Kossuth utca', '5/B', CAST(NULL AS STRING), "
+            " 'Kossuth utca 5.', false)"
+            ") AS t(code, lat, lon, postcode, city, street, housenumber, "
+            "conscriptionnumber, original, public_holiday_open)"
+        ),
+        "provider_jysk": (
+            "SELECT * FROM (VALUES "
+            "('hujyskfur', 47.4658, 19.0423, 'J001', 'Budapest', '1117', "
+            " 'Budafoki utca', '+36 1 205 3377', '111', "
+            " 'JYSK Budafoki Áruház'), "
+            "('hujyskfur', 46.2532, 20.1449, 'J002', 'Szeged', '6722', "
+            " 'Kossuth utca', CAST(NULL AS STRING), '5', "
+            " 'JYSK Szeged üzletház')"
+            ") AS t(code, lat, lon, ref, city, postcode, street, phone, "
+            "housenumber, branch)"
+        ),
+        "provider_tom": (
+            "SELECT * FROM (VALUES "
+            "('hutommacon', 'Tom Market Astoria', 47.4939, 19.0603, "
+            " 'Rákóczi út', '12', CAST(NULL AS STRING), 'Budapest', "
+            " '1072', 'Rákóczi út 12.', '+36 1 266 1111', false), "
+            "('hutommacon', CAST(NULL AS STRING), 47.6828, 17.6342, "
+            " 'Alkotmány utca', '16', CAST(NULL AS STRING), 'Győr', "
+            " '9021', 'Alkotmány utca 16', CAST(NULL AS STRING), false)"
+            ") AS t(code, branch, lat, lon, street, housenumber, "
+            "conscriptionnumber, city, postcode, original, phone, "
+            "public_holiday_open)"
         ),
         "provider_avia": (
             "SELECT * FROM (VALUES "

@@ -226,3 +226,90 @@ def js_var_replace_udf(html: pd.Series, varname: pd.Series) -> pd.Series:
         ],
         dtype="object",
     )
+
+
+class _DivCollector(HTMLParser):
+    """Collects the text content and attrs of the FIRST <div> whose
+    attributes match a predicate (soup.find('div', {...}) analogue)."""
+
+    def __init__(self, pred):
+        super().__init__(convert_charrefs=True)
+        self._pred = pred
+        self._depth = 0
+        self._found = False
+        self.attrs = None
+        self.text_parts: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag != "div":
+            return
+        if self._depth > 0:
+            self._depth += 1
+            return
+        if not self._found and self._pred(dict(attrs)):
+            self._found = True
+            self.attrs = dict(attrs)
+            self._depth = 1
+
+    def handle_endtag(self, tag):
+        if tag == "div" and self._depth > 0:
+            self._depth -= 1
+
+    def handle_data(self, data):
+        if self._depth > 0:
+            self.text_parts.append(data)
+
+
+def extract_div_text(raw: bytes | str, div_id: str):
+    """Text content of the first ``<div id=...>`` —
+    ``soup.find('div', {'id': ...}).text`` (hu_ccc.py:67)."""
+    text = (
+        raw.decode("utf-8", errors="replace")
+        if isinstance(raw, (bytes, bytearray))
+        else raw
+    )
+    c = _DivCollector(lambda a: a.get("id") == div_id)
+    c.feed(text)
+    c.close()
+    return "".join(c.text_parts) if c.attrs is not None else None
+
+
+def extract_div_attr(
+    raw: bytes | str, match_attr: str, match_value: str, want_attr: str
+):
+    """Attribute value of the first div with ``match_attr == match_value``
+    — ``soup.find('div', {attr: value})[want]`` (hu_jysk.py:52, :65)."""
+    text = (
+        raw.decode("utf-8", errors="replace")
+        if isinstance(raw, (bytes, bytearray))
+        else raw
+    )
+    c = _DivCollector(lambda a: a.get(match_attr) == match_value)
+    c.feed(text)
+    c.close()
+    return None if c.attrs is None else c.attrs.get(want_attr)
+
+
+@F.pandas_udf(T.StringType())
+def div_text_udf(html: pd.Series, div_id: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if h is None else extract_div_text(h, i)
+            for h, i in zip(html, div_id)
+        ],
+        dtype="object",
+    )
+
+
+@F.pandas_udf(T.StringType())
+def div_attr_udf(
+    html: pd.Series, match_attr: pd.Series, match_value: pd.Series,
+    want_attr: pd.Series,
+) -> pd.Series:
+    return pd.Series(
+        [
+            None if h is None else extract_div_attr(h, a, v, w)
+            for h, a, v, w in zip(html, match_attr, match_value, want_attr)
+        ],
+        dtype="object",
+    )

@@ -22,6 +22,8 @@ hutescoext; else hutescosup unless Levél → husmrktsup).
 
 from __future__ import annotations
 
+from functools import reduce
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -3461,4 +3463,206 @@ def mobil_petrol_stations(pages: DataFrame, html_col: str = "html") -> DataFrame
             for d in day_names
             for col, suffix in ((day_o, "open"), (day_c, "close"))
         ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCC shoes (dataproviders/hu_ccc.py:62-87)
+# ---------------------------------------------------------------------------
+
+_CCC_REC_T = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("latitude", T.DoubleType()),
+            T.StructField("longitude", T.DoubleType()),
+            T.StructField("postcode", T.StringType()),
+            T.StructField("city", T.StringType()),
+            T.StructField("street", T.StringType()),
+            T.StructField("house_number", T.StringType()),
+            T.StructField("openings", T.StringType()),
+        ]
+    )
+)
+
+
+def ccc_stores(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """CCC feed (``dataproviders/hu_ccc.py:62-87``): the store list is the
+    TEXT CONTENT of ``<div id="pos-list-json">``; better_2's housenumber
+    is immediately OVERWRITTEN by house_number with dots stripped (a NULL
+    house_number raises at .replace → drop, :74-76); ``openings`` is
+    fetched and never used (dead, :77)."""
+    from ..extract.html import div_text_udf
+
+    payload = div_text_udf(F.col(html_col), F.lit("pos-list-json"))
+    s = (
+        pages.select(F.from_json(payload, _CCC_REC_T).alias("pois"))
+        .where(F.col("pois").isNotNull())
+        .select(F.explode("pois").alias("s"))
+        .select("s.*")
+        .where(F.col("house_number").isNotNull())
+    )
+    lat_fixed, lon_fixed = fix_hu_coordinates(
+        F.col("latitude"), F.col("longitude")
+    )
+    ex = extract_street_udf(F.col("street"))
+    return s.select(
+        F.lit("hucccsho").alias("code"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        clean_postcode_udf(F.col("postcode")).alias("postcode"),
+        clean_city_udf(F.col("city")).alias("city"),
+        ex.street.alias("street"),
+        set_housenumber_udf(
+            F.regexp_replace(F.col("house_number"), r"\.", "")
+        ).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        clean_string_udf(F.col("street")).alias("original"),
+        F.lit(False).alias("public_holiday_open"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JYSK (dataproviders/hu_jysk.py:48-80)
+# ---------------------------------------------------------------------------
+
+_JYSK_INDEX_T = T.StructType(
+    [
+        T.StructField(
+            "storesCoordinates",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("lat", T.DoubleType()),
+                        T.StructField("lng", T.DoubleType()),
+                        T.StructField("name", T.StringType()),
+                        T.StructField("id", T.StringType()),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+_JYSK_DETAIL_T = T.StructType(
+    [
+        T.StructField("city", T.StringType()),
+        T.StructField("zip", T.StringType()),
+        T.StructField("street", T.StringType()),
+        T.StructField("tel", T.StringType()),
+        T.StructField("house", T.StringType()),
+        T.StructField("shop_name", T.StringType()),
+    ]
+)
+
+
+def jysk_stores(
+    index_pages: DataFrame, detail_pages: DataFrame, html_col: str = "html"
+) -> DataFrame:
+    """JYSK feed (``dataproviders/hu_jysk.py:48-80``): the index page's
+    StoresLocatorLayout div carries the store list in its
+    data-jysk-react-properties ATTRIBUTE; each store then needs a SECOND
+    page fetch (?storeId=) whose SecondaryNavigation div carries the
+    detail JSON — the reference's per-record HTTP round trip becomes a
+    broadcast join of a ``detail_pages(ref, html)`` table. A missing or
+    unparsable detail page raises in the reference → record dropped
+    (inner join). The raw-name branch assignment at :59 is OVERWRITTEN
+    by clean_branch(shop_name) at :72; street via clean_street,
+    housenumber via clean_string — no extraction."""
+    from ..extract.html import div_attr_udf
+
+    idx_payload = div_attr_udf(
+        F.col(html_col),
+        F.lit("data-jysk-react-component"),
+        F.lit("StoresLocatorLayout"),
+        F.lit("data-jysk-react-properties"),
+    )
+    stores = (
+        index_pages.select(
+            F.from_json(idx_payload, _JYSK_INDEX_T).alias("j")
+        )
+        .where(F.col("j").isNotNull())
+        .select(F.explode("j.storesCoordinates").alias("s"))
+        .select("s.*")
+        .withColumn("ref", clean_string_udf(F.col("id")))
+    )
+    det_payload = div_attr_udf(
+        detail_pages[html_col],
+        F.lit("data-jysk-react-component"),
+        F.lit("SecondaryNavigation"),
+        F.lit("data-jysk-react-properties"),
+    )
+    details = detail_pages.select(
+        F.col("ref"), F.from_json(det_payload, _JYSK_DETAIL_T).alias("d")
+    ).where(F.col("d").isNotNull())
+    joined = stores.join(F.broadcast(details), "ref", "inner")
+    lat_fixed, lon_fixed = fix_hu_coordinates(F.col("lat"), F.col("lng"))
+    return joined.select(
+        F.lit("hujyskfur").alias("code"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        F.col("ref"),
+        clean_city_udf(F.col("d.city")).alias("city"),
+        clean_postcode_udf(F.col("d.zip")).alias("postcode"),
+        clean_street_udf(F.col("d.street")).alias("street"),
+        clean_phone_udf(F.col("d.tel")).alias("phone"),
+        set_housenumber_udf(F.col("d.house")).alias("housenumber"),
+        set_branch_udf(F.col("d.shop_name")).alias("branch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tom Market (dataproviders/hu_tom_market.py:45-82)
+# ---------------------------------------------------------------------------
+
+# hu_tom_market.py:22
+_TOM_COMPANY_TYPES = [" e.v.", " ev.", " kft.", " KFT", " bt.", " bt"]
+
+_TOM_REC_T = T.StructType(
+    [
+        T.StructField("city", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lng", T.DoubleType()),
+        T.StructField("address", T.StringType()),
+        T.StructField("postcode", T.StringType()),
+        T.StructField("phone", T.StringType()),
+    ]
+)
+
+
+def tom_market_stores(spark: SparkSession, json_path: str) -> DataFrame:
+    """Tom Market feed (``dataproviders/hu_tom_market.py:45-82``): records
+    whose name contains a company-suffix fragment (' e.v.', ' kft.', …)
+    are SKIPPED entirely (:59-62); non-empty non-company names become the
+    raw branch; the feed is JSON despite the HTML file type (:52)."""
+    s = (
+        spark.read.schema(
+            T.StructType([T.StructField("partners", T.ArrayType(_TOM_REC_T))])
+        )
+        .option("multiLine", "true")
+        .json(json_path)
+        .select(F.explode("partners").alias("s"))
+        .select("s.*")
+    )
+    name_ok = F.col("name").isNotNull() & (F.col("name") != "")
+    is_company = name_ok & reduce(
+        lambda a, b: a | b,
+        [F.col("name").contains(t) for t in _TOM_COMPANY_TYPES],
+    )
+    s = s.where(~F.coalesce(is_company, F.lit(False)))
+    lat_fixed, lon_fixed = fix_hu_coordinates(F.col("lat"), F.col("lng"))
+    ex = extract_street_udf(F.col("address"))
+    return s.select(
+        F.lit("hutommacon").alias("code"),
+        F.when(name_ok, set_branch_udf(F.col("name"))).alias("branch"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        clean_city_udf(F.col("city")).alias("city"),
+        clean_postcode_udf(F.col("postcode")).alias("postcode"),
+        clean_string_udf(F.col("address")).alias("original"),
+        clean_phone_udf(F.col("phone")).alias("phone"),
+        F.lit(False).alias("public_holiday_open"),
     )

@@ -826,3 +826,46 @@ def test_avia_mobil_petrol_provider_mapping(spark):
     # the locals() leak: 'shop'-only Győr inherits Budapest's range
     assert mp["Győr"]["mo_open"] == "06:00"
     assert mp["Pécs"]["mo_open"] == "05:00"  # own 5-22 match
+
+
+def test_ccc_jysk_tom_provider_mapping(spark):
+    """Batch: hu_ccc.py:62-87 (div-text JSON, housenumber overwrite),
+    hu_jysk.py:48-80 (react-props attribute JSON + per-store detail
+    join), hu_tom_market.py:45-82 (company-suffix skip)."""
+    from osm_poi_matchmaker_spark.sources.providers import (
+        ccc_stores,
+        jysk_stores,
+        tom_market_stores,
+    )
+
+    pages = spark.createDataFrame(
+        [(open(os.path.join(FIX, "ccc.html"), encoding="utf-8").read(),)],
+        ["html"],
+    )
+    ccc = {r["postcode"]: r for r in ccc_stores(pages).collect()}
+    assert set(ccc) == {"1052", "6722"}  # NULL house_number drops
+    assert ccc["1052"]["housenumber"] == "11"  # '11.' dot-stripped
+    assert ccc["6722"]["housenumber"] == "5/B"  # better_2 overwritten
+
+    idx = spark.createDataFrame(
+        [(open(os.path.join(FIX, "jysk_index.html"), encoding="utf-8").read(),)],
+        ["html"],
+    )
+    det = spark.createDataFrame(
+        [
+            ("J001", open(os.path.join(FIX, "jysk_j001.html"), encoding="utf-8").read()),
+            ("J002", open(os.path.join(FIX, "jysk_j002.html"), encoding="utf-8").read()),
+        ],
+        ["ref", "html"],
+    )
+    jysk = {r["ref"]: r for r in jysk_stores(idx, det).collect()}
+    assert set(jysk) == {"J001", "J002"}  # J003: missing detail page drops
+    assert jysk["J001"]["street"] == "Budafoki utca"  # clean_street 'u.'
+    assert jysk["J002"]["branch"] == "JYSK Szeged üzletház"  # clean_branch
+    assert jysk["J002"]["city"] == "Szeged"  # clean_city titles
+
+    tom = tom_market_stores(spark, os.path.join(FIX, "tom_market.json"))
+    rows = {r["postcode"]: r for r in tom.collect()}
+    # ' kft.' and ' bt' suffixed names skip their records entirely
+    assert set(rows) == {"1072", "9021"}
+    assert rows["9021"]["branch"] is None  # empty name: kept, NULL branch
