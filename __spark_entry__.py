@@ -1316,6 +1316,84 @@ def _q_provider_tom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tom_market_stores(spark, path)
 
 
+def _q_provider_rossmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_rossmann (dataproviders/hu_rossmann.py:53-95): Next.js
+    application/json script payload, newline-split 7-line openings with
+    both-halves-or-nothing day parsing, short lists dropping the record,
+    NULL openings keeping it with NULL days. Fixed fixture → golden-row
+    oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import rossmann_stores
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "rossmann.html",
+    )
+    pages = spark.read.text(path, wholetext=True).select(
+        F.col("value").alias("html")
+    )
+    return rossmann_stores(pages)
+
+
+def _q_provider_pingvin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_pingvin_patika (dataproviders/hu_pingvin_patika.py:58-88):
+    pharmacies JS variable (the quote-escape replaces are Python no-ops),
+    4-way city/street split, description = last <p> of the per-record
+    content HTML (missing content parses the literal 'lxml' default —
+    no <p> → unset). Fixed fixture → golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import pingvin_patika_stores
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "pingvin.html",
+    )
+    pages = spark.read.text(path, wholetext=True).select(
+        F.col("value").alias("html")
+    )
+    return pingvin_patika_stores(pages)
+
+
+def _q_provider_bubi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_mol_bubi (dataproviders/hu_mol_bubi.py:51-104): dash-split
+    name → ref/branch/description with the split[2]-first IndexError
+    guard, constant Budapest city, nonstop+pho True. Fixed fixture →
+    golden-row oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import mol_bubi_docks
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "mol_bubi.json",
+    )
+    return mol_bubi_docks(spark, path)
+
+
+def _q_provider_plugee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_mol_plugee_ev (dataproviders/hu_mol_plugee_ev.py:50-92):
+    semicolon CSV with skiprows=1, comma-decimal coordinates whose
+    isinstance-float guard keeps NULL-coordinate rows, guarded int
+    socket counts + clean_string outputs. Fixed fixture → golden-row
+    oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import mol_plugee_chargers
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "mol_plugee.csv",
+    )
+    return mol_plugee_chargers(spark, path)
+
+
+def _q_provider_volanbusz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hu_volanbusz (dataproviders/hu_volanbusz.py:52-98) — byte-identical
+    to hu_mav except the constant code. Fixed fixture → golden-row
+    oracle."""
+    from osm_poi_matchmaker_spark.sources.providers import volanbusz_stops
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "mav_gtfs.zip",
+    )
+    return volanbusz_stops(spark, path)
+
+
 def _q_atp_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hu_alltheplaces spider registry (hu_alltheplaces.py:227-351) as one
     plan over the insights JSON: falsy brand chain, first-brand-wins per
@@ -2194,6 +2272,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_ccc": _q_provider_ccc,
         "provider_jysk": _q_provider_jysk,
         "provider_tom": _q_provider_tom,
+        "provider_rossmann": _q_provider_rossmann,
+        "provider_pingvin": _q_provider_pingvin,
+        "provider_bubi": _q_provider_bubi,
+        "provider_plugee": _q_provider_plugee,
+        "provider_volanbusz": _q_provider_volanbusz,
         "provider_nemzeti": _q_provider_nemzeti,
         "provider_cib": _q_provider_cib,
         "provider_magnet": _q_provider_magnet,
@@ -2651,6 +2734,81 @@ def oracle_sql() -> dict[str, str]:
             "conscriptionnumber, original, mo_open, mo_close, tu_open, "
             "tu_close, we_open, we_close, th_open, th_close, fr_open, "
             "fr_close, sa_open, sa_close, su_open, su_close)"
+        ),
+        "provider_rossmann": (
+            "SELECT * FROM (VALUES "
+            "('hurossmche', 47.4979, 19.0546, '1052', 'Budapest', "
+            " 'Váci utca', '11', CAST(NULL AS STRING), "
+            " '1052 Budapest, Váci utca 11.', false, "
+            " '08:00', '20:00', '08:00', '20:00', '08:00', '20:00', "
+            " '08:00', '20:00', '08:00', '20:00', '09:00', '14:00', "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING)), "
+            "('hurossmche', 46.2532, 20.1449, '6722', 'Szeged', "
+            " 'Kossuth utca', '5', CAST(NULL AS STRING), "
+            " '6722 Szeged, Kossuth utca 5.', false, "
+            " NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, "
+            " NULL, NULL, NULL, NULL)"
+            ") AS t(code, lat, lon, postcode, city, street, housenumber, "
+            "conscriptionnumber, original, public_holiday_open, mo_open, "
+            "mo_close, tu_open, tu_close, we_open, we_close, th_open, "
+            "th_close, fr_open, fr_close, sa_open, sa_close, su_open, "
+            "su_close)"
+        ),
+        "provider_pingvin": (
+            "SELECT * FROM (VALUES "
+            "('hupingvpha', 46.2532, 20.1449, 'Szeged', 'Kossuth utca', "
+            " '5', CAST(NULL AS STRING), 'Ügyelet: hétvégén zárva', false), "
+            "('hupingvpha', 47.4979, 19.0546, 'Budapest', 'Váci utca', "
+            " '11', CAST(NULL AS STRING), CAST(NULL AS STRING), false)"
+            ") AS t(code, lat, lon, city, street, housenumber, "
+            "conscriptionnumber, description, public_holiday_open)"
+        ),
+        "provider_bubi": (
+            "SELECT * FROM (VALUES "
+            "('hububibir', 'Budapest', 'Széll Kálmán tér', 'észak', "
+            " '0201', true, true, 47.5071, 19.0244, CAST(NULL AS STRING)), "
+            "('hububibir', 'Budapest', 'Fővám tér', CAST(NULL AS STRING), "
+            " '0512', true, true, 47.4862, 19.059, CAST(NULL AS STRING)), "
+            "('hububibir', 'Budapest', CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), 'Karakterek nélkül', true, true, "
+            " 47.51, 19.07, CAST(NULL AS STRING)), "
+            "('hububibir', 'Budapest', CAST(NULL AS STRING), "
+            " CAST(NULL AS STRING), CAST(NULL AS STRING), true, true, "
+            " 47.52, 19.08, CAST(NULL AS STRING))"
+            ") AS t(code, city, branch, description, ref, nonstop, "
+            "public_holiday_open, lat, lon, postcode)"
+        ),
+        "provider_plugee": (
+            "SELECT * FROM (VALUES "
+            "('humolplchs', 'PL-001', '1117', 'Budapest', 'Budafoki út', "
+            " '111', CAST(NULL AS STRING), 'Budafoki út 111.', 47.4658, "
+            " 19.0423, 1, '50 kW', 1, '50 kW', CAST(NULL AS INTEGER), "
+            " CAST(NULL AS STRING), 2, '22 kW', 'ABB', 'Terra 54', 2), "
+            "('humolplchs', 'PL-002', '6722', 'Szeged', 'Kossuth utca', "
+            " '5', CAST(NULL AS STRING), 'Kossuth utca 5.', "
+            " CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            " CAST(NULL AS INTEGER), CAST(NULL AS STRING), 1, '150 kW', "
+            " CAST(NULL AS INTEGER), CAST(NULL AS STRING), "
+            " CAST(NULL AS INTEGER), CAST(NULL AS STRING), 'Siemens', "
+            " 'Sicharge', 4)"
+            ") AS t(code, ref, postcode, city, street, housenumber, "
+            "conscriptionnumber, original, lat, lon, socket_chademo, "
+            "socket_chademo_output, socket_type2_combo, "
+            "socket_type2_combo_output, socket_type2_cable, "
+            "socket_type2_cable_output, socket_type2_cableless, "
+            "socket_type2_cableless_output, manufacturer, model, capacity)"
+        ),
+        "provider_volanbusz": (
+            "SELECT * FROM (VALUES "
+            "('huvolantra', 'Budapest-Nyugati', 'S1', 47.5106, 19.0568, "
+            " 'id=S1 lat=47.5106 lon=19.0568 name=Budapest-Nyugati'), "
+            "('huvolantra', 'Szeged', 'S2', 46.2419, 20.1439, "
+            " 'id=S2 lat=46.2419 lon=20.1439 name=Szeged'), "
+            "('huvolantra', 'Keleti pályaudvar', 'S3', 47.5007, 19.084, "
+            " 'id=S3 lat=19.084 lon=47.5007 name=Keleti pályaudvar'), "
+            "('huvolantra', 'Győr', 'S4', 47.683, 17.6344, "
+            " 'id=S4 lat=47.683 lon=17.6344 name= Győr')"
+            ") AS t(code, name, poi_additional_ref, lat, lon, original)"
         ),
         "provider_ccc": (
             "SELECT * FROM (VALUES "

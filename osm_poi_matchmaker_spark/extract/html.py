@@ -313,3 +313,93 @@ def div_attr_udf(
         ],
         dtype="object",
     )
+
+
+class _AttrScriptCollector(HTMLParser):
+    """Text of the first <script> whose attrs match (soup.find('script',
+    {attr: value}) analogue — hu_rossmann.py:60)."""
+
+    def __init__(self, attr, value):
+        super().__init__(convert_charrefs=True)
+        self._attr, self._value = attr, value
+        self._in = False
+        self._done = False
+        self.parts: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "script" and not self._done and dict(attrs).get(self._attr) == self._value:
+            self._in = True
+
+    def handle_endtag(self, tag):
+        if tag == "script" and self._in:
+            self._in = False
+            self._done = True
+
+    def handle_data(self, data):
+        if self._in:
+            self.parts.append(data)
+
+
+def extract_script_attr_text(raw: bytes | str, attr: str, value: str):
+    text = (
+        raw.decode("utf-8", errors="replace")
+        if isinstance(raw, (bytes, bytearray))
+        else raw
+    )
+    c = _AttrScriptCollector(attr, value)
+    c.feed(text)
+    c.close()
+    return "".join(c.parts) if c.parts else None
+
+
+@F.pandas_udf(T.StringType())
+def script_attr_text_udf(
+    html: pd.Series, attr: pd.Series, value: pd.Series
+) -> pd.Series:
+    return pd.Series(
+        [
+            None if h is None else extract_script_attr_text(h, a, v)
+            for h, a, v in zip(html, attr, value)
+        ],
+        dtype="object",
+    )
+
+
+def extract_last_p_text(raw: bytes | str):
+    """Text of the LAST <p> in a fragment — ``soup.find_all('p')[-1].text``
+    (hu_pingvin_patika.py:78-80); no <p> → None (the reference's
+    IndexError leaves the field unset)."""
+    text = (
+        raw.decode("utf-8", errors="replace")
+        if isinstance(raw, (bytes, bytearray))
+        else raw
+    )
+
+    class _P(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self._in = 0
+            self.ps: list[list[str]] = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "p":
+                self._in += 1
+                self.ps.append([])
+
+        def handle_endtag(self, tag):
+            if tag == "p" and self._in:
+                self._in -= 1
+
+        def handle_data(self, data):
+            if self._in and self.ps:
+                self.ps[-1].append(data)
+
+    p = _P()
+    p.feed(text)
+    p.close()
+    return "".join(p.ps[-1]) if p.ps else None
+
+
+@F.pandas_udf(T.StringType())
+def last_p_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_last_p_text, na_action="ignore")

@@ -224,3 +224,23 @@ def extract_all_address_udf(s: pd.Series) -> pd.DataFrame:
         rows,
         columns=["postcode", "city", "street", "housenumber", "conscriptionnumber"],
     )
+
+
+_CITY_ADDR_STRUCT = T.StructType(
+    [
+        T.StructField("city", T.StringType()),
+        T.StructField("street", T.StringType()),
+        T.StructField("housenumber", T.StringType()),
+        T.StructField("conscriptionnumber", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_CITY_ADDR_STRUCT)
+def extract_city_address_udf(s: pd.Series) -> pd.DataFrame:
+    """F2 family: 'City, street hn' 4-way split
+    (``extract_city_street_housenumber_address``, address.py:359-377)."""
+    rows = [hu.extract_city_street_housenumber_address(v)[:4] for v in s]
+    return pd.DataFrame(
+        rows, columns=["city", "street", "housenumber", "conscriptionnumber"]
+    )

@@ -42,6 +42,7 @@ from ..functions.spark_udfs import (
     clean_string_udf,
     clean_url_udf,
     extract_all_address_udf,
+    extract_city_address_udf,
     extract_phone_udf,
     extract_street_udf,
     replace_html_newlines_udf,
@@ -3665,4 +3666,300 @@ def tom_market_stores(spark: SparkSession, json_path: str) -> DataFrame:
         clean_string_udf(F.col("address")).alias("original"),
         clean_phone_udf(F.col("phone")).alias("phone"),
         F.lit(False).alias("public_holiday_open"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rossmann (dataproviders/hu_rossmann.py:53-95)
+# ---------------------------------------------------------------------------
+
+_ROSS_REC_T = T.StructType(
+    [
+        T.StructField(
+            "props",
+            T.StructType(
+                [
+                    T.StructField(
+                        "pageProps",
+                        T.StructType(
+                            [
+                                T.StructField(
+                                    "stores",
+                                    T.ArrayType(
+                                        T.StructType(
+                                            [
+                                                T.StructField("lat", T.DoubleType()),
+                                                T.StructField("lng", T.DoubleType()),
+                                                T.StructField("zip_code", T.StringType()),
+                                                T.StructField("city", T.StringType()),
+                                                T.StructField("street", T.StringType()),
+                                                T.StructField("openings", T.StringType()),
+                                                T.StructField("address", T.StringType()),
+                                            ]
+                                        )
+                                    ),
+                                )
+                            ]
+                        ),
+                    )
+                ]
+            ),
+        )
+    ]
+)
+
+
+def rossmann_stores(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Rossmann feed (``dataproviders/hu_rossmann.py:53-95``): the Next.js
+    ``<script type="application/json">`` payload →
+    props.pageProps.stores; ``openings`` is a newline-joined 7-line
+    string — each line through clean_opening_hours, a day set only when
+    BOTH halves parse (:77-85); fewer than 7 lines raises IndexError →
+    record dropped; NULL openings skips the day block (days NULL)."""
+    from ..extract.html import script_attr_text_udf
+
+    payload = script_attr_text_udf(
+        F.col(html_col), F.lit("type"), F.lit("application/json")
+    )
+    s = (
+        pages.select(F.from_json(payload, _ROSS_REC_T).alias("j"))
+        .where(F.col("j.props.pageProps.stores").isNotNull())
+        .select(F.explode("j.props.pageProps.stores").alias("s"))
+        .select("s.*")
+    )
+    lines = F.split(F.col("openings"), "\n")
+    s = s.where(F.col("openings").isNull() | (F.size(lines) >= 7))
+    lat_fixed, lon_fixed = fix_hu_coordinates(F.col("lat"), F.col("lng"))
+    ex = extract_street_udf(F.col("street"))
+    day_names = ["mo", "tu", "we", "th", "fr", "sa", "su"]
+    day_cols = []
+    for i, d in enumerate(day_names):
+        o, c = _clean_opening_hours_expr(lines[i])
+        both = o.isNotNull() & c.isNotNull()
+        gate = F.col("openings").isNotNull() & both
+        day_cols.append(F.when(gate, o).alias(f"{d}_open"))
+        day_cols.append(F.when(gate, c).alias(f"{d}_close"))
+    return s.select(
+        F.lit("hurossmche").alias("code"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        clean_postcode_udf(F.col("zip_code")).alias("postcode"),
+        clean_city_udf(F.col("city")).alias("city"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        clean_string_udf(F.col("address")).alias("original"),
+        F.lit(False).alias("public_holiday_open"),
+        *day_cols,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pingvin patika (dataproviders/hu_pingvin_patika.py:58-88)
+# ---------------------------------------------------------------------------
+
+_PINGVIN_REC_T = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("lat", T.DoubleType()),
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("address", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+)
+
+
+def pingvin_patika_stores(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Pingvin patika feed (``dataproviders/hu_pingvin_patika.py:58-88``):
+    the pharmacies JS variable (the quote-escaping replaces at :66-68 are
+    Python no-ops — '\\\"' IS '\"' — so none are modeled);
+    extract_city_street_housenumber_address 4-way split; description is
+    the text of the LAST <p> of the per-record content HTML — missing
+    content parses the literal 'lxml' default (the misplaced parser arg,
+    :78) which has no <p>, leaving description unset."""
+    from ..extract.html import js_var_udf, last_p_text_udf
+
+    payload = js_var_udf(F.col(html_col), F.lit("pharmacies"))
+    s = (
+        pages.select(F.from_json(payload, _PINGVIN_REC_T).alias("pois"))
+        .where(F.col("pois").isNotNull())
+        .select(F.explode("pois").alias("s"))
+        .select("s.*")
+    )
+    ex = extract_city_address_udf(F.col("address"))
+    lat_fixed, lon_fixed = fix_hu_coordinates(F.col("lat"), F.col("lon"))
+    return s.select(
+        F.lit("hupingvpha").alias("code"),
+        lat_fixed.alias("lat"),
+        lon_fixed.alias("lon"),
+        clean_string_udf(ex.city).alias("city"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        clean_string_udf(last_p_text_udf(F.col("content"))).alias("description"),
+        F.lit(False).alias("public_holiday_open"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MOL Bubi bike share (dataproviders/hu_mol_bubi.py:51-104)
+# ---------------------------------------------------------------------------
+
+_BUBI_REC_T = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lng", T.DoubleType()),
+    ]
+)
+
+
+def mol_bubi_docks(spark: SparkSession, json_path: str) -> DataFrame:
+    """MOL Bubi feed (``dataproviders/hu_mol_bubi.py:51-104``): places
+    under countries[0].cities[0]; the dash-split name → ref = part 0,
+    branch = part 1 (when >1 parts), description = part 2 (the guard
+    evaluates split[2] FIRST, so 2-part names IndexError into the inner
+    except and skip description, :74-92); city is the constant
+    'Budapest'; nonstop and pho True; postcode explicitly None."""
+    s = (
+        spark.read.schema(
+            T.StructType(
+                [
+                    T.StructField(
+                        "countries",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField(
+                                        "cities",
+                                        T.ArrayType(
+                                            T.StructType(
+                                                [
+                                                    T.StructField(
+                                                        "places",
+                                                        T.ArrayType(_BUBI_REC_T),
+                                                    )
+                                                ]
+                                            )
+                                        ),
+                                    )
+                                ]
+                            )
+                        ),
+                    )
+                ]
+            )
+        )
+        .option("multiLine", "true")
+        .json(json_path)
+        .select(F.explode(F.col("countries")[0]["cities"][0]["places"]).alias("s"))
+        .select("s.*")
+    )
+    name_ok = F.col("name").isNotNull() & (F.col("name") != "")
+    cleaned = clean_string_udf(F.col("name"))
+    parts_raw = F.split(F.col("name"), "-")
+    nparts = F.size(F.split(cleaned, "-"))
+    return s.select(
+        F.lit("hububibir").alias("code"),
+        F.lit("Budapest").alias("city"),
+        F.when(
+            name_ok & cleaned.isNotNull() & (nparts > 1),
+            clean_string_udf(F.get(parts_raw, 1)),
+        ).alias("branch"),
+        F.when(
+            name_ok & (F.size(parts_raw) > 2) & (nparts > 2),
+            clean_string_udf(F.get(parts_raw, 2)),
+        ).alias("description"),
+        F.when(name_ok & cleaned.isNotNull(), clean_string_udf(F.get(parts_raw, 0))).alias(
+            "ref"
+        ),
+        F.lit(True).alias("nonstop"),
+        F.lit(True).alias("public_holiday_open"),
+        *fix_and_alias_lat_lon(),
+        F.lit(None).cast("string").alias("postcode"),
+    )
+
+
+def fix_and_alias_lat_lon():
+    lat_fixed, lon_fixed = fix_hu_coordinates(F.col("lat"), F.col("lng"))
+    return [lat_fixed.alias("lat"), lon_fixed.alias("lon")]
+
+
+# ---------------------------------------------------------------------------
+# MOL Plugee EV chargers (dataproviders/hu_mol_plugee_ev.py:50-92)
+# ---------------------------------------------------------------------------
+
+
+def mol_plugee_chargers(spark: SparkSession, csv_path: str) -> DataFrame:
+    """MOL Plugee CSV (``dataproviders/hu_mol_plugee_ev.py:50-92``):
+    ``sep=';'`` with ``skiprows=1`` (the real header is the second
+    line); comma-decimal coordinates guarded by an isinstance-float
+    check — a missing cell is a pandas float NaN, so the row KEEPS NULL
+    coordinates instead of raising (:65-67); socket counts go through
+    the guarded int setters ('nan' sentinel → unset) and outputs through
+    clean_string; capacity int-guarded; model/manufacturer clean_string."""
+    import io
+    import zipfile  # noqa: F401 — symmetry with other readers
+
+    # skiprows=1: drop the first physical line before the header parse
+    raw = spark.read.text(csv_path)
+    # tiny dimension feed: driver-side reassembly preserves line order
+    lines = [r["value"] for r in raw.collect()]
+    body = "\n".join(lines[1:])
+    import pandas as _pd
+
+    pdf = _pd.read_csv(io.StringIO(body), sep=";", dtype=str)
+    s = spark.createDataFrame(pdf.where(_pd.notna(pdf), None))
+
+    def col(name):
+        return s[name]
+
+    lat_s, lng_s = col("X"), col("Y")
+    coords_ok = lat_s.isNotNull() & lng_s.isNotNull()
+    lat_fixed, lon_fixed = fix_hu_coordinates(
+        F.regexp_replace(lat_s, ",", ".").cast("double"),
+        F.regexp_replace(lng_s, ",", ".").cast("double"),
+    )
+    ex = extract_street_udf(col("Cím"))
+    int_guard = lambda c: F.floor(
+        F.when(clean_string_udf(c).isNotNull(), clean_string_udf(c).cast("double"))
+    ).cast("int")
+    return s.select(
+        F.lit("humolplchs").alias("code"),
+        clean_string_udf(col("Azonosító")).alias("ref"),
+        clean_postcode_udf(col("Irányító szám")).alias("postcode"),
+        clean_city_udf(col("Település")).alias("city"),
+        ex.street.alias("street"),
+        set_housenumber_udf(ex.housenumber).alias("housenumber"),
+        ex.conscriptionnumber.alias("conscriptionnumber"),
+        clean_string_udf(col("Cím")).alias("original"),
+        F.when(coords_ok, lat_fixed).alias("lat"),
+        F.when(coords_ok, lon_fixed).alias("lon"),
+        int_guard(col("Darab (CHAdeMO)")).alias("socket_chademo"),
+        clean_string_udf(col("Teljesítmény (CHAdeMO)")).alias("socket_chademo_output"),
+        int_guard(col("Darab (CCS)")).alias("socket_type2_combo"),
+        clean_string_udf(col("Teljesítmény (CCS)")).alias("socket_type2_combo_output"),
+        int_guard(col("Darab (Type 2)")).alias("socket_type2_cable"),
+        clean_string_udf(col("Teljesítmény (Type 2)")).alias("socket_type2_cable_output"),
+        int_guard(col("Darab (Type 2 – kábel nélkül)")).alias("socket_type2_cableless"),
+        clean_string_udf(col("Teljesítmény (Type 2 – kábel nélkül)")).alias(
+            "socket_type2_cableless_output"
+        ),
+        clean_string_udf(col("Gyártó")).alias("manufacturer"),
+        clean_string_udf(col("Típus")).alias("model"),
+        int_guard(col("Kapacitás")).alias("capacity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Volánbusz stops (dataproviders/hu_volanbusz.py:52-98 — byte-identical to
+# hu_mav except the constant code)
+# ---------------------------------------------------------------------------
+
+
+def volanbusz_stops(spark: SparkSession, gtfs_zip_path: str) -> DataFrame:
+    """hu_volanbusz ≡ hu_mav with code 'huvolantra'."""
+    return mav_stations(spark, gtfs_zip_path).withColumn(
+        "code", F.lit("huvolantra")
     )

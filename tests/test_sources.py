@@ -869,3 +869,60 @@ def test_ccc_jysk_tom_provider_mapping(spark):
     # ' kft.' and ' bt' suffixed names skip their records entirely
     assert set(rows) == {"1072", "9021"}
     assert rows["9021"]["branch"] is None  # empty name: kept, NULL branch
+
+
+def test_rossmann_pingvin_bubi_plugee_volanbusz_provider_mapping(spark):
+    """Final batch: hu_rossmann.py:53-95 (Next.js JSON script, 7-line
+    openings, both-or-nothing days), hu_pingvin_patika.py:58-88 (last-p
+    description, misplaced-parser default), hu_mol_bubi.py:51-104
+    (dash-split name fields), hu_mol_plugee_ev.py:50-92 (semicolon CSV,
+    NaN-coordinate keep), hu_volanbusz ≡ hu_mav."""
+    from osm_poi_matchmaker_spark.sources.providers import (
+        mol_bubi_docks,
+        mol_plugee_chargers,
+        pingvin_patika_stores,
+        rossmann_stores,
+        volanbusz_stops,
+    )
+
+    pages = spark.createDataFrame(
+        [(open(os.path.join(FIX, "rossmann.html"), encoding="utf-8").read(),)],
+        ["html"],
+    )
+    ross = {r["postcode"]: r for r in rossmann_stores(pages).collect()}
+    assert set(ross) == {"1052", "6722"}  # 2-line openings drops Győr
+    assert ross["1052"]["sa_open"] == "09:00"
+    assert ross["1052"]["su_open"] is None  # 'zárva': both-or-nothing
+    assert ross["6722"]["mo_open"] is None  # NULL openings: kept, NULL days
+
+    p2 = spark.createDataFrame(
+        [(open(os.path.join(FIX, "pingvin.html"), encoding="utf-8").read(),)],
+        ["html"],
+    )
+    ping = {r["city"]: r for r in pingvin_patika_stores(p2).collect()}
+    assert ping["Szeged"]["description"] == "Ügyelet: hétvégén zárva"  # last <p>
+    assert ping["Budapest"]["description"] is None  # NULL content: no <p>
+
+    bubi = {
+        r["ref"]: r
+        for r in mol_bubi_docks(spark, os.path.join(FIX, "mol_bubi.json")).collect()
+    }
+    b = bubi["0201"]
+    assert b["branch"] == "Széll Kálmán tér" and b["description"] == "észak"
+    assert bubi["0512"]["description"] is None  # 2 parts: split[2] IndexError
+    assert bubi["Karakterek nélkül"]["branch"] is None  # 1 part
+    assert bubi[None]["ref"] is None  # NULL name: record kept
+
+    plg = {
+        r["ref"]: r
+        for r in mol_plugee_chargers(
+            spark, os.path.join(FIX, "mol_plugee.csv")
+        ).collect()
+    }
+    assert plg["PL-001"]["socket_chademo"] == 1
+    assert plg["PL-001"]["socket_type2_cable"] is None  # empty cells unset
+    assert plg["PL-002"]["lat"] is None  # NaN coords: row kept, NULL coords
+    assert plg["PL-002"]["capacity"] == 4
+
+    vb = volanbusz_stops(spark, os.path.join(FIX, "mav_gtfs.zip"))
+    assert {r["code"] for r in vb.collect()} == {"huvolantra"}
