@@ -1093,11 +1093,13 @@ def _q_provider_omv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_provider_kulcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """hu_kulcs_patika (dataproviders/hu_kulcs_patika.py:49-79): the
-    .get('poi') access OUTSIDE the per-record try truncates the feed at
-    the first NULL poi (min-position window), NULL patika drops just its
-    record, name-vs-branch split on the 'Kulcs patika' substring, waxeye
-    address split. Fixed fixture → golden-row oracle."""
+    """hu_kulcs_patika (dataproviders/hu_kulcs_patika.py:49-79): a
+    record with "poi": null only loses ITSELF (None.get raises inside
+    the per-record try, :61); the loop only aborts when a list element
+    is null/non-dict — poi_data.get raises OUTSIDE the try — modeled
+    as a min-position window over null structs. NULL patika drops just
+    its record, name-vs-branch split on the 'Kulcs patika' substring,
+    waxeye address split. Fixed fixture → golden-row oracle."""
     from osm_poi_matchmaker_spark.sources.providers import kulcs_patika_stores
 
     path = os.path.join(
@@ -2769,6 +2771,9 @@ def oracle_sql() -> dict[str, str]:
             " '0201', true, true, 47.5071, 19.0244, CAST(NULL AS STRING)), "
             "('hububibir', 'Budapest', 'Fővám tér', CAST(NULL AS STRING), "
             " '0512', true, true, 47.4862, 19.059, CAST(NULL AS STRING)), "
+            "('hububibir', 'Budapest', 'Hősök utca észak', "
+            " CAST(NULL AS STRING), '0999', true, true, "
+            " 47.53, 19.09, CAST(NULL AS STRING)), "
             "('hububibir', 'Budapest', CAST(NULL AS STRING), "
             " CAST(NULL AS STRING), 'Karakterek nélkül', true, true, "
             " 47.51, 19.07, CAST(NULL AS STRING)), "
@@ -3113,7 +3118,10 @@ def oracle_sql() -> dict[str, str]:
             "('hukulcspha', 'Arany Kígyó Gyógyszertár', "
             " CAST(NULL AS STRING), CAST(NULL AS STRING), 46.2498, 20.1477, "
             " '6721', 'Szeged', 'Tisza Lajos körút', '87', "
-            " CAST(NULL AS STRING), false)"
+            " CAST(NULL AS STRING), false), "
+            "('hukulcspha', CAST(NULL AS STRING), 'Kulcs patika Elveszett', "
+            " CAST(NULL AS STRING), 47.1, 19.1, '1111', 'Budapest', "
+            " 'Vak Bottyán utca', '3', CAST(NULL AS STRING), false)"
             ") AS t(code, name, branch, phone, lat, lon, postcode, city, "
             "street, housenumber, conscriptionnumber, public_holiday_open)"
         ),

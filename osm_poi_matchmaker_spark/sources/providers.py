@@ -1915,19 +1915,25 @@ _ALDI_DAY_IDX = [1, 2, 3, 4, 5, 6, 0]
 def aldi_stores(spark: SparkSession, json_path: str) -> DataFrame:
     """ALDI store feed (``dataproviders/hu_aldi.py:54-98``). Quirks:
 
+    - the feed is an OBJECT; records are under ``text.get('stores')``
+      (:62) — a missing/null ``stores`` key yields zero rows (outer
+      except swallows the TypeError);
     - non-'HU' countryCode silently skipped (:64); NULL ``openUntilSorted``
       or NULL ``openingHours`` raises in the day loop → record dropped;
     - the day probe maps Mo..Sa to dayIdx 1..6 and Su to 0 (the
       ``mi -= 7`` fold), and ``break``s on the FIRST matching entry —
       first-match-wins, raw values (day_open stores uncleaned, :77-85);
     - city is the RAW feed value through the clean_string setter (NOT
-      clean_city, :68); phone through clean_string (NOT the phone
-      cleaner, :76); name never set.
+      clean_city, :68); name never set.
     """
     s = (
-        spark.read.schema(T.ArrayType(_ALDI_REC_T).elementType)
+        spark.read.schema(
+            T.StructType([T.StructField("stores", T.ArrayType(_ALDI_REC_T))])
+        )
         .option("multiLine", "true")
         .json(json_path)
+        .select(F.explode("stores").alias("s"))
+        .select("s.*")
         .where(
             (F.col("countryCode") == "HU")
             & F.col("openUntilSorted").isNotNull()
@@ -1956,8 +1962,9 @@ def aldi_stores(spark: SparkSession, json_path: str) -> DataFrame:
         clean_postcode_udf(F.col("postalCode")).alias("postcode"),
         clean_string_udf(F.col("streetAddress")).alias("original"),
         F.lit(False).alias("public_holiday_open"),
-        # :76 — clean_string, NOT the phone formatter
-        clean_string_udf(F.col("phoneNumber")).alias("phone"),
+        # :76 assigns clean_string(...) but the POIDatasetRaw.phone
+        # SETTER applies clean_phone_to_str on top (poi_dataset.py:651)
+        clean_phone_udf(clean_string_udf(F.col("phoneNumber"))).alias("phone"),
         *[
             day_slot(_ALDI_DAY_IDX[i], field).alias(f"{day_names[i]}_{suffix}")
             for i in range(7)
@@ -2233,11 +2240,17 @@ def pepco_stores(
     against the JSON object's STRING keys (or a list's dict values), so
     no day is ever set — but a missing/NULL ``openingHours`` still
     raises (KeyError / ``in None``) and drops the record (:88-92).
-    NULL coordinates raise at the subscript → dropped; pho False."""
+    NULL coordinates raise at the subscript → dropped; pho False.
+    The feed is an OBJECT; records sit under ``text.get('data')``
+    (:60) — missing/null ``data`` yields zero rows."""
     s = (
-        spark.read.schema(T.ArrayType(_PEPCO_REC_T).elementType)
+        spark.read.schema(
+            T.StructType([T.StructField("data", T.ArrayType(_PEPCO_REC_T))])
+        )
         .option("multiLine", "true")
         .json(json_path)
+        .select(F.explode("data").alias("s"))
+        .select("s.*")
         .where(
             F.col("city").isNotNull()
             & (F.col("city") != "")
@@ -2398,7 +2411,8 @@ def ofotert_stores(spark: SparkSession, json_path: str) -> DataFrame:
         ex.street.alias("street"),
         set_housenumber_udf(ex.housenumber).alias("housenumber"),
         ex.conscriptionnumber.alias("conscriptionnumber"),
-        clean_string_udf(F.col("phone_numbers")).alias("phone"),
+        # phone setter applies clean_phone_to_str (poi_dataset.py:651)
+        clean_phone_udf(clean_string_udf(F.col("phone_numbers"))).alias("phone"),
         clean_string_udf(F.col("address_street")).alias("original"),
         F.lit(False).alias("public_holiday_open"),
         clean_string_udf(F.col("gv_id")).alias("ref"),
@@ -2553,15 +2567,19 @@ _KULCS_REC_T = T.StructType(
 
 def kulcs_patika_stores(spark: SparkSession, json_path: str) -> DataFrame:
     """Kulcs patika feed (``dataproviders/hu_kulcs_patika.py:49-79``).
-    The ``poi_data.get('poi')`` access sits OUTSIDE the per-record try
-    (:59), so the first record with a NULL ``poi`` aborts the loop —
-    records before it survive (they were already added), everything
-    after is LOST. That truncation is a min-position window over the
-    posexploded feed. Inside the try: a name NOT containing
-    'Kulcs patika' goes to the ``name`` column with branch explicitly
-    None, otherwise to ``branch`` with name unset; a NULL ``patika``
-    (``in None``) drops just that record (:61-65); waxeye address
-    split; pho False."""
+    ``poi_data_poi = poi_data.get('poi')`` (:59) sits outside the
+    per-record try but ``.get`` on a *dict* never raises — a record
+    with ``"poi": null`` only blows up INSIDE the try at
+    ``poi_data_poi.get('patika')`` (:61) and is caught, dropping just
+    that record. The loop only aborts (outer except) when a list
+    element is itself null/non-dict, so ``poi_data.get`` raises
+    outside the try: that truncation is a min-position window over
+    elements whose struct failed to parse (``from_json`` yields a
+    NULL struct for null / non-object elements). Inside the try: a
+    name NOT containing 'Kulcs patika' goes to the ``name`` column
+    with branch explicitly None, otherwise to ``branch`` with name
+    unset; a NULL ``patika`` (``in None`` TypeError) drops just that
+    record (:61-65); waxeye address split; pho False."""
     doc = spark.read.text(json_path, wholetext=True)
     recs = doc.select(
         F.posexplode(
@@ -2572,11 +2590,16 @@ def kulcs_patika_stores(spark: SparkSession, json_path: str) -> DataFrame:
                 ),
             ).getField("patikaIdList")
         ).alias("pos", "r")
-    ).select("pos", "r.poi.*", F.col("r.poi").isNull().alias("poi_null"))
+    ).select(
+        "pos",
+        "r.poi.*",
+        F.col("r").isNull().alias("rec_null"),
+        F.col("r.poi").isNull().alias("poi_null"),
+    )
 
     from pyspark.sql import Window
 
-    cutoff = F.min(F.when(F.col("poi_null"), F.col("pos"))).over(
+    cutoff = F.min(F.when(F.col("rec_null"), F.col("pos"))).over(
         Window.partitionBy()
     )
     recs = recs.withColumn("cutoff", cutoff).where(
@@ -2714,7 +2737,8 @@ def deichmann_stores(spark: SparkSession, json_path: str) -> DataFrame:
         clean_city_udf(F.col("address.town")).alias("city"),
         clean_street_udf(F.col("address.line1")).alias("street"),
         set_housenumber_udf(F.col("address.line2")).alias("housenumber"),
-        clean_string_udf(F.col("address.phone")).alias("phone"),
+        # phone setter applies clean_phone_to_str (poi_dataset.py:651)
+        clean_phone_udf(clean_string_udf(F.col("address.phone"))).alias("phone"),
         clean_string_udf(F.col("street")).alias("original"),
         set_branch_udf(F.col("address.appartment")).alias("branch"),
         F.lit(False).alias("public_holiday_open"),
@@ -3071,19 +3095,23 @@ _NEMZETI_REC_T = T.StructType(
 def nemzeti_dohanybolt_stores(spark: SparkSession, json_path: str) -> DataFrame:
     """Nemzeti Dohánybolt feed (``dataproviders/hu_nemzetidohanybolt.py:
     40-55``): the only provider with NO per-record try at all — the first
-    record that raises (missing 'city'/'lat'/'address' KEY) truncates the
-    feed, prior records surviving (same min-position window as
-    kulcs_patika). NULL VALUES under present keys flow through the
-    cleaners without raising."""
+    record that raises (missing 'city'/'lat'/'lng'/'address' KEY)
+    truncates the feed, prior records surviving (same min-position
+    window as kulcs_patika). NULL VALUES under present keys flow
+    through the cleaners without raising."""
     doc = spark.read.text(json_path, wholetext=True)
     recs = doc.select(
         F.posexplode(F.from_json("value", T.ArrayType(T.MapType(T.StringType(), T.StringType())))).alias(
             "pos", "m"
         )
     )
+    # hu_nemzetidohanybolt.py subscripts poi_data['city'] (:48),
+    # ['lat'] and ['lng'] (:51), ['address'] (:53) with no try — a
+    # record missing ANY of those keys truncates the feed.
     raises = (
         ~F.map_contains_key(F.col("m"), "city")
         | ~F.map_contains_key(F.col("m"), "lat")
+        | ~F.map_contains_key(F.col("m"), "lng")
         | ~F.map_contains_key(F.col("m"), "address")
     )
     from pyspark.sql import Window
@@ -3863,9 +3891,11 @@ def mol_bubi_docks(spark: SparkSession, json_path: str) -> DataFrame:
     return s.select(
         F.lit("hububibir").alias("code"),
         F.lit("Budapest").alias("city"),
+        # hu_mol_bubi.py:77 assigns clean_string(part) through the
+        # branch SETTER, which adds clean_branch (poi_dataset.py:220)
         F.when(
             name_ok & cleaned.isNotNull() & (nparts > 1),
-            clean_string_udf(F.get(parts_raw, 1)),
+            set_branch_udf(F.get(parts_raw, 1)),
         ).alias("branch"),
         F.when(
             name_ok & (F.size(parts_raw) > 2) & (nparts > 2),
@@ -3899,18 +3929,21 @@ def mol_plugee_chargers(spark: SparkSession, csv_path: str) -> DataFrame:
     coordinates instead of raising (:65-67); socket counts go through
     the guarded int setters ('nan' sentinel → unset) and outputs through
     clean_string; capacity int-guarded; model/manufacturer clean_string."""
-    import io
-    import zipfile  # noqa: F401 — symmetry with other readers
-
-    # skiprows=1: drop the first physical line before the header parse
-    raw = spark.read.text(csv_path)
-    # tiny dimension feed: driver-side reassembly preserves line order
-    lines = [r["value"] for r in raw.collect()]
-    body = "\n".join(lines[1:])
-    import pandas as _pd
-
-    pdf = _pd.read_csv(io.StringIO(body), sep=";", dtype=str)
-    s = spark.createDataFrame(pdf.where(_pd.notna(pdf), None))
+    # skiprows=1: drop the first physical line before the header
+    # parse, WITHOUT collecting to the driver — zipWithIndex preserves
+    # file order (partition-major), so index 0 is the first line; the
+    # surviving lines feed spark.read.csv as a distributed RDD[str].
+    body_rdd = (
+        spark.read.text(csv_path)
+        .rdd.zipWithIndex()
+        .filter(lambda t: t[1] > 0)
+        .map(lambda t: t[0]["value"])
+    )
+    s = (
+        spark.read.option("header", "true")
+        .option("sep", ";")
+        .csv(body_rdd)
+    )
 
     def col(name):
         return s[name]

@@ -678,10 +678,15 @@ def test_ofotert_oil_omv_kulcs_provider_mapping(spark):
 
     kp = kulcs_patika_stores(spark, os.path.join(FIX, "kulcs_patika.json"))
     rows = {(r["name"], r["branch"]): r for r in kp.collect()}
-    # NULL patika drops its record; NULL poi truncates: 'Elveszett' lost
+    # "poi": null only drops ITS record (inner try catches None.get,
+    # hu_kulcs_patika.py:61) so 'Elveszett' survives; a literal null
+    # list element raises at poi_data.get OUTSIDE the try → outer
+    # except aborts the loop, losing 'Utolsó'. NULL patika drops its
+    # own record ('in None' TypeError).
     assert set(rows) == {
         (None, "Kulcs patika Teréz"),
         ("Arany Kígyó Gyógyszertár", None),
+        (None, "Kulcs patika Elveszett"),
     }
 
 
@@ -910,6 +915,9 @@ def test_rossmann_pingvin_bubi_plugee_volanbusz_provider_mapping(spark):
     b = bubi["0201"]
     assert b["branch"] == "Széll Kálmán tér" and b["description"] == "észak"
     assert bubi["0512"]["description"] is None  # 2 parts: split[2] IndexError
+    # branch goes through the SETTER's clean_branch ('U.' → 'utca',
+    # poi_dataset.py:220), not bare clean_string
+    assert bubi["0999"]["branch"] == "Hősök utca észak"
     assert bubi["Karakterek nélkül"]["branch"] is None  # 1 part
     assert bubi[None]["ref"] is None  # NULL name: record kept
 
