@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from osm_poi_matchmaker_spark import oracles_docs, synth, synth_sql
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 from osm_poi_matchmaker_spark.extract.geotag import geotag_pages
 from osm_poi_matchmaker_spark.functions.textstats import doc_stats
 from osm_poi_matchmaker_spark.operators import dedup, similarity
@@ -81,6 +83,7 @@ def _q_match_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage",
         "priority",
         F.round("distance", 2).alias("distance_m"),
+        "poi_code",
         "poi_new",
     )
 
@@ -974,11 +977,71 @@ def _q_provider_kh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kh_bank_pois(spark, path, "K&H Bank")
 
 
+def _q_provider_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real poi_common dimension: per-provider types() brand metadata
+    (poi_code, tags JSON with the payment sets from libs/osm_tag_sets.py,
+    search/avoid regexes, per-brand distances) harvested from all 42
+    reference dataproviders into resources/poi_common.jsonl, deduped
+    first-insert-wins by module-enable order exactly like
+    get_or_create_common (dao/data_handlers.py:401). Both engines read
+    the same JSONL resource through independent parsers."""
+    from osm_poi_matchmaker_spark.sources.poi_common import poi_common_dim
+
+    return poi_common_dim(spark)
+
+
+def _q_brand_tag_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 tag merge (libs/file_output.py:442-694) fed by the REAL
+    poi_common payloads: for every matched page whose brand has a
+    harvested types() row, merge the brand common tags with per-POI
+    overrides ({name, website}) and apply the contact rewrite —
+    'website' becomes lowercased contact:website unless the brand
+    payload already ships one (then the plain key drops). Rendered as
+    a sorted k=v join for an order-insensitive hash compare."""
+    from osm_poi_matchmaker_spark.functions.tags import merge_tags_udf
+    from osm_poi_matchmaker_spark.sources.poi_common import (
+        brand_code_bridge,
+        poi_common_dim,
+        tags_map,
+    )
+    from pyspark.sql import types as _T
+
+    dim = poi_common_dim(spark).select(
+        F.col("poi_code").alias("common_code"), tags_map().alias("brand_tags")
+    )
+    m = (
+        _match(spark, sf_dir)
+        .join(F.broadcast(brand_code_bridge(spark)), "poi_code", "left")
+        .join(F.broadcast(dim), "common_code", "left")
+        .where(F.col("brand_tags").isNotNull())
+    )
+    override = F.map_from_arrays(
+        F.array(F.lit("name"), F.lit("website")),
+        F.array(F.col("name"), F.col("url")),
+    )
+    merged = merge_tags_udf(
+        F.lit(None).cast(_T.MapType(_T.StringType(), _T.StringType())),
+        F.col("brand_tags"),
+        override,
+        F.lit(False),
+    )
+    rendered = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(merged),
+                lambda e: F.concat(e.key, F.lit("="), e.value),
+            )
+        ),
+        "|",
+    )
+    return m.select("page_id", rendered.alias("merged"))
+
+
 def _q_provider_aldi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hu_aldi (dataproviders/hu_aldi.py:54-98): HU filter, the dayIdx
     probe with the mi-=7 Sunday fold and FIRST-match-wins break, raw
-    city through clean_string (no clean_city), phone through clean_string
-    (not the phone formatter), drops on NULL openUntilSorted/
+    city through clean_string (no clean_city), the phone setter's
+    clean_phone_to_str over clean_string, drops on NULL openUntilSorted/
     openingHours. Fixed fixture → golden-row oracle."""
     from osm_poi_matchmaker_spark.sources.providers import aldi_stores
 
@@ -1962,15 +2025,32 @@ def _q_osm_xml_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned page_id order (file_output.py:337,764). Coordinates are
     rendered as e5-grid integers so the Spark and DuckDB string casts
     agree byte-for-byte (double→string formatting differs between
-    engines; the synthetic placement grid is exact at e5)."""
+    engines; the synthetic placement grid is exact at e5). Matched rows
+    carry the REAL poi_common tag payload (payment:* sets, brand/
+    operator metadata harvested from the reference types() methods)
+    joined broadcast by the winner's poi_code and rendered as escaped
+    <tag> lines in key order."""
     from osm_poi_matchmaker_spark.plans.export import osm_xml_nodes
+    from osm_poi_matchmaker_spark.sources.poi_common import (
+        brand_code_bridge,
+        poi_common_dim,
+        tags_map,
+    )
 
+    dim = poi_common_dim(spark).select(
+        F.col("poi_code").alias("common_code"), tags_map().alias("brand_tags")
+    )
     m = (
         _match(spark, sf_dir)
+        .join(F.broadcast(brand_code_bridge(spark)), "poi_code", "left")
+        .join(F.broadcast(dim), "common_code", "left")
         .withColumn("lat_s", F.round(F.col("lat") * 100000).cast("long").cast("string"))
         .withColumn("lon_s", F.round(F.col("lon") * 100000).cast("long").cast("string"))
     )
-    return osm_xml_nodes(m, tag_cols=["name", "url"], lat="lat_s", lon="lon_s")
+    return osm_xml_nodes(
+        m, tag_cols=["name", "url"], lat="lat_s", lon="lon_s",
+        tag_map="brand_tags",
+    )
 
 
 def _q_osm_xml_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2255,6 +2335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_gls": _q_provider_gls,
         "provider_mol": _q_provider_mol,
         "provider_kh": _q_provider_kh,
+        "provider_types": _q_provider_types,
+        "brand_tag_merge": _q_brand_tag_merge,
         "provider_aldi": _q_provider_aldi,
         "provider_dm": _q_provider_dm,
         "provider_penny": _q_provider_penny,
@@ -2358,6 +2440,41 @@ def oracle_sql() -> dict[str, str]:
     base = synth_sql.base_ctes()
     match_base = base + "," + synth_sql.match_arms_sql()
     hav_px = synth_sql.HAV.replace("p.lat", "px.lat").replace("p.lon", "px.lon")
+
+    # poi_common brand-tag payload CTEs (single source of truth: the same
+    # JSONL resource + bridge dict the Spark plan uses)
+    from osm_poi_matchmaker_spark.sources.poi_common import BRAND_CODE_TO_COMMON
+
+    bridge_rows = ", ".join(
+        f"('{k}', '{v}')" for k, v in sorted(BRAND_CODE_TO_COMMON.items())
+    )
+    brand_ctes = (
+        f"bridge AS (SELECT * FROM (VALUES {bridge_rows}) "
+        "AS t(poi_code, common_code)), "
+        "brand_entries AS ("
+        "  SELECT poi_code AS common_code, k,"
+        "    json_extract_string(poi_tags, '$.\"' || k || '\"') AS v"
+        "  FROM ("
+        "    SELECT poi_code, poi_tags, unnest(json_keys(poi_tags)) AS k"
+        "    FROM ("
+        f"      SELECT poi_code, poi_tags FROM read_json('{_REPO_DIR}/"
+        "osm_poi_matchmaker_spark/resources/poi_common.jsonl',"
+        "        format='newline_delimited',"
+        "        columns={'poi_code':'VARCHAR','poi_tags':'VARCHAR',"
+        "'seq':'INTEGER'})"
+        "      QUALIFY row_number() OVER (PARTITION BY poi_code ORDER BY seq) = 1"
+        "    )"
+        "  )"
+        "), "
+        "brand_xml AS ("
+        "  SELECT common_code,"
+        "    string_agg('  <tag k=\"' || k || '\" v=\"' ||"
+        "      replace(replace(replace(replace(v,"
+        "        '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '\"', '&quot;')"
+        "      || '\"/>' || chr(10), '' ORDER BY k) AS brand_lines"
+        "  FROM brand_entries GROUP BY common_code"
+        ")"
+    )
     return {
         "geotag_extract": (
             f"{base} SELECT page_id, url, name, lat, lon, city, street, housenumber, csn, ref, uname "
@@ -2373,7 +2490,8 @@ def oracle_sql() -> dict[str, str]:
         "match_cascade": (
             f"{match_base} "
             "SELECT px.page_id, b.osm_id, b.node_type, b.stage, b.priority, "
-            "ROUND(b.distance, 2) AS distance_m, b.page_id IS NULL AS poi_new "
+            "ROUND(b.distance, 2) AS distance_m, b.poi_code, "
+            "b.page_id IS NULL AS poi_new "
             f"FROM pages_x px LEFT JOIN best b ON px.page_id = b.page_id WHERE {_GEO_FILTER}"
         ),
         "match_rollup": (
@@ -2393,20 +2511,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "addr_overwrite": _addr_overwrite_oracle_sql(match_base),
         "osm_xml_render": (
-            f"{match_base} "
+            f"{match_base}, {brand_ctes} "
             "SELECT page_id, poi_new, "
             "'<node id=\"' || CAST(xml_id AS VARCHAR) || '\" lat=\"' || lat_s || "
             "'\" lon=\"' || lon_s || '\">' || chr(10) || "
             "COALESCE('  <tag k=\"name\" v=\"' || name || '\"/>' || chr(10), '') || "
             "COALESCE('  <tag k=\"url\" v=\"' || url || '\"/>' || chr(10), '') || "
+            "COALESCE(brand_lines, '') || "
             "'</node>' AS xml FROM ("
             "  SELECT px.page_id, (b.page_id IS NULL) AS poi_new, px.name, px.url,"
+            "    bx.brand_lines,"
             "    CAST(CAST(ROUND(px.lat * 100000) AS BIGINT) AS VARCHAR) AS lat_s,"
             "    CAST(CAST(ROUND(px.lon * 100000) AS BIGINT) AS VARCHAR) AS lon_s,"
             "    CASE WHEN b.page_id IS NOT NULL THEN b.osm_id"
             "         ELSE -ROW_NUMBER() OVER ("
             "            PARTITION BY (b.page_id IS NULL) ORDER BY px.page_id) END AS xml_id"
             "  FROM pages_x px LEFT JOIN best b ON px.page_id = b.page_id"
+            "  LEFT JOIN bridge br ON b.poi_code = br.poi_code"
+            "  LEFT JOIN brand_xml bx ON br.common_code = bx.common_code"
             f"  WHERE {_GEO_FILTER.replace('lat', 'px.lat').replace('lon', 'px.lon')})"
         ),
         "osm_xml_comments": (
@@ -3163,6 +3285,62 @@ def oracle_sql() -> dict[str, str]:
             " CAST(NULL AS STRING))"
             ") AS t(code, postcode, city, original, lat, lon, street, "
             "housenumber, conscriptionnumber, phone, ref, email, website)"
+        ),
+        "provider_types": (
+            "SELECT provider, seq, poi_code, poi_common_name, poi_type, "
+            "poi_tags, poi_url_base, poi_search_name, "
+            "poi_search_avoid_name, preserve_original_name, "
+            "preserve_original_post_code, export_poi_name, "
+            "do_not_export_addr_tags, osm_search_distance_perfect, "
+            "osm_search_distance_safe, osm_search_distance_unsafe, "
+            "additional_ref_name "
+            f"FROM read_json('{_REPO_DIR}/osm_poi_matchmaker_spark/"
+            "resources/poi_common.jsonl', format='newline_delimited', "
+            "columns={'provider':'VARCHAR','seq':'INTEGER',"
+            "'poi_code':'VARCHAR','poi_common_name':'VARCHAR',"
+            "'poi_type':'VARCHAR','poi_tags':'VARCHAR',"
+            "'poi_url_base':'VARCHAR','poi_search_name':'VARCHAR',"
+            "'poi_search_avoid_name':'VARCHAR',"
+            "'preserve_original_name':'BOOLEAN',"
+            "'preserve_original_post_code':'BOOLEAN',"
+            "'export_poi_name':'BOOLEAN',"
+            "'do_not_export_addr_tags':'BOOLEAN',"
+            "'osm_search_distance_perfect':'INTEGER',"
+            "'osm_search_distance_safe':'INTEGER',"
+            "'osm_search_distance_unsafe':'INTEGER',"
+            "'additional_ref_name':'VARCHAR'}) "
+            "QUALIFY row_number() OVER (PARTITION BY poi_code ORDER BY seq) = 1"
+        ),
+        "brand_tag_merge": (
+            f"{match_base}, {brand_ctes}, "
+            "mp AS ("
+            "  SELECT px.page_id, px.name, px.url, br.common_code"
+            "  FROM pages_x px JOIN best b ON px.page_id = b.page_id"
+            "  JOIN bridge br ON b.poi_code = br.poi_code"
+            f"  WHERE {_GEO_FILTER.replace('lat', 'px.lat').replace('lon', 'px.lon')}"
+            "), "
+            "cand AS ("
+            "  SELECT mp.page_id, be.k, be.v, 0 AS rk"
+            "  FROM mp JOIN brand_entries be USING (common_code)"
+            "  UNION ALL SELECT page_id, 'name', name, 1 FROM mp"
+            "  UNION ALL SELECT page_id, 'website', url, 1 FROM mp"
+            "), "
+            "win AS ("
+            "  SELECT page_id, k, v FROM cand"
+            "  QUALIFY row_number() OVER ("
+            "    PARTITION BY page_id, k ORDER BY rk DESC) = 1"
+            "), "
+            "rw AS ("
+            "  SELECT page_id,"
+            "    CASE WHEN k = 'website' THEN 'contact:website' ELSE k END AS k2,"
+            "    CASE WHEN k = 'website' THEN lower(v) ELSE v END AS v2"
+            "  FROM win w"
+            "  WHERE NOT (k = 'website' AND EXISTS ("
+            "    SELECT 1 FROM win w2 WHERE w2.page_id = w.page_id"
+            "    AND w2.k = 'contact:website'))"
+            ") "
+            "SELECT page_id, string_agg(k2 || '=' || v2, '|' "
+            "ORDER BY k2 || '=' || v2) AS merged FROM rw GROUP BY page_id"
         ),
         "provider_aldi": (
             "SELECT * FROM (VALUES "

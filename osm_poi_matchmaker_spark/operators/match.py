@@ -278,6 +278,7 @@ def match_cascade(
             F.lit(stage).alias("stage"),
             F.lit(priority).alias("priority"),
             dist.alias("distance"),
+            "cand_pc",
         )
 
     # -- stage 1: additional-ref equality (930) — pure equi-join, no radius
@@ -402,7 +403,7 @@ def match_cascade(
         .where(F.col("priority").isNotNull())
         .select(
             "page_id", "osm_id", "node_type",
-            F.lit(5).alias("stage"), "priority", "distance",
+            F.lit(5).alias("stage"), "priority", "distance", "cand_pc",
         )
     )
 
@@ -427,7 +428,8 @@ def match_cascade(
         .where(avoid_ok & (d < F.col("d_unsafe")))
         .select(
             "page_id", "osm_id", "node_type",
-            F.lit(5).alias("stage"), F.lit(PRIO_NONAME).alias("priority"), "distance",
+            F.lit(5).alias("stage"), F.lit(PRIO_NONAME).alias("priority"),
+            "distance", "cand_pc",
         )
     )
 
@@ -444,8 +446,16 @@ def match_cascade(
     # candidate per page instead of every candidate. At mega-cell densities
     # that is the difference between shuffling millions and thousands.
     best = F.min(
-        F.struct("stage", "priority", "distance", "osm_id", "node_type")
+        F.struct("stage", "priority", "distance", "osm_id", "node_type", "cand_pc")
     ).alias("b")
+    # pc_id → poi_code as a plan-time literal CASE chain (JVM-side; the
+    # dimension is known while building the plan, same convention as the
+    # regex/radius literals above)
+    pc_to_code = F.lit(None).cast("string")
+    for r in common_rows:
+        pc_to_code = F.when(
+            F.col("b.cand_pc") == F.lit(r["pc_id"]), F.lit(r["poi_code"])
+        ).otherwise(pc_to_code)
     return all_arms.groupBy("page_id").agg(best).select(
         "page_id",
         F.col("b.osm_id").alias("osm_id"),
@@ -453,6 +463,7 @@ def match_cascade(
         F.col("b.stage").alias("stage"),
         F.col("b.priority").alias("priority"),
         F.col("b.distance").alias("distance"),
+        pc_to_code.alias("poi_code"),
     )
 
 
@@ -476,4 +487,4 @@ def match_pages(
         pages_geo.select("page_id", "url", "name", "lat", "lon", "cell_id")
         .join(best, "page_id", "left")
         .withColumn("poi_new", F.col("osm_id").isNull())
-    )
+    )  # carries the winner's poi_code (NULL for new POIs)

@@ -44,27 +44,61 @@ def to_geojson_collection(df: DataFrame, props: list[str]) -> str:
     return '{"type":"FeatureCollection","features":[' + ",".join(feats) + "]}"
 
 
-def osm_xml_nodes(df: DataFrame, tag_cols: list[str], lat: str = "lat", lon: str = "lon"):
+def xml_attr_escape(col: F.Column) -> F.Column:
+    """XML attribute escaping (& < > ") — what the reference gets for free
+    from lxml's serializer (libs/file_output.py add_osm_node tag attrs)."""
+    out = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    out = F.replace(out, F.lit(">"), F.lit("&gt;"))
+    return F.replace(out, F.lit('"'), F.lit("&quot;"))
+
+
+def osm_xml_nodes(
+    df: DataFrame,
+    tag_cols: list[str],
+    lat: str = "lat",
+    lon: str = "lon",
+    tag_map: str | None = None,
+):
     """DataFrame of rendered ``<node>`` XML fragments with reference id
     semantics: matched rows keep osm_id, new rows get -1, -2, … in pinned
-    (page_id) order."""
+    (page_id) order. ``tag_map`` names an optional map<string,string>
+    column (the poi_common brand payload merged by F20) whose entries
+    render as additional escaped ``<tag>`` lines in key order —
+    deterministic output for a distributed sink."""
     w = Window.partitionBy(F.col("poi_new")).orderBy("page_id")
     xml_id = F.when(~F.col("poi_new"), F.col("osm_id")).otherwise(
         -F.row_number().over(w).cast("long")
     )
-    tags = F.concat(
-        *[
-            F.when(
-                F.col(c).isNotNull(),
-                F.concat(
-                    F.lit(f'  <tag k="{c}" v="'),
-                    F.col(c).cast("string"),
+    pieces = [
+        F.when(
+            F.col(c).isNotNull(),
+            F.concat(
+                F.lit(f'  <tag k="{c}" v="'),
+                F.col(c).cast("string"),
+                F.lit('"/>\n'),
+            ),
+        ).otherwise(F.lit(""))
+        for c in tag_cols
+    ]
+    if tag_map is not None:
+        # array_sort on array<struct> orders by the first field (key):
+        # deterministic tag order regardless of map layout
+        map_lines = F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries(F.col(tag_map))),
+                lambda e: F.concat(
+                    F.lit('  <tag k="'),
+                    e.key,
+                    F.lit('" v="'),
+                    xml_attr_escape(e.value),
                     F.lit('"/>\n'),
                 ),
-            ).otherwise(F.lit(""))
-            for c in tag_cols
-        ]
-    )
+            ),
+            "",
+        )
+        pieces.append(F.coalesce(map_lines, F.lit("")))
+    tags = F.concat(*pieces)
     frag = F.concat(
         F.lit('<node id="'),
         xml_id.cast("string"),

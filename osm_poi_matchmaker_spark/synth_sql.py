@@ -159,30 +159,30 @@ def match_arms_sql() -> str:
     """The 4-stage cascade as UNION ALL arms (oracle side: no cell join —
     the ring join's coverage guarantee makes plain predicates equivalent)."""
     return f"""
-p AS (SELECT px.*, c.poi_type, c.search_rx, c.avoid_rx, c.d_perfect, c.d_safe, c.d_unsafe, c.ref_name
+p AS (SELECT px.*, c.pc_id, c.poi_code, c.poi_type, c.search_rx, c.avoid_rx, c.d_perfect, c.d_safe, c.d_unsafe, c.ref_name
       FROM pages_x px JOIN common c ON px.name = c.poi_name
       WHERE px.lat IS NOT NULL AND px.lon IS NOT NULL),
 arms AS (
-  SELECT p.page_id, o.osm_id, o.node_type, 1 AS stage, 930 AS priority, {HAV} AS distance
+  SELECT p.page_id, o.osm_id, o.node_type, 1 AS stage, 930 AS priority, {HAV} AS distance, p.pc_id AS cand_pc, p.poi_code
   FROM p JOIN pois o ON p.ref = o.ref_value
   WHERE p.ref IS NOT NULL AND p.ref_name IS NOT NULL AND o.ref_value IS NOT NULL AND {TPRED}
   UNION ALL
-  SELECT p.page_id, o.osm_id, o.node_type, 2, 930, {HAV}
+  SELECT p.page_id, o.osm_id, o.node_type, 2, 930, {HAV}, p.pc_id, p.poi_code
   FROM p JOIN pois o ON lower(p.uname) = lower(o.name)
   WHERE p.uname IS NOT NULL AND {TPRED}
   UNION ALL
-  SELECT p.page_id, o.osm_id, o.node_type, 3, 965, {HAV}
+  SELECT p.page_id, o.osm_id, o.node_type, 3, 965, {HAV}, p.pc_id, p.poi_code
   FROM p JOIN pois o
     ON lower(p.csn) = lower(o.addr_conscriptionnumber) AND lower(p.city) = lower(o.addr_city)
   WHERE p.csn IS NOT NULL AND o.addr_conscriptionnumber IS NOT NULL AND {TPRED} AND {NAMEOK}
   UNION ALL
-  SELECT p.page_id, o.osm_id, o.node_type, 4, 940, {HAV}
+  SELECT p.page_id, o.osm_id, o.node_type, 4, 940, {HAV}, p.pc_id, p.poi_code
   FROM p JOIN pois o
     ON lower(p.city) = lower(o.addr_city) AND {STREETEQ} AND {HNEQ}
   WHERE {TPRED} AND {NAMEOK}
   UNION ALL
-  SELECT page_id, osm_id, node_type, 5, priority, distance FROM (
-    SELECT p.page_id, o.osm_id, o.node_type, {HAV} AS distance,
+  SELECT page_id, osm_id, node_type, 5, priority, distance, cand_pc, poi_code FROM (
+    SELECT p.page_id, o.osm_id, o.node_type, {HAV} AS distance, p.pc_id AS cand_pc, p.poi_code,
       CASE WHEN {NAMEOK} AND {STREETEQ} AND {HNEQ} AND {HAV} < p.d_perfect THEN 950
            WHEN {NAMEOK} AND ({STREETEQ} OR {HNEQ}) AND {HAV} < p.d_safe THEN 970
            WHEN {NAMEOK} AND {HAV} < p.d_safe THEN 980
@@ -192,5 +192,6 @@ arms AS (
 ),
 best AS (
   SELECT * FROM arms
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY page_id ORDER BY stage, priority, distance, osm_id) = 1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY page_id
+    ORDER BY stage, priority, distance, osm_id, node_type, cand_pc) = 1
 )"""
