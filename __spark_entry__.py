@@ -1887,6 +1887,28 @@ def _q_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asset_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode: deterministic PNG/WAV/OPMV payloads are
+    encoded in one mapInPandas stage, shipped through Arrow as binary,
+    decoded with the pure-Python codecs (zlib inflate + all-filter PNG
+    reader, stdlib wave, PNG-frame container) and featurized into
+    exact-dyadic 16-dim vectors (integer sums / powers of two — zero
+    float tolerance). The oracle recomputes every feature in closed form
+    from the same pixel/sample arithmetic, so a single wrong byte
+    anywhere in encode → decode → featurize breaks the hash."""
+    from osm_poi_matchmaker_spark.operators.multimodal import (
+        decode_and_featurize_real,
+        synth_media_assets,
+    )
+
+    decoded = decode_and_featurize_real(
+        synth_media_assets(synth.pages(spark, sf_dir))
+    )
+    return decoded.select(
+        "asset_id", "kind", F.posexplode("feature").alias("k", "feat")
+    ).withColumn("feat", F.col("feat").cast("double"))
+
+
 def _q_poi_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13: row-identity hash of the extracted address key (sha256 twin of
     the reference's sha512 — same canonicalization, oracle-checkable)."""
@@ -2254,77 +2276,25 @@ def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "geotag_extract": _q_geotag_extract,
-        "cell_assign": _q_cell_assign,
-        "cell_histogram": _q_cell_histogram,
+        "provider_types": _q_provider_types,
+        "brand_tag_merge": _q_brand_tag_merge,
+        "asset_decode_real": _q_asset_decode_real,
         "match_cascade": _q_match_cascade,
-        "match_lineage": _q_match_lineage,
-        "addr_overwrite": _q_addr_overwrite,
-        "match_rollup": _q_match_rollup,
-        "knn_nearest": _q_knn_nearest,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "dedup_simhash": _q_dedup_simhash,
-        "doc_stats": _q_doc_stats,
-        "ann_topk_exact": _q_ann_topk_exact,
-        "ann_topk_lsh": _q_ann_topk_lsh,
-        "ann_topk_ivf": _q_ann_topk_ivf,
-        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
-        "html_text_parity": _q_html_text_parity,
-        "hu_address_extract": _q_hu_address_extract,
+        "osm_xml_render": _q_osm_xml_render,
         "hu_address_parse": _q_hu_address_parse,
+        "tag_merge": _q_tag_merge,
+        "opening_hours_compile": _q_opening_hours_compile,
+        "geojson_render": _q_geojson_render,
+        "scalar_cleaners": _q_scalar_cleaners,
         "pip_postcode": _q_pip_postcode,
         "pip_city": _q_pip_city,
-        "ordered_scan": _q_ordered_scan,
-        "osm_timestamps": _q_osm_timestamps,
-        "way_nodes": _q_way_nodes,
-        "int_sanitize": _q_int_sanitize,
-        "fuzzy_city": _q_fuzzy_city,
-        "agg_pricing_summary": _q_agg_pricing_summary,
-        "top_orders_window": _q_top_orders_window,
-        "anti_customers_no_orders": _q_anti_customers_no_orders,
-        "union_event_arms": _q_union_event_arms,
-        "export_slices": _q_export_slices,
-        "distinct_brands": _q_distinct_brands,
-        "dedup_first_per_city": _q_dedup_first_per_city,
-        "cell_histogram_salted": _q_cell_histogram_salted,
-        "events_windowed": _q_events_windowed,
-        "events_sessionize": _q_events_sessionize,
-        "events_asof": _q_events_asof,
-        "events_range_join": _q_events_range_join,
-        "raster_coverage": _q_raster_coverage,
-        "fuzzy_street": _q_fuzzy_street,
-        "poi_hash": _q_poi_hash,
-        "building_relocation": _q_building_relocation,
         "qc_in_water": _q_qc_in_water,
-        "poi_fuzzy_dedup": _q_poi_fuzzy_dedup,
-        "asset_features": _q_asset_features,
-        "osm_xml_render": _q_osm_xml_render,
-        "osm_xml_comments": _q_osm_xml_comments,
-        "osm_xml_objects": _q_osm_xml_objects,
-        "ascii_numcoder": _q_ascii_numcoder,
-        "geojson_render": _q_geojson_render,
-        "opening_hours_compile": _q_opening_hours_compile,
-        "scalar_cleaners": _q_scalar_cleaners,
-        "coord_fixes": _q_coord_fixes,
-        "smart_postcode": _q_smart_postcode,
-        "csv_source": _q_csv_source,
-        "gtfs_stops_source": _q_gtfs_stops_source,
-        "geojson_source": _q_geojson_source,
-        "osm_misc_goldens": _q_osm_misc_goldens,
-        "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
-        "complex_opening_hours": _q_complex_opening_hours,
-        "js_var_extract": _q_js_var_extract,
-        "zipcodes_xml_source": _q_zipcodes_xml_source,
-        "excel_source": _q_excel_source,
         "provider_tesco": _q_provider_tesco,
         "provider_spar": _q_provider_spar,
         "provider_cba": _q_provider_cba,
         "provider_posta": _q_provider_posta,
         "provider_atp_types": _q_atp_types,
         "provider_atp_pois": _q_atp_pois,
-        "live_tags_cache": _q_live_tags_cache,
         "provider_posta_json": _q_provider_posta_json,
         "provider_foxpost": _q_provider_foxpost,
         "provider_mobiliti": _q_provider_mobiliti,
@@ -2335,8 +2305,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_gls": _q_provider_gls,
         "provider_mol": _q_provider_mol,
         "provider_kh": _q_provider_kh,
-        "provider_types": _q_provider_types,
-        "brand_tag_merge": _q_brand_tag_merge,
         "provider_aldi": _q_provider_aldi,
         "provider_dm": _q_provider_dm,
         "provider_penny": _q_provider_penny,
@@ -2364,10 +2332,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_nemzeti": _q_provider_nemzeti,
         "provider_cib": _q_provider_cib,
         "provider_magnet": _q_provider_magnet,
+        "hu_address_extract": _q_hu_address_extract,
+        "coord_fixes": _q_coord_fixes,
+        "smart_postcode": _q_smart_postcode,
+        "csv_source": _q_csv_source,
+        "gtfs_stops_source": _q_gtfs_stops_source,
+        "geojson_source": _q_geojson_source,
+        "osm_misc_goldens": _q_osm_misc_goldens,
+        "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
+        "complex_opening_hours": _q_complex_opening_hours,
+        "js_var_extract": _q_js_var_extract,
+        "zipcodes_xml_source": _q_zipcodes_xml_source,
+        "excel_source": _q_excel_source,
+        "relation_members": _q_relation_members,
         "doc_split": _q_doc_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
-        "tag_merge": _q_tag_merge,
-        "relation_members": _q_relation_members,
+        "live_tags_cache": _q_live_tags_cache,
+        "geotag_extract": _q_geotag_extract,
+        "cell_assign": _q_cell_assign,
+        "cell_histogram": _q_cell_histogram,
+        "match_lineage": _q_match_lineage,
+        "addr_overwrite": _q_addr_overwrite,
+        "match_rollup": _q_match_rollup,
+        "knn_nearest": _q_knn_nearest,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "doc_stats": _q_doc_stats,
+        "ann_topk_exact": _q_ann_topk_exact,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_ivf": _q_ann_topk_ivf,
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "html_text_parity": _q_html_text_parity,
+        "ordered_scan": _q_ordered_scan,
+        "osm_timestamps": _q_osm_timestamps,
+        "way_nodes": _q_way_nodes,
+        "int_sanitize": _q_int_sanitize,
+        "fuzzy_city": _q_fuzzy_city,
+        "agg_pricing_summary": _q_agg_pricing_summary,
+        "top_orders_window": _q_top_orders_window,
+        "anti_customers_no_orders": _q_anti_customers_no_orders,
+        "union_event_arms": _q_union_event_arms,
+        "export_slices": _q_export_slices,
+        "distinct_brands": _q_distinct_brands,
+        "dedup_first_per_city": _q_dedup_first_per_city,
+        "cell_histogram_salted": _q_cell_histogram_salted,
+        "events_windowed": _q_events_windowed,
+        "events_sessionize": _q_events_sessionize,
+        "events_asof": _q_events_asof,
+        "events_range_join": _q_events_range_join,
+        "raster_coverage": _q_raster_coverage,
+        "fuzzy_street": _q_fuzzy_street,
+        "poi_hash": _q_poi_hash,
+        "building_relocation": _q_building_relocation,
+        "poi_fuzzy_dedup": _q_poi_fuzzy_dedup,
+        "asset_features": _q_asset_features,
+        "osm_xml_comments": _q_osm_xml_comments,
+        "osm_xml_objects": _q_osm_xml_objects,
+        "ascii_numcoder": _q_ascii_numcoder,
     }
 
 
@@ -3959,6 +3982,32 @@ def oracle_sql() -> dict[str, str]:
         # payload = UTF-8 of '<html><body><p>' || text || '</p></body></html>'
         # (synth.pages_df), so DuckDB's md5() reproduces the full feature
         # vector; kind/width/height re-derive synth_assets' arithmetic.
+        "asset_decode_real": (
+            f"{base}, ks AS (SELECT unnest(range(16)) AS k), "
+            "dxs AS (SELECT unnest(range(4)) AS dx), "
+            "dys AS (SELECT unnest(range(4)) AS dy), "
+            "frs AS (SELECT unnest(range(4)) AS f), "
+            "js AS (SELECT unnest(range(128)) AS j) "
+            "SELECT asset_id, kind, k, feat FROM ("
+            "  SELECT p.page_id AS asset_id, 'image' AS kind, ks.k,"
+            "    SUM((p.page_id*31 + (4*(ks.k%4)+dxs.dx)*7"
+            "         + (4*(ks.k//4)+dys.dy)*13) % 256) / 16.0 AS feat"
+            "  FROM pages p, ks, dxs, dys WHERE p.page_id % 3 = 0"
+            "  GROUP BY 1, 2, 3"
+            "  UNION ALL"
+            "  SELECT p.page_id, 'audio', ks.k,"
+            "    SUM(POWER(((p.page_id*13 + (ks.k*128 + js.j)*17) % 256)"
+            "        - 128, 2)) / 128.0"
+            "  FROM pages p, ks, js WHERE p.page_id % 3 = 1"
+            "  GROUP BY 1, 2, 3"
+            "  UNION ALL"
+            "  SELECT p.page_id, 'video', ks.k,"
+            "    SUM((p.page_id*31 + frs.f*5 + (4*(ks.k%4)+dxs.dx)*7"
+            "         + (4*(ks.k//4)+dys.dy)*13) % 256) / 64.0"
+            "  FROM pages p, ks, frs, dxs, dys WHERE p.page_id % 3 = 2"
+            "  GROUP BY 1, 2, 3"
+            ")"
+        ),
         "asset_features": (
             f"{base} SELECT page_id AS asset_id, "
             "CASE page_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "

@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Shuffle-degradation cascade at amplified candidate scale.
+
+The match cascade's default plan broadcasts the candidate (POI) side.
+When candidates outgrow broadcast (the 10^8-POI planet table), callers
+pass ``broadcast_candidates=False``: every arm becomes a shuffle
+equi-join on (brand, cell) keys with the ring explode moved to the
+candidate side, and AQE's skew-join splits the synthetic hotspot
+mega-cells. That path is winner-identical-tested
+(tests/test_match_priority.py) — this job MEASURES it at a scale where
+it is the right plan:
+
+- POIs amplified A× (default 500× → 10^7 candidates) with osm_id
+  remapping and deterministic per-replica jitter of up to ±0.01° so
+  hotspot density grows smoothly (the Budapest mega-cells stay skewed);
+- geotagged pages amplified P× (default 20× → 3·10^5 probes);
+- AQE on with skew-join enabled; candidate broadcast hint dropped.
+
+Prints ONE JSON line: wall seconds, rows, pages/s, whether the final
+adaptive plan contains a skew-split shuffle read and zero candidate
+broadcasts. Paste into BENCH.md.
+
+Usage: python3 jobs/degradation_bench.py [sf_dir] [amp_pois] [amp_pages] [cpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    amp_pois = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    amp_pages = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    cpus = int(sys.argv[4]) if len(sys.argv) > 4 else int(
+        os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+
+    from pyspark.sql import functions as F
+
+    from osm_poi_matchmaker_spark import synth
+    from osm_poi_matchmaker_spark.extract.geotag import geotag_pages
+    from osm_poi_matchmaker_spark.operators.match import match_cascade
+    from osm_poi_matchmaker_spark.session import get_spark
+
+    spark = get_spark("degradation-bench", cpus=cpus,
+                      shuffle_partitions=cpus * 8)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # force true shuffle plans: nothing auto-broadcasts
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def amplify(df, times, id_col, id_stride):
+        rep = df.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(times - 1))))
+        jitter = (F.col("_r") % 21 - 10) * 0.001  # ±0.01°, deterministic
+        return (
+            rep.withColumn(id_col, F.col(id_col) + F.col("_r") * F.lit(id_stride))
+            .withColumn("lat", F.col("lat") + jitter)
+            .withColumn("lon", F.col("lon") - jitter)
+            .drop("_r")
+        )
+
+    pois = amplify(synth.osm_pois(spark, sf_dir), amp_pois, "osm_id", 10_000_000)
+    pages_geo = amplify(
+        geotag_pages(synth.pages(spark, sf_dir)), amp_pages, "page_id", 10_000_000
+    )
+
+    best = match_cascade(
+        pages_geo, pois, synth.poi_common_df(spark),
+        brand_rows=synth.BRAND_ROWS, broadcast_candidates=False,
+    )
+    t0 = time.time()
+    agg = best.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("osm_id") % 97).alias("chk"),
+    ).collect()[0]
+    wall = time.time() - t0
+
+    # final adaptive plan evidence
+    plan = best._jdf.queryExecution().executedPlan().toString()
+    skew_split = "skewed=true" in plan or "isSkew=true" in plan or "skew=true" in plan
+    n_pages = pages_geo.count()
+    n_pois = pois.count()
+    out = {
+        "metric": "match_cascade_shuffle_degradation",
+        "value": round(wall, 2),
+        "unit": "sec",
+        "pois": n_pois,
+        "pages": n_pages,
+        "matched_rows": agg["n"],
+        "checksum": int(agg["chk"]),
+        "pages_per_sec": round(n_pages / wall, 1),
+        "cpus": cpus,
+        "aqe_skew_split_in_plan": bool(skew_split),
+        "broadcast_in_plan": "BroadcastHashJoin" in plan,
+        "sf_dir": sf_dir,
+        "amp_pois": amp_pois,
+        "amp_pages": amp_pages,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -37,19 +37,45 @@ def clean_city_udf(s: pd.Series) -> pd.Series:
     return s.map(hu.clean_city, na_action="ignore")
 
 
-@F.pandas_udf(T.StringType())
-def clean_postcode_udf(s: pd.Series) -> pd.Series:
-    return s.map(hu.clean_postcode, na_action="ignore")
+# NULL sentinels of hu_address._NULL_SENTINELS, mirrored for codegen
+_SENTINELS = ("NONE", "NAN", "NULL", "NULLNONE")
 
 
-@F.pandas_udf(T.StringType())
-def clean_url_udf(s: pd.Series) -> pd.Series:
-    return s.map(hu.clean_url, na_action="ignore")
+def clean_string_expr(c) -> F.Column:
+    """``clean_string`` as a PURE column expression (whole-stage codegen,
+    zero Python): unicode-whitespace collapse, NULL-sentinel mapping,
+    leading/trailing ``-/, `` strip. Semantics pinned by the same goldens
+    as the Python twin (tests/test_hu_address.py); the Python twin stays
+    for driver-side composition (parsers, providers needing .map chains).
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    s = F.regexp_replace(c.cast("string"), r"(?U)\s+", " ")
+    pre_null = (s == "") | F.upper(s).isin(*_SENTINELS)
+    t = F.regexp_replace(
+        F.regexp_replace(F.trim(s), r"^[-/, ]+", ""), r"[-/, ]+$", ""
+    )
+    ok = (t != "") & ~F.upper(t).isin(*_SENTINELS)
+    return F.when(~pre_null & ok, t)
 
 
-@F.pandas_udf(T.StringType())
-def clean_email_udf(s: pd.Series) -> pd.Series:
-    return s.map(hu.clean_email, na_action="ignore")
+def clean_postcode_udf(c) -> F.Column:
+    """clean_postcode (address.py:291-295 analogue) as a column expr:
+    clean_string, then the literal '0' → NULL."""
+    s = clean_string_expr(c)
+    return F.when(s != "0", s)
+
+
+def clean_url_udf(c) -> F.Column:
+    """clean_url as a column expr: collapse non-protocol '//'+ runs to
+    '/', lowercase (Java lookbehind matches the Python regex)."""
+    s = clean_string_expr(c)
+    return F.lower(F.regexp_replace(s, r"(?<!:)//+", "/"))
+
+
+def clean_email_udf(c) -> F.Column:
+    """clean_email as a column expr: lowercase, space/comma → ';'
+    (the reference's split/join chains reduce to a char translate)."""
+    return F.translate(F.lower(clean_string_expr(c)), " ,", ";;")
 
 
 @F.pandas_udf(T.StringType())

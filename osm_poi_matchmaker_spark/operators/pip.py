@@ -1,26 +1,46 @@
-"""Broadcast point-in-polygon join (J4 postcode / J5 city lookups).
+"""Cell-fragment point-in-polygon join (J4 postcode / J5 city / J6 water).
 
 Reference behavior: per-POI PostGIS ``ST_Contains(way, point)`` queries
-(``libs/osm.py:32-49, 92-109``). At scale: polygons are the SMALL side
-(admin boundaries, postcode areas — thousands, not billions), so they are
-broadcast to every executor as WKT; points stream through a ``mapInPandas``
-pandas iterator that runs a numpy-vectorized ray-cast (even-odd rule)
-against a per-executor prebuilt polygon index. No shuffle of the point
-side at all — the plan is scan → mapInPandas → (optional) dim join.
+(``libs/osm.py:32-49, 92-109``). The distributed re-expression keys BOTH
+sides on a coarse fragment grid and equi-joins:
 
-The index buckets polygon bboxes on the coarse cell grid (tiling.py) — an
-STRtree substitute with the same O(1)-candidates-per-point property for
-admin-style tilings; shapely isn't available in this environment.
+- polygons explode into the grid cells their bbox covers (bbox computed
+  JVM-side from the WKT with split/transform/array_min — no Python);
+- fragments aggregate POLYGON-side into one row per cell holding the
+  sorted candidate list (``collect_list(struct(order_key, poly_id,
+  wkt))``) — the shuffle, if any, moves only polygon fragments;
+- points compute the same cell id (pure column expression) and join
+  ``points ⋈ broadcast(cell_map)`` 1:1 — the point side NEVER shuffles,
+  and no polygon ever touches the driver (the old design ``collect()``-ed
+  every WKT to the driver and re-broadcast it by hand: fine for
+  Hungarian admin polygons, a driver-memory wall for planet-scale
+  water/admin sets at J6's 100× scale);
+- an Arrow-batched pandas UDF resolves each point against its cell's
+  candidate list with the numpy ray-cast (shapely isn't available
+  here), taking the first hit in (order_key, poly_id) order — the
+  reference's ``ORDER BY name LIMIT 1`` semantics (libs/osm.py:98) —
+  so the winner is decided in-row, with no point-side aggregation.
+
+For polygon sets too large to broadcast, pass ``broadcast_polygons=False``:
+the same plan degrades to a shuffle equi-join on the fragment cell (AQE
+handles skewed cells). Either way the plan is declarative — Catalyst
+prunes and reorders it like any other join.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..tiling import X_SPAN
+
+# Fragment grid: cells per degree. Admin/postcode polygons are km-scale,
+# so ~0.125° (9-14 km over HU) cells keep fragments-per-polygon small
+# while bounding candidates-per-point to a handful.
+FRAG_MULT = 8.0
 
 
 def parse_wkt_polygon(wkt: str) -> np.ndarray:
@@ -45,32 +65,86 @@ def _ray_cast(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
     return inside
 
 
-class PolygonIndex:
-    """bbox-pruned polygon set; built once per executor from broadcast rows."""
+@F.pandas_udf(T.IntegerType())
+def _resolve_udf(cands: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
+    """First containing candidate per point (candidates pre-sorted by
+    (order_key, poly_id)); -1 when the list is null/empty or nothing
+    contains the point. Rings are parsed once per batch per polygon."""
+    ring_cache: dict = {}
+    out = np.full(len(cands), -1, dtype="int32")
+    xs = px.to_numpy("float64")
+    ys = py.to_numpy("float64")
+    for i, clist in enumerate(cands):
+        if clist is None or len(clist) == 0:
+            continue
+        x = np.array([xs[i]])
+        y = np.array([ys[i]])
+        for c in clist:
+            wkt = c["_wkt"]
+            ring = ring_cache.get(wkt)
+            if ring is None:
+                ring = ring_cache[wkt] = parse_wkt_polygon(wkt)
+            if _ray_cast(x, y, ring)[0]:
+                out[i] = c["_pid"]
+                break
+    return pd.Series(out)
 
-    def __init__(self, rows: list[tuple]):
-        # rows: (poly_id, wkt)
-        self.ids = [r[0] for r in rows]
-        self.rings = [parse_wkt_polygon(r[1]) for r in rows]
-        self.bboxes = np.array(
-            [
-                [r[:, 0].min(), r[:, 0].max(), r[:, 1].min(), r[:, 1].max()]
-                for r in self.rings
-            ]
+
+def _wkt_xs(wkt):
+    """Array of ring x (first) coordinates — JVM-side column expression."""
+    inner = F.regexp_replace(wkt, r"^\s*POLYGON\(\(|\)\)\s*$", "")
+    return F.transform(
+        F.split(inner, ","),
+        lambda p: F.element_at(F.split(F.trim(p), " "), 1).cast("double"),
+    )
+
+
+def _wkt_ys(wkt):
+    inner = F.regexp_replace(wkt, r"^\s*POLYGON\(\(|\)\)\s*$", "")
+    return F.transform(
+        F.split(inner, ","),
+        lambda p: F.element_at(F.split(F.trim(p), " "), 2).cast("double"),
+    )
+
+
+def _frag_coord(c):
+    """Fragment-grid coordinate for one axis (offset keeps it positive)."""
+    return F.floor((c + F.lit(180.0)) * F.lit(FRAG_MULT)).cast("long")
+
+
+def polygon_fragments(
+    polygons: DataFrame, poly_id: str, wkt_col: str, order_by: str | None
+) -> DataFrame:
+    """(fcell, poly_id, wkt, order_key): one row per bbox-covered cell.
+
+    Everything up to the explode is whole-stage-codegen column work; the
+    explode is the built-in UDTF. Fragment count per polygon is
+    O(bbox_area / cell_area) — a handful for admin-scale polygons.
+    """
+    xs, ys = _wkt_xs(F.col(wkt_col)), _wkt_ys(F.col(wkt_col))
+    order_key = (
+        F.col(order_by).cast("string") if order_by is not None
+        else F.col(poly_id).cast("string")
+    )
+    return (
+        polygons.select(
+            F.col(poly_id).alias("_pid"),
+            F.col(wkt_col).alias("_wkt"),
+            order_key.alias("_ord"),
+            _frag_coord(F.array_min(xs)).alias("_x0"),
+            _frag_coord(F.array_max(xs)).alias("_x1"),
+            _frag_coord(F.array_min(ys)).alias("_y0"),
+            _frag_coord(F.array_max(ys)).alias("_y1"),
         )
-
-    def locate(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
-        """Per point: first containing poly_id (or -1)."""
-        out = np.full(lon.shape[0], -1, dtype="int64")
-        for i, (pid, ring) in enumerate(zip(self.ids, self.rings)):
-            xmin, xmax, ymin, ymax = self.bboxes[i]
-            cand = (out == -1) & (lon >= xmin) & (lon <= xmax) & (lat >= ymin) & (lat <= ymax)
-            if not cand.any():
-                continue
-            hit = _ray_cast(lon[cand], lat[cand], ring)
-            idxs = np.nonzero(cand)[0][hit]
-            out[idxs] = pid
-        return out
+        .withColumn("_fx", F.explode(F.sequence("_x0", "_x1")))
+        .withColumn("_fy", F.explode(F.sequence("_y0", "_y1")))
+        .select(
+            (F.col("_fy") * F.lit(X_SPAN) + F.col("_fx")).alias("_fcell"),
+            "_pid",
+            "_wkt",
+            "_ord",
+        )
+    )
 
 
 def point_in_polygon(
@@ -81,8 +155,9 @@ def point_in_polygon(
     wkt_col: str = "way_wkt",
     swap_xy: bool = False,
     order_by: str | None = None,
+    broadcast_polygons: bool = True,
 ) -> DataFrame:
-    """(point_key, lat, lon) × broadcast polygons → (point_key, poly_id).
+    """(point_key, lat, lon) × polygon fragments → (point_key, poly_id).
 
     Points with no containing polygon get poly_id = -1 (kept, so callers
     can distinguish 'outside every boundary' — reference returns None
@@ -91,34 +166,30 @@ def point_in_polygon(
     ``swap_xy`` preserves the reference's J5 city-lookup quirk: the probe
     point is built ``ST_MakePoint(:lat,:lon)`` — latitude on the x axis
     (libs/osm.py:97) — so containment tests the SWAPPED point. ``order_by``
-    names a polygon column; candidates are tested in ascending order of it,
-    so the first hit reproduces ``ORDER BY name LIMIT 1`` (libs/osm.py:98).
+    names a polygon column; the minimal (order_by, poly_id) containing
+    polygon wins, reproducing ``ORDER BY name LIMIT 1`` (libs/osm.py:98).
     """
-    if order_by is not None:
-        collected = polygons.select(poly_id, wkt_col, order_by).orderBy(order_by, poly_id).collect()
-    else:
-        collected = polygons.select(poly_id, wkt_col).collect()
-    poly_rows = [(r[poly_id], r[wkt_col]) for r in collected]
-    spark = points.sparkSession
-    bc = spark.sparkContext.broadcast(poly_rows)
-    schema = T.StructType(
-        [
-            T.StructField(point_key, T.LongType()),
-            T.StructField("poly_id", T.IntegerType()),
-        ]
+    # one row per cell, candidates sorted by (order_key, poly_id): the
+    # groupBy shuffles only polygon fragments, never points
+    cell_map = (
+        polygon_fragments(polygons, poly_id, wkt_col, order_by)
+        .groupBy("_fcell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_ord", "_pid", "_wkt"))
+            ).alias("_cands")
+        )
     )
+    if broadcast_polygons:
+        cell_map = F.broadcast(cell_map)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        index = PolygonIndex(bc.value)
-        for pdf in batches:
-            xs, ys = (
-                ("lat", "lon") if swap_xy else ("lon", "lat")
-            )
-            located = index.locate(
-                pdf[xs].to_numpy("float64"), pdf[ys].to_numpy("float64")
-            )
-            yield pd.DataFrame(
-                {point_key: pdf[point_key].to_numpy("int64"), "poly_id": located.astype("int32")}
-            )
-
-    return points.select(point_key, "lat", "lon").mapInPandas(run, schema)
+    px = F.col("lat") if swap_xy else F.col("lon")
+    py = F.col("lon") if swap_xy else F.col("lat")
+    pts = points.select(point_key, "lat", "lon").withColumn(
+        "_fcell",
+        _frag_coord(py) * F.lit(X_SPAN) + _frag_coord(px),
+    )
+    return pts.join(cell_map, "_fcell", "left").select(
+        point_key,
+        _resolve_udf(F.col("_cands"), px, py).alias("poly_id"),
+    )

@@ -83,14 +83,20 @@ def test_sessionize_single_shuffle(spark):
 
 
 def test_pip_city_no_point_shuffle(spark):
-    # J4/J5 PIP: polygons are broadcast (driver-collected), the point side
-    # streams through mapInPandas and the name join is broadcast — the
-    # page-derived side must never cross an exchange
+    # J4/J5 PIP: polygon fragments aggregate into a per-cell candidate map
+    # (the only shuffle, on the POLYGON side) which is broadcast; the point
+    # side joins it 1:1 and resolves in-row — pages never cross an
+    # exchange, and no polygon ever touches the driver (no collect()).
     plan = plan_of(entry_mod._q_pip_city(spark, SF), mode="simple")
-    # BroadcastExchange of the tiny polygon dim is fine; a shuffle is not
-    assert "Exchange hashpartitioning" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            # polygon-fragment agg keyed on the fragment cell only
+            assert "_fcell" in line, line
     assert "Exchange rangepartitioning" not in plan, plan
     assert "BroadcastHashJoin" in plan
+    # the in-row resolver is the only Python in the plan: the point side
+    # is scan → project → broadcast join → ArrowEval, nothing else
+    assert "MapInPandas" not in plan
 
 
 def test_way_nodes_explode_after_join(spark):

@@ -79,3 +79,49 @@ def test_shell_street_expr_randomized(spark):
     }
     for i, case in enumerate(cases):
         assert got[i] == ref(case), (repr(case), got[i], ref(case))
+
+
+def test_expr_cleaners_match_python_twins(spark):
+    """clean_postcode/url/email_udf are now pure column expressions —
+    they must agree with the Python parity functions byte-for-byte over
+    a randomized + adversarial corpus (whitespace runs, NULL sentinels,
+    '-/, ' trims, '0' postcode, '//' runs, comma/space email lists)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from osm_poi_matchmaker_spark.functions import hu_address as hu
+    from osm_poi_matchmaker_spark.functions.spark_udfs import (
+        clean_email_udf,
+        clean_postcode_udf,
+        clean_string_expr,
+        clean_url_udf,
+    )
+
+    rng = random.Random(20260819)
+    atoms = ["1066", "0", "none", "NULL", "NaN", "a@b.hu", "x@y.z,w@q.hu",
+             "http://ex.com//a//b", "https://EX.com/", "  ", "\t", " ",
+             "-", "/", ",", "Bp.", "9021", "űő", ""]
+    cases = [
+        "".join(rng.choice(atoms) for _ in range(rng.randint(0, 5)))
+        for _ in range(400)
+    ] + ["0", " 0 ", "-0-", "NONE", "nullnone", "a b,c", "http://a///b",
+         "ftp://x//y", ":///", None]
+
+    src = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, raw string"
+    )
+    got = {
+        r["i"]: (r["s"], r["p"], r["u"], r["e"])
+        for r in src.select(
+            "i",
+            clean_string_expr(F.col("raw")).alias("s"),
+            clean_postcode_udf(F.col("raw")).alias("p"),
+            clean_url_udf(F.col("raw")).alias("u"),
+            clean_email_udf(F.col("raw")).alias("e"),
+        ).collect()
+    }
+    for i, case in enumerate(cases):
+        want = (hu.clean_string(case), hu.clean_postcode(case),
+                hu.clean_url(case), hu.clean_email(case))
+        assert got[i] == want, (repr(case), got[i], want)

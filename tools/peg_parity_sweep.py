@@ -149,6 +149,43 @@ def gen_corpus(cap: int | None = None) -> list[str]:
     return dedup[:cap] if cap else dedup
 
 
+def gen_fuzz(n: int, seed: int = 20260819) -> list[str]:
+    """Deterministic char-level fuzz: template corpus samples mutated by
+    random edits (delete/insert/replace/case-flip/splice) over an
+    alphabet covering the grammar's terminals — digits, accents, caps,
+    separators, the hrsz/em./fsz./lph. keywords' characters."""
+    import random
+
+    rng = random.Random(seed)
+    base = gen_corpus()
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "áéíóöőúüűÁÉÍÓÖŐÚÜŰ0123456789 .,:/-()'\"\t;"
+    )
+    words = ["hrsz", "em.", "fsz.", "lph.", "ép.", "ajtó", "szám", "km",
+             "kerület", "I.", "IV", "1/2", "tetőtér", "pince", "mfszt"]
+    out = []
+    for _ in range(n):
+        s = rng.choice(base)
+        for _ in range(rng.randint(1, 4)):
+            op = rng.randrange(5)
+            if not s:
+                s = rng.choice(base)
+            i = rng.randrange(max(1, len(s)))
+            if op == 0:
+                s = s[:i] + s[i + 1:]
+            elif op == 1:
+                s = s[:i] + rng.choice(alphabet) + s[i:]
+            elif op == 2:
+                s = s[:i] + rng.choice(alphabet) + s[i + 1:]
+            elif op == 3:
+                s = s[:i] + s[i:i + 1].swapcase() + s[i + 1:]
+            else:
+                s = s[:i] + " " + rng.choice(words) + " " + s[i:]
+        out.append(s)
+    return out
+
+
 def main() -> int:
     cap = int(sys.argv[1]) if len(sys.argv) > 1 else None
     parser_mod, wp = _load_reference()
@@ -164,7 +201,10 @@ def main() -> int:
     )
 
     ref = _ref_wrapper(parser_mod, wp, clean_string, extract_all_address)
-    corpus = gen_corpus(cap)
+    if len(sys.argv) > 2 and sys.argv[2] == "fuzz":
+        corpus = gen_fuzz(cap or 100000)
+    else:
+        corpus = gen_corpus(cap)
     mismatches = []
     for s in corpus:
         want = ref(s)
