@@ -6,9 +6,9 @@ from __future__ import annotations
 import numpy as np
 
 from osm_poi_matchmaker_spark.operators.pip import (
-    PolygonIndex,
     _ray_cast,
     parse_wkt_polygon,
+    point_in_polygon,
 )
 
 
@@ -35,14 +35,40 @@ def test_concave_polygon():
     assert _ray_cast(px, py, ring).tolist() == [True, True, False, True]
 
 
-def test_polygon_index_first_match_and_miss():
-    idx = PolygonIndex(
+def test_point_in_polygon_first_match_and_miss(spark):
+    # the fragment-join path end-to-end: overlapping region (1.5,1.5) →
+    # minimal (order_key, poly_id) wins (7); outside every polygon → -1
+    polys = spark.createDataFrame(
         [
             (7, "POLYGON((0 0,2 0,2 2,0 2,0 0))"),
             (9, "POLYGON((1 1,3 1,3 3,1 3,1 1))"),
-        ]
+        ],
+        "poly_id int, way_wkt string",
     )
-    lon = np.array([0.5, 2.5, 1.5, 10.0])
-    lat = np.array([0.5, 2.5, 1.5, 10.0])
-    # overlapping region (1.5,1.5) → first polygon in row order wins (7)
-    assert idx.locate(lon, lat).tolist() == [7, 9, 7, -1]
+    pts = spark.createDataFrame(
+        [(1, 0.5, 0.5), (2, 2.5, 2.5), (3, 1.5, 1.5), (4, 10.0, 10.0)],
+        "page_id long, lat double, lon double",
+    )
+    out = {
+        r["page_id"]: r["poly_id"]
+        for r in point_in_polygon(pts, polys).collect()
+    }
+    assert out == {1: 7, 2: 9, 3: 7, 4: -1}
+
+
+def test_point_in_polygon_shuffle_degradation_same_answers(spark):
+    # broadcast_polygons=False (the huge-polygon-set path) must agree
+    polys = spark.createDataFrame(
+        [
+            (7, "POLYGON((0 0,2 0,2 2,0 2,0 0))"),
+            (9, "POLYGON((1 1,3 1,3 3,1 3,1 1))"),
+        ],
+        "poly_id int, way_wkt string",
+    )
+    pts = spark.createDataFrame(
+        [(1, 0.5, 0.5), (2, 2.5, 2.5), (3, 1.5, 1.5), (4, 10.0, 10.0)],
+        "page_id long, lat double, lon double",
+    )
+    a = point_in_polygon(pts, polys, broadcast_polygons=True).collect()
+    b = point_in_polygon(pts, polys, broadcast_polygons=False).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
