@@ -60,7 +60,11 @@ def main() -> None:
         rep = df.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(times - 1))))
         jitter = (F.col("_r") % 21 - 10) * 0.001  # ±0.01°, deterministic
         return (
-            rep.withColumn(id_col, F.col(id_col) + F.col("_r") * F.lit(id_stride))
+            rep.withColumn(
+                id_col,
+                F.col(id_col).cast("long")
+                + F.col("_r").cast("long") * F.lit(int(id_stride)).cast("long"),
+            )
             .withColumn("lat", F.col("lat") + jitter)
             .withColumn("lon", F.col("lon") - jitter)
             .drop("_r")
@@ -82,7 +86,9 @@ def main() -> None:
     ).collect()[0]
     wall = time.time() - t0
 
-    # final adaptive plan evidence
+    # final adaptive plan evidence. The ONLY BroadcastHashJoin allowed is
+    # the 12-row brand dim (with_common); every candidate arm must be a
+    # shuffle join (SortMergeJoin / ShuffledHashJoin).
     plan = best._jdf.queryExecution().executedPlan().toString()
     skew_split = "skewed=true" in plan or "isSkew=true" in plan or "skew=true" in plan
     n_pages = pages_geo.count()
@@ -98,7 +104,9 @@ def main() -> None:
         "pages_per_sec": round(n_pages / wall, 1),
         "cpus": cpus,
         "aqe_skew_split_in_plan": bool(skew_split),
-        "broadcast_in_plan": "BroadcastHashJoin" in plan,
+        "shuffle_joins_in_plan": plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin"),
+        "broadcast_joins_in_plan": plan.count("BroadcastHashJoin"),
         "sf_dir": sf_dir,
         "amp_pois": amp_pois,
         "amp_pages": amp_pages,
