@@ -1887,6 +1887,60 @@ def _q_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_osm_xml_name_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 name/addr flag semantics (libs/file_output.py:455-695) over the
+    REAL harvested poi_common flags: preserve_original_name saves the
+    live OSM name and writes it back over the provider name (:463,606);
+    the bus_stop branch prefers the non-empty live name outright (:614);
+    export_poi_name=False pops the name, as does the literal string
+    'None' (:688-691); do_not_export_addr_tags strips the addr:* keys
+    (:543). Unbridged brands take the column defaults (export true,
+    preserve/drop false). The common-tag 'name' fallback is unreachable
+    here because matched pages always carry a provider name — noted,
+    not modeled."""
+    from osm_poi_matchmaker_spark.sources.poi_common import (
+        brand_code_bridge,
+        poi_common_dim,
+    )
+
+    m = _match(spark, sf_dir).where(~F.col("poi_new"))
+    pois = synth.osm_pois(spark, sf_dir).select(
+        "osm_id",
+        F.col("name").alias("live_name"),
+        F.col("addr_city").alias("o_city"),
+        F.col("addr_street").alias("o_street"),
+    )
+    dim = poi_common_dim(spark).select(
+        F.col("poi_code").alias("common_code"),
+        "preserve_original_name",
+        "export_poi_name",
+        "do_not_export_addr_tags",
+        F.col("poi_type").alias("common_type"),
+    )
+    j = (
+        m.join(pois, "osm_id")
+        .join(F.broadcast(brand_code_bridge(spark)), "poi_code", "left")
+        .join(F.broadcast(dim), "common_code", "left")
+    )
+    preserve = F.coalesce("preserve_original_name", F.lit(False))
+    export_name = F.coalesce("export_poi_name", F.lit(True))
+    drop_addr = F.coalesce("do_not_export_addr_tags", F.lit(False))
+    is_bus = F.coalesce(F.col("common_type") == "bus_stop", F.lit(False))
+    preserved = F.when(preserve & F.col("live_name").isNotNull(), F.col("live_name"))
+    resolved = F.when(
+        is_bus,
+        F.coalesce(F.nullif("live_name", F.lit("")), preserved, F.col("name")),
+    ).otherwise(F.coalesce(preserved, F.col("name")))
+    xml_name = F.when(export_name & (resolved != "None"), resolved)
+    return j.select(
+        "page_id",
+        "poi_code",
+        xml_name.alias("xml_name"),
+        F.when(~drop_addr, F.col("o_city")).alias("addr_city"),
+        F.when(~drop_addr, F.col("o_street")).alias("addr_street"),
+    )
+
+
 def _q_asset_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal decode: deterministic PNG/WAV/OPMV payloads are
     encoded in one mapInPandas stage, shipped through Arrow as binary,
@@ -2279,6 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provider_types": _q_provider_types,
         "brand_tag_merge": _q_brand_tag_merge,
         "asset_decode_real": _q_asset_decode_real,
+        "osm_xml_name_flags": _q_osm_xml_name_flags,
         "match_cascade": _q_match_cascade,
         "osm_xml_render": _q_osm_xml_render,
         "hu_address_parse": _q_hu_address_parse,
@@ -3982,6 +4037,42 @@ def oracle_sql() -> dict[str, str]:
         # payload = UTF-8 of '<html><body><p>' || text || '</p></body></html>'
         # (synth.pages_df), so DuckDB's md5() reproduces the full feature
         # vector; kind/width/height re-derive synth_assets' arithmetic.
+        "osm_xml_name_flags": (
+            f"{match_base}, {brand_ctes}, "
+            "flags AS ("
+            "  SELECT poi_code AS common_code, preserve_original_name,"
+            "    export_poi_name, do_not_export_addr_tags, poi_type"
+            f"  FROM read_json('{_REPO_DIR}/osm_poi_matchmaker_spark/"
+            "resources/poi_common.jsonl', format='newline_delimited',"
+            "    columns={'poi_code':'VARCHAR','seq':'INTEGER',"
+            "'preserve_original_name':'BOOLEAN','export_poi_name':'BOOLEAN',"
+            "'do_not_export_addr_tags':'BOOLEAN','poi_type':'VARCHAR'})"
+            "  QUALIFY row_number() OVER (PARTITION BY poi_code ORDER BY seq) = 1"
+            ") "
+            "SELECT page_id, poi_code, "
+            "CASE WHEN export_name AND resolved != 'None' THEN resolved END"
+            "  AS xml_name, "
+            "CASE WHEN NOT drop_addr THEN o_city END AS addr_city, "
+            "CASE WHEN NOT drop_addr THEN o_street END AS addr_street "
+            "FROM ("
+            "  SELECT px.page_id, b.poi_code,"
+            "    COALESCE(f.export_poi_name, true) AS export_name,"
+            "    COALESCE(f.do_not_export_addr_tags, false) AS drop_addr,"
+            "    o.addr_city AS o_city, o.addr_street AS o_street,"
+            "    CASE WHEN COALESCE(f.poi_type = 'bus_stop', false)"
+            "      THEN COALESCE(nullif(o.name, ''),"
+            "        CASE WHEN COALESCE(f.preserve_original_name, false)"
+            "          AND o.name IS NOT NULL THEN o.name END, px.name)"
+            "      ELSE COALESCE("
+            "        CASE WHEN COALESCE(f.preserve_original_name, false)"
+            "          AND o.name IS NOT NULL THEN o.name END, px.name)"
+            "    END AS resolved"
+            "  FROM pages_x px JOIN best b ON px.page_id = b.page_id"
+            "  JOIN pois o ON b.osm_id = o.osm_id"
+            "  LEFT JOIN bridge br ON b.poi_code = br.poi_code"
+            "  LEFT JOIN flags f ON br.common_code = f.common_code"
+            f"  WHERE {_GEO_FILTER.replace('lat', 'px.lat').replace('lon', 'px.lon')})"
+        ),
         "asset_decode_real": (
             f"{base}, ks AS (SELECT unnest(range(16)) AS k), "
             "dxs AS (SELECT unnest(range(4)) AS dx), "
