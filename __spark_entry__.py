@@ -1771,13 +1771,15 @@ def _q_union_event_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_export_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K7: postcode-sliced export groups — global order + row_number +
-    200-row slices (libs/export.py:144-166)."""
-    from pyspark.sql.window import Window
+    200-row slices (libs/export.py:144-166). Numbering via the two-phase
+    global_row_number (one task per key-range bucket), not a
+    single-partition window."""
+    from osm_poi_matchmaker_spark.plans.export import global_row_number
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    w = Window.orderBy(F.asc("o_orderkey"))
     return (
-        o.withColumn("rn", F.row_number().over(w) - 1)
+        global_row_number(o, [], "o_orderkey", out="_rn", bucket_shift=10)
+        .withColumn("rn", F.col("_rn") - 1)
         .withColumn("slice", F.floor(F.col("rn") / 200))
         .groupBy("slice")
         .agg(

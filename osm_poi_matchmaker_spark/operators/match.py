@@ -448,14 +448,18 @@ def match_cascade(
     best = F.min(
         F.struct("stage", "priority", "distance", "osm_id", "node_type", "cand_pc")
     ).alias("b")
-    # pc_id → poi_code as a plan-time literal CASE chain (JVM-side; the
-    # dimension is known while building the plan, same convention as the
-    # regex/radius literals above)
-    pc_to_code = F.lit(None).cast("string")
-    for r in common_rows:
-        pc_to_code = F.when(
-            F.col("b.cand_pc") == F.lit(r["pc_id"]), F.lit(r["poi_code"])
-        ).otherwise(pc_to_code)
+    # pc_id → poi_code as ONE literal map lookup (JVM-side; the dimension
+    # is known while building the plan, same convention as the
+    # regex/radius literals above — a map keeps the expression tree flat
+    # where a 12-branch CASE chain would deepen every plan copy)
+    pc_map = F.create_map(
+        *[
+            lit
+            for r in common_rows
+            for lit in (F.lit(r["pc_id"]), F.lit(r["poi_code"]))
+        ]
+    )
+    pc_to_code = pc_map[F.col("b.cand_pc")]
     return all_arms.groupBy("page_id").agg(best).select(
         "page_id",
         F.col("b.osm_id").alias("osm_id"),

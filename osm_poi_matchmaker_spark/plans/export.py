@@ -44,6 +44,46 @@ def to_geojson_collection(df: DataFrame, props: list[str]) -> str:
     return '{"type":"FeatureCollection","features":[' + ",".join(feats) + "]}"
 
 
+def global_row_number(
+    df: DataFrame,
+    part_cols: list[str],
+    order_col: str,
+    out: str = "_rn",
+    bucket_shift: int = 12,
+):
+    """Distributed 1-based row_number over (part_cols, ORDER BY order_col).
+
+    ``Window.partitionBy(<few-valued cols>)`` funnels each logical
+    partition through ONE task — the classic global-numbering
+    scale-killer (Spark warns "No Partition Defined ... single
+    partition"). Two-phase instead:
+
+    1. rows bucket by aligned ranges of the order key
+       (``order_col >> bucket_shift`` — order-preserving);
+    2. per-(part, bucket) counts aggregate map-side (tiny), a window over
+       the BUCKET ROWS (thousands, not billions) computes each bucket's
+       starting offset;
+    3. offsets broadcast back; the in-bucket row_number window runs one
+       task per (part, bucket) — full parallelism.
+
+    Requires a numeric ``order_col`` whose range order IS the desired
+    order (ids, timestamps). Identical output to the single-window form
+    (tested), plan scales with bucket count.
+    """
+    b = df.withColumn("_gb", F.shiftright(F.col(order_col), bucket_shift))
+    counts = b.groupBy(*part_cols, "_gb").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.partitionBy(*part_cols).orderBy("_gb")
+    offsets = counts.withColumn(
+        "_off", F.sum("_n").over(w_off) - F.col("_n")
+    ).drop("_n")
+    w_in = Window.partitionBy(*part_cols, "_gb").orderBy(order_col)
+    return (
+        b.join(F.broadcast(offsets), [*part_cols, "_gb"])
+        .withColumn(out, F.col("_off") + F.row_number().over(w_in))
+        .drop("_gb", "_off")
+    )
+
+
 def xml_attr_escape(col: F.Column) -> F.Column:
     """XML attribute escaping (& < > ") — what the reference gets for free
     from lxml's serializer (libs/file_output.py add_osm_node tag attrs)."""
@@ -66,9 +106,10 @@ def osm_xml_nodes(
     column (the poi_common brand payload merged by F20) whose entries
     render as additional escaped ``<tag>`` lines in key order —
     deterministic output for a distributed sink."""
-    w = Window.partitionBy(F.col("poi_new")).orderBy("page_id")
+    # two-phase distributed numbering — NOT a single-partition window
+    df = global_row_number(df, ["poi_new"], "page_id", out="_rn")
     xml_id = F.when(~F.col("poi_new"), F.col("osm_id")).otherwise(
-        -F.row_number().over(w).cast("long")
+        -F.col("_rn").cast("long")
     )
     pieces = [
         F.when(

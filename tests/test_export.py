@@ -68,3 +68,50 @@ def test_grouped_export_layout(spark, tmp_path):
     assert len(groups) >= 5  # one dir per brand present
     inner = os.listdir(os.path.join(out, groups[0]))
     assert any(d.startswith("export_group=") for d in inner)
+
+
+def test_global_row_number_matches_single_window(spark):
+    """Two-phase distributed numbering == the single-partition window
+    form, including ties-free total order and multi-bucket spans."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from osm_poi_matchmaker_spark.plans.export import global_row_number
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") * 7919 % 100003).alias("k"),  # scrambled order key
+        (F.col("id") % 3 == 0).alias("part"),
+    ).distinct()
+    w = Window.partitionBy("part").orderBy("k")
+    want = {
+        (r["part"], r["k"]): r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    got = {
+        (r["part"], r["k"]): r["_rn"]
+        for r in global_row_number(df, ["part"], "k", bucket_shift=8).collect()
+    }
+    assert got == want
+
+
+def test_osm_xml_numbering_plan_is_bucketed(spark):
+    """The negative-id numbering must window over (poi_new, bucket), not
+    a single poi_new partition — no 'No Partition Defined' funnels."""
+    import io
+    import contextlib
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod._q_osm_xml_render(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    plan = buf.getvalue()
+    saw_bucketed = False
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            if "poi_code" in line and "seq" in line:
+                continue  # 45-row poi_common dim dedup — fine at any scale
+            assert "_gb" in line, line
+            saw_bucketed = True
+    assert saw_bucketed, "expected the bucketed numbering window in the plan"
