@@ -36,16 +36,47 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+# Per-process memo of the two pipeline checkpoints every downstream query
+# shares (extract → match, exactly the stages plans/pipeline.py persists in
+# production). The driver runs the whole registry in ONE session; without
+# this, each of the ~15 export/enrich/metric queries re-runs the full
+# geotag parse + cascade from scratch — pure recomputation, not extra
+# verification, since the frames are deterministic functions of the stored
+# inputs. bench.py does NOT go through these helpers (it builds fresh
+# persists per pass), so headline timings still pay every stage.
+_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _memoized(key: tuple, spark: SparkSession, build: Callable[[], DataFrame]) -> DataFrame:
+    df = _MEMO.get(key)
+    if df is not None:
+        try:
+            if df.sparkSession is spark:
+                return df
+        except Exception:
+            pass
+    df = build().persist()
+    df.count()
+    _MEMO[key] = df
+    return df
+
+
 def _pages_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return geotag_pages(synth.pages(spark, sf_dir))
+    return _memoized(
+        ("pages_geo", sf_dir), spark,
+        lambda: geotag_pages(synth.pages(spark, sf_dir)),
+    )
 
 
 def _match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return match_pages(
-        _pages_geo(spark, sf_dir),
-        synth.osm_pois(spark, sf_dir),
-        synth.poi_common_df(spark),
-        brand_rows=synth.BRAND_ROWS,
+    return _memoized(
+        ("match", sf_dir), spark,
+        lambda: match_pages(
+            _pages_geo(spark, sf_dir),
+            synth.osm_pois(spark, sf_dir),
+            synth.poi_common_df(spark),
+            brand_rows=synth.BRAND_ROWS,
+        ),
     )
 
 
@@ -2080,13 +2111,16 @@ def _q_addr_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     OSM table, PIP postcode of the OSM point, smart_postcode_check
     preference chain, per-field overwrite + changed_from_osm flag."""
     from osm_poi_matchmaker_spark.operators.enrich import enrich_matched_from_osm
-    from osm_poi_matchmaker_spark.operators.match import match_cascade
 
     pg = _pages_geo(spark, sf_dir).where(
         F.col("lat").isNotNull() & F.col("lon").isNotNull()
     )
     pois = synth.osm_pois(spark, sf_dir)
-    best = match_cascade(pg, pois, synth.poi_common_df(spark), brand_rows=synth.BRAND_ROWS)
+    # the memoized match checkpoint IS the cascade output left-joined onto
+    # pages (osm_id null for unmatched) — enrich left-joins it by page_id,
+    # so unmatched rows behave identically to being absent from `best`;
+    # cascade winners are per-page independent, so the coord filter commutes
+    best = _match(spark, sf_dir).select("page_id", "osm_id", "node_type")
     return enrich_matched_from_osm(
         pg,
         best,
