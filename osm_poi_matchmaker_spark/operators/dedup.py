@@ -236,3 +236,104 @@ def simhash64(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataF
     return votes.groupBy(key).agg(
         F.sum(F.expr("shiftleft(bitval, bit)")).alias("simhash")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    left: str = "doc_a",
+    right: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph.
+
+    Pair generators (MinHash-LSH, SimHash bands, n-gram Jaccard) emit
+    EDGES; a training-data dedup pipeline needs CLUSTERS — transitive
+    closure — to keep one canonical document per duplicate set. (The
+    reference's conflation equivalent is common_row dedup by unique key,
+    dao/data_handlers.py:401; transitive text dedup has no reference
+    analogue — this is part of the beyond-reference pipeline ops.)
+
+    Iterative min-label propagation with pointer jumping: each round
+    every node takes the min label over itself and its neighbors, then
+    compresses label -> label(label). Pointer jumping makes convergence
+    logarithmic in component diameter (the classic PRAM trick — with it,
+    a 10^6-long chain converges in ~20 rounds, not 10^6). Each round is
+    two shuffle joins + one aggregate over the EDGE set only — the full
+    document table is never touched, and edge sets are tiny relative to
+    the corpus (that's why near-dup candidates were banded first).
+
+    Driver involvement per round is one ``count`` (the convergence
+    check) — O(rounds) actions, no per-row driver work. Each round
+    eagerly ``localCheckpoint``s the merged label map: the pointer-jump
+    is a self-join, so without lineage truncation the logical plan
+    DOUBLES every round (2 GB plan strings by round ~20 — observed).
+    On a real cluster prefer ``sc.setCheckpointDir`` + ``.checkpoint()``
+    for executor-loss resilience; localCheckpoint is the fast path.
+    Returns (node, component) where component = min node id reachable.
+    """
+    edges = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        merged = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # Truncate lineage BEFORE the self-join below — it references
+        # `merged` twice, so an un-truncated plan doubles every round.
+        merged = merged.localCheckpoint(eager=True)
+        # pointer jumping: label <- label(label)
+        hop = merged.select(
+            F.col("node").alias("h_node"), F.col("label").alias("h_label")
+        )
+        new_labels = merged.join(hop, merged.label == hop.h_node, "left").select(
+            "node", F.coalesce("h_label", "label").alias("label")
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def dedup_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    key: str = "doc_id",
+    left: str = "doc_a",
+    right: str = "doc_b",
+) -> DataFrame:
+    """Cluster-level dedup verdict for EVERY document: canonical_id =
+    min doc id of the document's near-dup component (itself when it has
+    no near-duplicates); is_duplicate marks the non-canonical members.
+    The component map is tiny (only docs that occur in a pair) and
+    broadcasts; the corpus side is never shuffled."""
+    comp = connected_components(pairs, left=left, right=right)
+    return docs.select(key).join(
+        F.broadcast(comp.withColumnRenamed("node", key)), key, "left"
+    ).select(
+        F.col(key),
+        F.coalesce("component", F.col(key)).alias("canonical_id"),
+        (F.coalesce("component", F.col(key)) != F.col(key)).alias("is_duplicate"),
+    )

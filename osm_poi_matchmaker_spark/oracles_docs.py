@@ -228,3 +228,34 @@ pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        FROM base a JOIN base b USING (sig) WHERE a.vec_id < b.vec_id),
 s AS (SELECT vec_a, vec_b, {cos} AS cs FROM pr)
 SELECT vec_a, vec_b, ROUND(cs, 6) AS cosine_sim FROM s WHERE cs >= {threshold}"""
+
+
+def dedup_components_sql(num_perm: int = 8, bands: int = 4) -> str:
+    """Transitive closure of the MinHash-LSH pair graph (recursive CTE)
+    -> per-document canonical id. Twin of operators/dedup.py
+    dedup_components over minhash_lsh_pairs."""
+    rpb = num_perm // bands
+    return f"""
+WITH RECURSIVE {_shingle_ctes()},
+pp AS (SELECT doc_id, shingle, unnest(range(0, {num_perm})) AS perm FROM e),
+sig AS (SELECT doc_id, perm,
+               MIN(md5(CONCAT(CAST(perm AS STRING), '|', shingle))) AS minhash
+        FROM pp GROUP BY 1, 2),
+bs AS (SELECT doc_id, CAST(perm // {rpb} AS BIGINT) AS band,
+              array_to_string(list_sort(list(minhash)), ',') AS band_sig
+       FROM sig GROUP BY 1, 2),
+prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bs a JOIN bs b ON a.band = b.band AND a.band_sig = b.band_sig
+        WHERE a.doc_id < b.doc_id),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+          UNION SELECT doc_b, doc_a FROM prs),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS canonical_id,
+       COALESCE(c.component, d.doc_id) <> d.doc_id AS is_duplicate
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""

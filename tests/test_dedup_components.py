@@ -1,0 +1,45 @@
+"""connected_components / dedup_components unit tests.
+
+The oracle-parity sweep pins the MinHash-fed end-to-end result; these pin
+the graph algorithm itself on adversarial shapes (long chains need the
+pointer-jumping step to converge in O(log n) rounds, not O(n))."""
+
+from pyspark.sql import functions as F
+
+from osm_poi_matchmaker_spark.operators.dedup import (
+    connected_components,
+    dedup_components,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+
+def test_components_disjoint_and_transitive(spark):
+    # {1,2,3} via chain, {10,11} direct, 99 absent from any pair
+    pairs = _pairs(spark, [(2, 1), (2, 3), (10, 11)])
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_components_long_chain_converges(spark):
+    # a 300-node path: min-label propagation alone needs ~300 rounds;
+    # pointer jumping must close it within the default max_iter=25
+    n = 300
+    pairs = _pairs(spark, [(i, i + 1) for i in range(n)])
+    comp = connected_components(pairs)
+    assert comp.select(F.countDistinct("component")).collect()[0][0] == 1
+    assert comp.count() == n + 1
+    assert comp.agg(F.min("component"), F.max("component")).collect()[0] == (0, 0)
+
+
+def test_dedup_components_covers_all_docs(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = _pairs(spark, [(0, 3), (3, 5)])
+    rows = {r["doc_id"]: (r["canonical_id"], r["is_duplicate"])
+            for r in dedup_components(docs, pairs).collect()}
+    assert rows == {
+        0: (0, False), 1: (1, False), 2: (2, False),
+        3: (0, True), 4: (4, False), 5: (0, True),
+    }
