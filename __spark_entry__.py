@@ -119,6 +119,36 @@ def _q_match_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOUND_RADIUS_M = 50_000.0
+
+
+def _q_match_cascade_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 planet-scale variant: the attribute arms (unique-name s2,
+    name+csn+city s3, name+address s4 — unbounded by distance in the
+    reference, poi_base.py:312-338) additionally keyed on a coarse cell
+    ring and post-filtered ``distance < 50 km``. This is the documented
+    semantic relaxation that bounds the same-name join blowup on the
+    10^8-POI shuffle path (BENCH.md "Shuffle-degradation cascade"); the
+    oracle applies the identical distance predicate."""
+    m = match_pages(
+        _pages_geo(spark, sf_dir),
+        synth.osm_pois(spark, sf_dir),
+        synth.poi_common_df(spark),
+        brand_rows=synth.BRAND_ROWS,
+        name_arm_radius_m=_BOUND_RADIUS_M,
+    )
+    return m.select(
+        "page_id",
+        "osm_id",
+        "node_type",
+        "stage",
+        "priority",
+        F.round("distance", 2).alias("distance_m"),
+        "poi_code",
+        "poi_new",
+    )
+
+
 def _q_match_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_lineage(_match(spark, sf_dir))
 
@@ -149,6 +179,15 @@ def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), n=3, num_perm=8, bands=4)
+
+
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair graph → transitive clusters → one canonical doc per cluster
+    (the step every large-scale dedup pipeline needs after banding;
+    min-label propagation + pointer jumping, edge-set-only shuffles)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, n=3, num_perm=8, bands=4)
+    return dedup.dedup_components(docs, pairs)
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2371,6 +2410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asset_decode_real": _q_asset_decode_real,
         "osm_xml_name_flags": _q_osm_xml_name_flags,
         "match_cascade": _q_match_cascade,
+        "match_cascade_bounded": _q_match_cascade_bounded,
         "osm_xml_render": _q_osm_xml_render,
         "hu_address_parse": _q_hu_address_parse,
         "tag_merge": _q_tag_merge,
@@ -2449,6 +2489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_components": _q_dedup_components,
         "dedup_simhash": _q_dedup_simhash,
         "doc_stats": _q_doc_stats,
         "ann_topk_exact": _q_ann_topk_exact,
@@ -2608,6 +2649,13 @@ def oracle_sql() -> dict[str, str]:
             "b.page_id IS NULL AS poi_new "
             f"FROM pages_x px LEFT JOIN best b ON px.page_id = b.page_id WHERE {_GEO_FILTER}"
         ),
+        "match_cascade_bounded": (
+            synth_sql.base_ctes() + "," + synth_sql.match_arms_sql(attr_radius=_BOUND_RADIUS_M) + " "
+            "SELECT px.page_id, b.osm_id, b.node_type, b.stage, b.priority, "
+            "ROUND(b.distance, 2) AS distance_m, b.poi_code, "
+            "b.page_id IS NULL AS poi_new "
+            f"FROM pages_x px LEFT JOIN best b ON px.page_id = b.page_id WHERE {_GEO_FILTER}"
+        ),
         "match_rollup": (
             f"{match_base} "
             "SELECT b.node_type, b.stage, COUNT(*) AS n "
@@ -2755,6 +2803,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles_docs.dedup_exact_sql(),
         "dedup_ngram_jaccard": oracles_docs.ngram_jaccard_sql(threshold=0.5),
         "dedup_minhash_lsh": oracles_docs.minhash_lsh_sql(num_perm=8, bands=4),
+        "dedup_components": oracles_docs.dedup_components_sql(num_perm=8, bands=4),
         "dedup_simhash": oracles_docs.simhash_sql(),
         "doc_stats": oracles_docs.doc_stats_sql(),
         "doc_rolling_fingerprint": oracles_docs.rolling_fingerprint_sql(),

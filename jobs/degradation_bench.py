@@ -20,7 +20,12 @@ Prints ONE JSON line: wall seconds, rows, pages/s, whether the final
 adaptive plan contains a skew-split shuffle read and zero candidate
 broadcasts. Paste into BENCH.md.
 
-Usage: python3 jobs/degradation_bench.py [sf_dir] [amp_pois] [amp_pages] [cpus]
+A fifth arg sets ``name_arm_radius_m``: the documented planet-scale
+relaxation that additionally keys the unbounded attribute arms (s2/s3/s4)
+on a coarse cell ring, bounding the same-name join blowup that dominates
+this path (0 = reference semantics, unbounded).
+
+Usage: python3 jobs/degradation_bench.py [sf_dir] [amp_pois] [amp_pages] [cpus] [name_arm_radius_m]
 """
 
 from __future__ import annotations
@@ -41,6 +46,7 @@ def main() -> None:
     cpus = int(sys.argv[4]) if len(sys.argv) > 4 else int(
         os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
+    name_arm_radius = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0
 
     from pyspark.sql import functions as F
 
@@ -78,6 +84,7 @@ def main() -> None:
     best = match_cascade(
         pages_geo, pois, synth.poi_common_df(spark),
         brand_rows=synth.BRAND_ROWS, broadcast_candidates=False,
+        name_arm_radius_m=name_arm_radius or None,
     )
     t0 = time.time()
     agg = best.agg(
@@ -110,6 +117,7 @@ def main() -> None:
         "sf_dir": sf_dir,
         "amp_pois": amp_pois,
         "amp_pages": amp_pages,
+        "name_arm_radius_m": name_arm_radius,
     }
     print(json.dumps(out))
     spark.stop()

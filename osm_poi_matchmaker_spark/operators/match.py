@@ -51,6 +51,13 @@ splitting mega-cells) and moves the ring explode to the candidate side
 so 9× of the SMALL side crosses the exchange. Winners are identical on
 both paths (test_match_priority.py::test_shuffle_path_identical_winners).
 The 12-row brand dim is always broadcast.
+
+On the shuffle path the unbounded attribute arms (s2/s3/s4) are the
+measured bottleneck — their join output grows as |pages-with-name| ×
+|same-named POIs| (BENCH.md "Shuffle-degradation cascade").
+``name_arm_radius_m`` bounds them by a coarse cell ring + exact distance
+post-filter; an explicit, tested semantic relaxation (off by default —
+the reference's unique-name stage is distance-unbounded).
 """
 
 from __future__ import annotations
@@ -181,6 +188,7 @@ def match_cascade(
     common: DataFrame,
     brand_rows: list | None = None,
     broadcast_candidates: bool = True,
+    name_arm_radius_m: float | None = None,
 ) -> DataFrame:
     """All pages × candidate OSM POIs → best match per page.
 
@@ -198,6 +206,21 @@ def match_cascade(
     the CANDIDATE side so 9× of the small side — never of the 10^12-row
     page side — crosses the exchange. Winners are identical either way
     (tested); only the physical strategy changes.
+
+    ``name_arm_radius_m``: None (default) keeps the reference's semantics
+    exactly — the attribute arms (unique-name s2, name+csn+city s3,
+    name+address s4) are UNBOUNDED by distance (poi_base.py:312-338), so
+    on the shuffle path their join output grows as
+    |pages-with-name| × |same-named POIs|, the measured degradation
+    bottleneck (BENCH.md "Shuffle-degradation cascade"). Setting a radius
+    (e.g. 50_000.0) is an explicit SEMANTIC RELAXATION for planet-scale
+    candidate sets: those arms additionally key on a coarse cell ring at
+    that radius and post-filter ``distance < name_arm_radius_m``, so a
+    mega-name key fans out only within its spatial bucket instead of
+    globally. Stage 1 (additional-ref equality) stays unbounded — refs
+    are near-unique keys with no blowup. Winners are identical to the
+    unbounded plan whenever every true match lies within the radius
+    (tested at fixture scale on both physical paths).
     """
     # 12-row dimension: plan-time constants (regex set, max radius), not a
     # data dependency — same trick as the reference's pc_id→type dict
@@ -254,6 +277,32 @@ def match_cascade(
         return F.broadcast(df) if broadcast_candidates else df
 
     dist = haversine_m(F.col("lat"), F.col("lon"), F.col("o_lat"), F.col("o_lon"))
+
+    # Optional spatial bound for the attribute arms (see docstring). The
+    # ring explode follows the same side rule as stage 5: probe-side when
+    # the candidate side broadcasts (9× smaller hash relation), candidate-
+    # side on the shuffle path (9× of the SMALL side crosses the exchange).
+    if name_arm_radius_m is not None:
+        mult_bound = coarse_mult_for_radius(name_arm_radius_m)
+
+        def bound_arm(probe: DataFrame, cand: DataFrame):
+            if broadcast_candidates:
+                probe = explode_ring3x3(probe, "lat", "lon", mult_bound, out="nb_cell")
+                cand = cand.withColumn(
+                    "cand_nb_cell",
+                    coarse_cell_id(F.col("o_lat"), F.col("o_lon"), mult_bound),
+                )
+            else:
+                probe = probe.withColumn(
+                    "nb_cell", coarse_cell_id(F.col("lat"), F.col("lon"), mult_bound)
+                )
+                cand = explode_ring3x3(cand, "o_lat", "o_lon", mult_bound, out="cand_nb_cell")
+            return probe, cand, [F.col("nb_cell") == F.col("cand_nb_cell")]
+    else:
+
+        def bound_arm(probe: DataFrame, cand: DataFrame):
+            return probe, cand, []
+
     avoid_ok = F.when(
         F.col("avoid_rx").isNotNull(),
         ~F.coalesce(F.array_contains(F.col("avoid_hits"), F.col("pc_id")), F.lit(False)),
@@ -291,38 +340,45 @@ def match_cascade(
         PRIO_REF,
     )
 
+    def attr_arm(probe: DataFrame, cand: DataFrame, cond: Column, stage: int, prio: int) -> DataFrame:
+        """Attribute-keyed arm, optionally spatially bounded (see above)."""
+        probe, cand, bound_keys = bound_arm(probe, cand)
+        for bk in bound_keys:
+            cond = cond & bk
+        joined = probe.join(_cand(cand), cond)
+        if name_arm_radius_m is not None:
+            joined = joined.where(dist < F.lit(float(name_arm_radius_m)))
+        return arm(joined, stage, prio)
+
     # -- stage 2: unique-name exact equality (930, poi_base.py:312-338) —
     # LOWER(name) = LOWER(:unique_name) under the tag predicate, no radius
-    s2 = arm(
-        p.where(F.col("lc_uname").isNotNull()).join(
-            _cand(o_type),
-            (F.col("lc_uname") == F.col("name_lc")) & (F.col("pc_id") == F.col("cand_pc")),
-        ),
+    s2 = attr_arm(
+        p.where(F.col("lc_uname").isNotNull()),
+        o_type,
+        (F.col("lc_uname") == F.col("name_lc")) & (F.col("pc_id") == F.col("cand_pc")),
         2,
         PRIO_UNIQUE_NAME,
     )
 
     # -- stage 3: name + conscriptionnumber + city (965)
-    s3 = arm(
-        p.where(F.col("csn").isNotNull()).join(
-            _cand(o_name.where(F.col("lc_o_csn").isNotNull())),
-            (F.col("lc_csn") == F.col("lc_o_csn"))
-            & (F.col("lc_city") == F.col("lc_o_city"))
-            & (F.col("pc_id") == F.col("cand_pc")),
-        ),
+    s3 = attr_arm(
+        p.where(F.col("csn").isNotNull()),
+        o_name.where(F.col("lc_o_csn").isNotNull()),
+        (F.col("lc_csn") == F.col("lc_o_csn"))
+        & (F.col("lc_city") == F.col("lc_o_city"))
+        & (F.col("pc_id") == F.col("cand_pc")),
         3,
         PRIO_NAME_CSN_CITY,
     )
 
     # -- stage 4: name + city + street + housenumber (940)
-    s4 = arm(
-        p.join(
-            _cand(o_name),
-            (F.col("lc_city") == F.col("lc_o_city"))
-            & (F.col("lc_street") == F.col("lc_o_street"))
-            & (F.col("lc_hn") == F.col("lc_o_hn"))
-            & (F.col("pc_id") == F.col("cand_pc")),
-        ),
+    s4 = attr_arm(
+        p,
+        o_name,
+        (F.col("lc_city") == F.col("lc_o_city"))
+        & (F.col("lc_street") == F.col("lc_o_street"))
+        & (F.col("lc_hn") == F.col("lc_o_hn"))
+        & (F.col("pc_id") == F.col("cand_pc")),
         4,
         PRIO_NAME_FULL_ADDR,
     )
@@ -477,6 +533,7 @@ def match_pages(
     common: DataFrame,
     brand_rows: list | None = None,
     broadcast_candidates: bool = True,
+    name_arm_radius_m: float | None = None,
 ) -> DataFrame:
     """Full outcome table: every geotagged page, matched or new.
 
@@ -486,6 +543,7 @@ def match_pages(
     best = match_cascade(
         pages_geo, pois, common, brand_rows=brand_rows,
         broadcast_candidates=broadcast_candidates,
+        name_arm_radius_m=name_arm_radius_m,
     )
     return (
         pages_geo.select("page_id", "url", "name", "lat", "lon", "cell_id")

@@ -155,9 +155,17 @@ def base_ctes() -> str:
     return f"WITH {pages_cte()}, {PAGES_X_CTE}, {pois_cte()}, {common_cte()}"
 
 
-def match_arms_sql() -> str:
+def match_arms_sql(attr_radius: float | None = None) -> str:
     """The 4-stage cascade as UNION ALL arms (oracle side: no cell join —
-    the ring join's coverage guarantee makes plain predicates equivalent)."""
+    the ring join's coverage guarantee makes plain predicates equivalent).
+
+    ``attr_radius``: DuckDB twin of ``match_cascade(name_arm_radius_m=R)``
+    — bounds the attribute arms (s2/s3/s4) by ``distance < R``. The
+    Spark side's cell-ring join is a superset of the radius pairs and
+    post-filters the exact predicate, so a plain distance predicate here
+    is the identical relation.
+    """
+    bound = f" AND {HAV} < {float(attr_radius)!r}" if attr_radius is not None else ""
     return f"""
 p AS (SELECT px.*, c.pc_id, c.poi_code, c.poi_type, c.search_rx, c.avoid_rx, c.d_perfect, c.d_safe, c.d_unsafe, c.ref_name
       FROM pages_x px JOIN common c ON px.name = c.poi_name
@@ -169,17 +177,17 @@ arms AS (
   UNION ALL
   SELECT p.page_id, o.osm_id, o.node_type, 2, 930, {HAV}, p.pc_id, p.poi_code
   FROM p JOIN pois o ON lower(p.uname) = lower(o.name)
-  WHERE p.uname IS NOT NULL AND {TPRED}
+  WHERE p.uname IS NOT NULL AND {TPRED}{bound}
   UNION ALL
   SELECT p.page_id, o.osm_id, o.node_type, 3, 965, {HAV}, p.pc_id, p.poi_code
   FROM p JOIN pois o
     ON lower(p.csn) = lower(o.addr_conscriptionnumber) AND lower(p.city) = lower(o.addr_city)
-  WHERE p.csn IS NOT NULL AND o.addr_conscriptionnumber IS NOT NULL AND {TPRED} AND {NAMEOK}
+  WHERE p.csn IS NOT NULL AND o.addr_conscriptionnumber IS NOT NULL AND {TPRED} AND {NAMEOK}{bound}
   UNION ALL
   SELECT p.page_id, o.osm_id, o.node_type, 4, 940, {HAV}, p.pc_id, p.poi_code
   FROM p JOIN pois o
     ON lower(p.city) = lower(o.addr_city) AND {STREETEQ} AND {HNEQ}
-  WHERE {TPRED} AND {NAMEOK}
+  WHERE {TPRED} AND {NAMEOK}{bound}
   UNION ALL
   SELECT page_id, osm_id, node_type, 5, priority, distance, cand_pc, poi_code FROM (
     SELECT p.page_id, o.osm_id, o.node_type, {HAV} AS distance, p.pc_id AS cand_pc, p.poi_code,

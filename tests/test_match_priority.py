@@ -189,3 +189,56 @@ def test_shuffle_path_plan_shape(spark):
     assert ring_lines, "expected ring explodes in the plan"
     assert all("cand_cell" in l for l in ring_lines), ring_lines
     assert not any("probe_cell" in l for l in ring_lines), ring_lines
+
+
+def test_bounded_name_arms_identical_winners(spark):
+    """name_arm_radius_m is a planet-scale relaxation: with a radius that
+    covers every true match distance, winners must be identical to the
+    unbounded plan, on BOTH physical paths; the bound columns must not
+    leak into the output."""
+    from osm_poi_matchmaker_spark.extract.geotag import geotag_pages
+
+    sf = "/root/testdata/sf0.001"
+    pg = geotag_pages(synth.pages(spark, sf))
+    pois = synth.osm_pois(spark, sf)
+    common = synth.poi_common_df(spark)
+    base = match_cascade(pg, pois, common, brand_rows=synth.BRAND_ROWS)
+    rows = base.collect()
+    want = sorted(map(tuple, rows))
+    assert want
+    # radius must cover every true attribute-arm match distance (the
+    # synthetic domain has legitimate ~95 km unique-name matches)
+    radius = 1.5 * max(
+        r["distance"] for r in rows if r["stage"] in (2, 3, 4)
+    )
+    for bc in (True, False):
+        got_df = match_cascade(
+            pg, pois, common, brand_rows=synth.BRAND_ROWS,
+            broadcast_candidates=bc, name_arm_radius_m=radius,
+        )
+        assert got_df.columns == base.columns
+        assert sorted(map(tuple, got_df.collect())) == want, f"broadcast={bc}"
+
+
+def test_bounded_name_arms_exclude_far_same_name(spark):
+    """A same-named candidate beyond the radius must NOT win under the
+    bound (it would under reference semantics) — the relaxation is real,
+    not a no-op."""
+    from osm_poi_matchmaker_spark.extract.geotag import geotag_pages
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    pg = geotag_pages(synth.pages(spark, sf))
+    pois = synth.osm_pois(spark, sf)
+    common = synth.poi_common_df(spark)
+    # move every candidate ~2.2 degrees north (~250 km): attribute keys
+    # still match, distances blow past a 50 km bound
+    far = pois.withColumn("lat", F.col("lat") + F.lit(2.2))
+    unbounded = match_cascade(pg, far, common, brand_rows=synth.BRAND_ROWS)
+    # reference semantics: s2/s3/s4 still match on attributes alone
+    s234 = unbounded.where(F.col("stage").isin(2, 3, 4)).count()
+    assert s234 > 0
+    bounded = match_cascade(
+        pg, far, common, brand_rows=synth.BRAND_ROWS, name_arm_radius_m=50_000.0
+    )
+    assert bounded.where(F.col("stage").isin(2, 3, 4)).count() == 0
