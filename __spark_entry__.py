@@ -1573,6 +1573,31 @@ def _q_zipcodes_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_zipcodes_xml(spark, path)
 
 
+def _q_street_types_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Street-type vocabulary XML dim (dataproviders/hu_generic.py:79-103):
+    None-text skip + strip, whitespace-only element survives as ''."""
+    from osm_poi_matchmaker_spark.sources.readers import read_street_types_xml
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "street_types.xml",
+    )
+    return read_street_types_xml(spark, path)
+
+
+def _q_poi_patch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Address-patch dim (hu_generic.py:105-123 + data_handlers.py:632-658):
+    tab-separated read, NaN->None->str() quirks ('None' literals, pandas
+    float rendering of gapped int columns)."""
+    from osm_poi_matchmaker_spark.sources.readers import read_poi_patch_csv
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "poi_patch.csv",
+    )
+    return read_poi_patch_csv(spark, path)
+
+
 # F20 tag-merge goldens (libs/file_output.py:442-694 semantics; the same
 # cases as tests/test_tags.py): layer precedence, contact:* rewrite,
 # existing-contact preservation, email/website lowercasing, addr-tag drop,
@@ -2474,6 +2499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complex_opening_hours": _q_complex_opening_hours,
         "js_var_extract": _q_js_var_extract,
         "zipcodes_xml_source": _q_zipcodes_xml_source,
+        "street_types_xml_source": _q_street_types_xml_source,
+        "poi_patch_source": _q_poi_patch_source,
         "excel_source": _q_excel_source,
         "relation_members": _q_relation_members,
         "doc_split": _q_doc_split,
@@ -2848,6 +2875,23 @@ def oracle_sql() -> dict[str, str]:
         "zipcodes_xml_source": (
             "SELECT * FROM (VALUES ('1011', 'Budapest'), ('9737', 'Buk')) "
             "AS t(city_post_code, city_name)"
+        ),
+        "street_types_xml_source": (
+            "SELECT * FROM (VALUES ('utca'), ('körút'), ('tér'), (''), "
+            "('sétány')) AS t(street_type)"
+        ),
+        "poi_patch_source": (
+            "SELECT * FROM (VALUES "
+            "('*', '2030.0', 'Erd', 'Fo ter', '3.0', 'None', 'None', "
+            "'2030', 'Erd', 'Fo ter', '3', 'None', 'None'), "
+            "('hutestbrand', '7626.0', 'Pecs', 'Kiraly utca', 'None', 'None', "
+            "'Old name', '7626', 'Pecs', 'Kiraly utca', '11', 'None', 'New name'), "
+            "('*', 'None', 'Gyor', 'Arany Janos utca', '2.0', 'hrsz 4/1', 'None', "
+            "'9021', 'Gyor', 'Arany Janos utca', '2', 'None', 'None')"
+            ") AS t(poi_code, orig_postcode, orig_city, orig_street, "
+            "orig_housenumber, orig_conscriptionnumber, orig_name, "
+            "new_postcode, new_city, new_street, new_housenumber, "
+            "new_conscriptionnumber, new_name)"
         ),
         "doc_split": (
             "SELECT doc_id, lang, CASE"

@@ -156,3 +156,52 @@ def read_city_postcodes_xlsx(spark: SparkSession, path: str) -> DataFrame:
     out = pd.concat(parts, ignore_index=True)
     out["city_post_code"] = out["city_post_code"].astype("int64")
     return spark.createDataFrame(out)
+
+
+def read_street_types_xml(spark: SparkSession, path: str) -> DataFrame:
+    """Street-type vocabulary XML dim (``dataproviders/hu_generic.py:79-103``
+    street_type_from_xml): direct ``<streetType>`` children of the root;
+    None-text elements are skipped, text is stripped — a whitespace-only
+    element survives as ``''`` (the reference appends the stripped value
+    unconditionally once text is non-None). The reference loads this into
+    the ``street_type`` table which no application query ever reads
+    (``libs/osm_prepare.py:20`` indexes it, zero callers) — implemented
+    for source-format completeness."""
+    tree = ET.parse(path)
+    rows = [
+        (el.text.strip(),)
+        for el in tree.getroot().findall("streetType")
+        if el.text is not None
+    ]
+    return spark.createDataFrame(rows, "street_type string")
+
+
+_POI_PATCH_COLS = [
+    "poi_code", "orig_postcode", "orig_city", "orig_street",
+    "orig_housenumber", "orig_conscriptionnumber", "orig_name",
+    "new_postcode", "new_city", "new_street", "new_housenumber",
+    "new_conscriptionnumber", "new_name",
+]
+
+
+def read_poi_patch_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Address-patch dim (``dataproviders/hu_generic.py:105-123``
+    poi_patch_from_csv + ``dao/data_handlers.py:632-658``).
+
+    Faithful quirks: the file is TAB-separated despite the .csv name
+    (link=None routes ``libs/pandas.py:42`` ``sep='\\t'``); NaN→None then
+    ``str()`` through the ORM ctor, so an empty cell stores the literal
+    ``'None'`` and any numeric-inferred column renders pandas floats
+    (``'2030.0'``). Like ``street_type``, the target table is dead in the
+    reference (``search_poi_patch`` has zero callers) — source parity
+    only. Dim-sized → driver-side parse per the module cost model."""
+    import pandas as pd
+    import numpy as np
+
+    df = pd.read_csv(path, encoding="UTF-8", sep="\t", skiprows=0)
+    df = df.replace({np.nan: None})
+    df.columns = _POI_PATCH_COLS
+    data = [tuple(str(v) for v in row) for row in df.itertuples(index=False)]
+    return spark.createDataFrame(
+        data, ", ".join(f"{c} string" for c in _POI_PATCH_COLS)
+    )

@@ -44,6 +44,34 @@ def test_zipcodes_xml(spark):
     assert got == {"1011": "Budapest", "9737": "Buk"}
 
 
+def test_street_types_xml(spark):
+    """hu_generic.py:79-103 quirks: None-text elements (self-closed)
+    skipped, text stripped, whitespace-only survives as ''."""
+    from osm_poi_matchmaker_spark.sources.readers import read_street_types_xml
+
+    got = [r["street_type"]
+           for r in read_street_types_xml(spark, f"{FIX}/street_types.xml").collect()]
+    assert got == ["utca", "körút", "tér", "", "sétány"]
+
+
+def test_poi_patch_csv(spark):
+    """hu_generic.py:105-123 + data_handlers.py:632-658 quirks: tab
+    separator, NaN->None->str() literal 'None', gapped int columns
+    render pandas floats."""
+    from osm_poi_matchmaker_spark.sources.readers import read_poi_patch_csv
+
+    rows = read_poi_patch_csv(spark, f"{FIX}/poi_patch.csv").collect()
+    assert len(rows) == 3
+    by_code = {(r["poi_code"], r["orig_city"]): r for r in rows}
+    erd = by_code[("*", "Erd")]
+    assert erd["orig_postcode"] == "2030.0"   # float-inferred column
+    assert erd["new_postcode"] == "2030"      # gap-free int column
+    assert erd["orig_name"] == "None"         # str(None) literal
+    gyor = by_code[("*", "Gyor")]
+    assert gyor["orig_postcode"] == "None"
+    assert gyor["orig_conscriptionnumber"] == "hrsz 4/1"
+
+
 def test_excel_sheet_parse(spark):
     """S12 raw sheet read: header row becomes columns, ints stay ints,
     empty cells become NULL (from-scratch stdlib XLSX parser)."""
