@@ -190,6 +190,15 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_components(docs, pairs)
 
 
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best cluster dedup: canonical = longest text per near-dup
+    component (ties to smallest id) — the retention policy production
+    training-data pipelines use instead of min-id."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, n=3, num_perm=8, bands=4)
+    return dedup.dedup_keep_best(docs, pairs)
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(_docs(spark, sf_dir))
 
@@ -2517,6 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_components": _q_dedup_components,
+        "dedup_keep_best": _q_dedup_keep_best,
         "dedup_simhash": _q_dedup_simhash,
         "doc_stats": _q_doc_stats,
         "ann_topk_exact": _q_ann_topk_exact,
@@ -2831,6 +2841,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": oracles_docs.ngram_jaccard_sql(threshold=0.5),
         "dedup_minhash_lsh": oracles_docs.minhash_lsh_sql(num_perm=8, bands=4),
         "dedup_components": oracles_docs.dedup_components_sql(num_perm=8, bands=4),
+        "dedup_keep_best": oracles_docs.dedup_keep_best_sql(num_perm=8, bands=4),
         "dedup_simhash": oracles_docs.simhash_sql(),
         "doc_stats": oracles_docs.doc_stats_sql(),
         "doc_rolling_fingerprint": oracles_docs.rolling_fingerprint_sql(),

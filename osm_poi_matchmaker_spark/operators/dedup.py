@@ -337,3 +337,50 @@ def dedup_components(
         F.coalesce("component", F.col(key)).alias("canonical_id"),
         (F.coalesce("component", F.col(key)) != F.col(key)).alias("is_duplicate"),
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    left: str = "doc_a",
+    right: str = "doc_b",
+) -> DataFrame:
+    """Quality-keeper dedup verdict: within each near-dup component keep
+    the BEST document, not the min-id one — the policy production
+    training-data pipelines actually apply (min-id keeps whichever
+    shard-order accident came first; keep-best retains the longest/
+    highest-quality copy of boilerplate families). Canonical = longest
+    ``text`` in the component, ties to the smallest id (deterministic).
+
+    Scale shape: winners are computed only over the PAIRED docs (inner
+    join against the tiny component map), one partial-aggregable
+    ``max_by`` per component; the full corpus then takes two broadcast
+    joins and never shuffles.
+    """
+    comp = connected_components(pairs, left=left, right=right).withColumnRenamed(
+        "node", key
+    )
+    # max_by over (len(text) asc-to-max, -id): longer text wins, then
+    # smaller id — one shuffle of the paired subset only
+    winners = (
+        docs.select(key, text)
+        .join(F.broadcast(comp), key)
+        .groupBy("component")
+        .agg(
+            F.max_by(
+                F.col(key), F.struct(F.length(text).alias("l"), (-F.col(key)).alias("nk"))
+            ).alias("best_id")
+        )
+    )
+    return (
+        docs.select(key)
+        .join(F.broadcast(comp), key, "left")
+        .join(F.broadcast(winners), "component", "left")
+        .select(
+            F.col(key),
+            F.coalesce("best_id", F.col(key)).alias("canonical_id"),
+            (F.coalesce("best_id", F.col(key)) != F.col(key)).alias("is_duplicate"),
+        )
+    )

@@ -230,13 +230,11 @@ s AS (SELECT vec_a, vec_b, {cos} AS cs FROM pr)
 SELECT vec_a, vec_b, ROUND(cs, 6) AS cosine_sim FROM s WHERE cs >= {threshold}"""
 
 
-def dedup_components_sql(num_perm: int = 8, bands: int = 4) -> str:
-    """Transitive closure of the MinHash-LSH pair graph (recursive CTE)
-    -> per-document canonical id. Twin of operators/dedup.py
-    dedup_components over minhash_lsh_pairs."""
+def _components_ctes(num_perm: int, bands: int) -> str:
+    """Shared CTE chain: shingles → MinHash → LSH bands → pair graph →
+    recursive transitive closure → ``comp(node, component)``."""
     rpb = num_perm // bands
-    return f"""
-WITH RECURSIVE {_shingle_ctes()},
+    return f"""{_shingle_ctes()},
 pp AS (SELECT doc_id, shingle, unnest(range(0, {num_perm})) AS perm FROM e),
 sig AS (SELECT doc_id, perm,
                MIN(md5(CONCAT(CAST(perm AS STRING), '|', shingle))) AS minhash
@@ -254,8 +252,34 @@ reach(node, r) AS (
   UNION
   SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
 ),
-comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)"""
+
+
+def dedup_components_sql(num_perm: int = 8, bands: int = 4) -> str:
+    """Transitive closure of the MinHash-LSH pair graph (recursive CTE)
+    -> per-document canonical id. Twin of operators/dedup.py
+    dedup_components over minhash_lsh_pairs."""
+    return f"""
+WITH RECURSIVE {_components_ctes(num_perm, bands)}
 SELECT d.doc_id,
        COALESCE(c.component, d.doc_id) AS canonical_id,
        COALESCE(c.component, d.doc_id) <> d.doc_id AS is_duplicate
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""
+
+
+def dedup_keep_best_sql(num_perm: int = 8, bands: int = 4) -> str:
+    """Keep-best twin of operators/dedup.py dedup_keep_best: canonical =
+    longest text in the component, ties to the smallest doc_id."""
+    return f"""
+WITH RECURSIVE {_components_ctes(num_perm, bands)},
+ranked AS (SELECT c.component, d.doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY c.component
+                                     ORDER BY LENGTH(d.text) DESC, d.doc_id) AS rn
+           FROM comp c JOIN documents d ON d.doc_id = c.node),
+best AS (SELECT component, doc_id AS best_id FROM ranked WHERE rn = 1)
+SELECT d.doc_id,
+       COALESCE(b.best_id, d.doc_id) AS canonical_id,
+       COALESCE(b.best_id, d.doc_id) <> d.doc_id AS is_duplicate
+FROM documents d
+LEFT JOIN comp c ON c.node = d.doc_id
+LEFT JOIN best b ON b.component = c.component"""

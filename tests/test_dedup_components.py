@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from osm_poi_matchmaker_spark.operators.dedup import (
     connected_components,
     dedup_components,
+    dedup_keep_best,
 )
 
 
@@ -42,4 +43,24 @@ def test_dedup_components_covers_all_docs(spark):
     assert rows == {
         0: (0, False), 1: (1, False), 2: (2, False),
         3: (0, True), 4: (4, False), 5: (0, True),
+    }
+
+
+def test_dedup_keep_best_longest_wins(spark):
+    """Canonical = longest text in the component; ties break to the
+    smallest doc_id; unpaired docs are their own canonical."""
+    docs = spark.createDataFrame(
+        [(0, "aa"), (1, "bbbb"), (2, "cc"), (3, "dd"), (4, "ee"), (5, "ff")],
+        "doc_id long, text string",
+    )
+    # component {0,1,2}: doc 1 has the longest text -> canonical
+    # component {3,5}: equal lengths -> min id 3 wins; 4 unpaired
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 5)], "doc_a long, doc_b long"
+    )
+    rows = {r["doc_id"]: (r["canonical_id"], r["is_duplicate"])
+            for r in dedup_keep_best(docs, pairs).collect()}
+    assert rows == {
+        0: (1, True), 1: (1, False), 2: (1, True),
+        3: (3, False), 4: (4, False), 5: (3, True),
     }
