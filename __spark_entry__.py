@@ -199,6 +199,17 @@ def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_keep_best(docs, pairs)
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: benchmark = every 17th doc (id % 17 == 3),
+    flag corpus docs sharing any word 8-gram with it — the near-dup
+    families light up, unrelated docs stay clean."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 17 == 3).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return dedup.decontaminate(docs, bench, n=8)
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(_docs(spark, sf_dir))
 
@@ -2527,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_components": _q_dedup_components,
         "dedup_keep_best": _q_dedup_keep_best,
+        "decontaminate": _q_decontaminate,
         "dedup_simhash": _q_dedup_simhash,
         "doc_stats": _q_doc_stats,
         "ann_topk_exact": _q_ann_topk_exact,
@@ -2842,6 +2854,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": oracles_docs.minhash_lsh_sql(num_perm=8, bands=4),
         "dedup_components": oracles_docs.dedup_components_sql(num_perm=8, bands=4),
         "dedup_keep_best": oracles_docs.dedup_keep_best_sql(num_perm=8, bands=4),
+        "decontaminate": oracles_docs.decontaminate_sql(n=8, modulus=17, residue=3),
         "dedup_simhash": oracles_docs.simhash_sql(),
         "doc_stats": oracles_docs.doc_stats_sql(),
         "doc_rolling_fingerprint": oracles_docs.rolling_fingerprint_sql(),

@@ -384,3 +384,57 @@ def dedup_keep_best(
             (F.coalesce("best_id", F.col(key)) != F.col(key)).alias("is_duplicate"),
         )
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    bench_key: str = "bench_id",
+    bench_text: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    shares at least one word ``n``-gram with an eval/benchmark document
+    (the GPT-3-style 13-gram overlap rule; ``n`` parameterized). A
+    training-data pipeline runs this before every release so eval
+    questions never leak into the corpus. No reference analogue — part
+    of the beyond-reference pipeline ops.
+
+    Scale shape: the benchmark side is tiny (eval suites are ~10^4-10^6
+    rows vs a 10^12-row corpus), so its distinct shingle set is
+    BROADCAST and the corpus is probed map-side — the corpus never
+    shuffles to find hits. Only the matched subset (corpus rows sharing
+    a shingle) takes one partial-aggregable groupBy, and the final flag
+    attaches back with a broadcast join keyed on ``key``.
+
+    Returns (doc_id, contaminated, hit_shingles, min_bench_id) —
+    hit_shingles = distinct leaked n-grams in the doc, min_bench_id =
+    lowest benchmark id it collides with (audit pointer), both NULL-free
+    (0 / NULL→NULL semantics: min_bench_id is NULL for clean docs).
+    """
+    bench_sh = (
+        benchmark.select(
+            F.col(bench_key), shingles(F.col(bench_text), n).alias("sh")
+        )
+        .select(bench_key, F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    doc_sh = docs.select(
+        F.col(key), shingles(F.col(text), n).alias("sh")
+    ).select(key, F.explode("sh").alias("shingle"))
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(key)
+        .agg(
+            F.countDistinct("shingle").alias("hit_shingles"),
+            F.min(bench_key).alias("min_bench_id"),
+        )
+    )
+    return docs.select(key).join(F.broadcast(hits), key, "left").select(
+        F.col(key),
+        F.col("hit_shingles").isNotNull().alias("contaminated"),
+        F.coalesce("hit_shingles", F.lit(0)).alias("hit_shingles"),
+        "min_bench_id",
+    )

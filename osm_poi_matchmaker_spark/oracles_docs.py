@@ -283,3 +283,27 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN comp c ON c.node = d.doc_id
 LEFT JOIN best b ON b.component = c.component"""
+
+
+def decontaminate_sql(n: int = 8, modulus: int = 17, residue: int = 3) -> str:
+    """Twin of operators/dedup.py decontaminate with the benchmark set
+    carved from documents as ``doc_id % modulus = residue`` (exactly how
+    the registry query builds it)."""
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - {n - 1}, 0) + 1),
+               i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS sh
+      FROM t),
+e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+b AS (SELECT DISTINCT doc_id AS bench_id, shingle FROM e
+      WHERE doc_id % {modulus} = {residue}),
+h AS (SELECT e.doc_id, COUNT(DISTINCT e.shingle) AS hit_shingles,
+             MIN(b.bench_id) AS min_bench_id
+      FROM e JOIN b USING (shingle) GROUP BY 1)
+SELECT d.doc_id,
+       h.doc_id IS NOT NULL AS contaminated,
+       COALESCE(h.hit_shingles, 0) AS hit_shingles,
+       h.min_bench_id
+FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id"""

@@ -64,3 +64,34 @@ def test_dedup_keep_best_longest_wins(spark):
         0: (1, True), 1: (1, False), 2: (1, True),
         3: (3, False), 4: (4, False), 5: (3, True),
     }
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    """A doc sharing an n-gram with a benchmark doc is contaminated
+    (including a benchmark member present in the corpus); others clean.
+    hit_shingles counts distinct leaked n-grams; min_bench_id points at
+    the lowest colliding benchmark doc."""
+    from osm_poi_matchmaker_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e"),     # shares 'a b c' and 'b c d' with bench 10
+            (1, "x y z w v"),     # clean
+            (2, "q q a b c d q"), # shares 'a b c' and 'b c d'
+            (3, "a b x c d"),     # no full trigram overlap -> clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, "a b c d"), (11, "b c d zz")], "bench_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: (r["contaminated"], r["hit_shingles"], r["min_bench_id"])
+        for r in decontaminate(docs, bench, n=3).collect()
+    }
+    assert rows == {
+        0: (True, 2, 10),   # 'a b c' (bench 10) + 'b c d' (bench 10 and 11)
+        1: (False, 0, None),
+        2: (True, 2, 10),
+        3: (False, 0, None),
+    }

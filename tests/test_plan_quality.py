@@ -114,3 +114,13 @@ def test_int_sanitize_pure_codegen(spark):
     plan = plan_of(entry_mod._q_int_sanitize(spark, SF), mode="simple")
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    # the benchmark shingle set broadcasts; the corpus probes it map-side
+    # (no shuffle to find hits) and the hit flags attach by broadcast too —
+    # at 10^12 corpus rows the only exchange is the groupBy of the matched
+    # subset
+    plan = plan_of(entry_mod._q_decontaminate(spark, SF), mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
