@@ -21,7 +21,7 @@ from osm_poi_matchmaker_spark import oracles_docs, synth, synth_sql
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 from osm_poi_matchmaker_spark.extract.geotag import geotag_pages
 from osm_poi_matchmaker_spark.functions.textstats import doc_stats
-from osm_poi_matchmaker_spark.operators import dedup, similarity
+from osm_poi_matchmaker_spark.operators import dedup, quality, similarity
 from osm_poi_matchmaker_spark.operators.knn import nearest_poi_expanding
 from osm_poi_matchmaker_spark.operators.match import match_pages
 from osm_poi_matchmaker_spark.plans.lineage import match_lineage
@@ -216,6 +216,18 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_stats(_docs(spark, sf_dir))
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.boilerplate_ngrams(_docs(spark, sf_dir), top_k=20)
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.pii_redact(_docs(spark, sf_dir))
 
 
 def _q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2541,6 +2553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "dedup_simhash": _q_dedup_simhash,
         "doc_stats": _q_doc_stats,
+        "repetition_stats": _q_repetition_stats,
+        "boilerplate_ngrams": _q_boilerplate_ngrams,
+        "pii_redact": _q_pii_redact,
         "ann_topk_exact": _q_ann_topk_exact,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
@@ -2857,6 +2872,9 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": oracles_docs.decontaminate_sql(n=8, modulus=17, residue=3),
         "dedup_simhash": oracles_docs.simhash_sql(),
         "doc_stats": oracles_docs.doc_stats_sql(),
+        "repetition_stats": oracles_docs.repetition_stats_sql(),
+        "boilerplate_ngrams": oracles_docs.boilerplate_ngrams_sql(top_k=20),
+        "pii_redact": oracles_docs.pii_redact_sql(),
         "doc_rolling_fingerprint": oracles_docs.rolling_fingerprint_sql(),
         "ann_topk_exact": oracles_docs.ann_exact_sql(k=5, query_mod=50),
         "ann_topk_lsh": oracles_docs.ann_lsh_sql(k=5, bits=8, query_mod=50),

@@ -1,0 +1,177 @@
+"""Corpus-quality operators for the training-data pipeline.
+
+Three filters every web-scale corpus build needs before training:
+
+- :func:`repetition_stats` — Gopher-style repetition signals per doc
+  (duplicate-token fraction, most-frequent-token fraction, duplicate
+  2-gram fraction) and a composite ``is_repetitive`` flag.
+- :func:`boilerplate_ngrams` — corpus-LEVEL boilerplate detection: the
+  globally most document-frequent word n-grams (nav bars, cookie
+  banners, footers repeat verbatim across a crawl) and each doc's
+  fraction of shingles drawn from that set.
+- :func:`pii_redact` — email/phone masking with per-doc redaction
+  counts.
+
+Reference analogue: the reference's text hygiene is per-record and
+row-at-a-time (``libs/address.py`` clean_* family; the duplicate guards
+in ``dao/data_handlers.py:220-312``); these generalize it to the
+corpus-level quality passes the reference never needed at its scale.
+
+Scale notes (100 TB): everything here is either a pure array expression
+(whole-stage codegen, zero Python) or an explode + partially-aggregated
+``groupBy`` (map-side combine), so the wide tables never shuffle more
+than once; the boilerplate top-k is TakeOrderedAndProject (per-partition
+top-k, driver merges k rows per partition — no global sort) and the
+resulting k-row dim is broadcast back, so the corpus side of that join
+never moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import tokens
+from .dedup import shingles
+
+# Shared with the DuckDB oracle (oracles_docs.py) — keep the two regex
+# dialects' common subset: no lookaround, no backrefs, explicit classes.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+\d{2} \d{2} \d{3} \d{4}"
+
+
+def _raw_shingles(toks: Column, n: int) -> Column:
+    """Overlapping word n-grams WITHOUT dedup (duplicate counts are the
+    point here, unlike ``dedup.shingles``), empty-safe."""
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.when(
+        n_sh > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    top_token_max: float = 0.10,
+    dup_2gram_max: float = 0.30,
+) -> DataFrame:
+    """Per-doc repetition signals (Gopher-rule flavored, arithmetic only
+    so the oracle reproduces it exactly).
+
+    The token histogram runs explode + groupBy (partial-agg shape — at
+    planet scale this beats a per-row O(n_tokens × n_distinct) array
+    scan for long documents); the n-gram duplicate fraction stays a pure
+    array expression.
+    """
+    base = docs.select(F.col(key), tokens(F.lower(F.col(text))).alias("toks"))
+    sh2 = _raw_shingles(F.col("toks"), 2)
+    row = base.select(
+        key,
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.size(sh2).alias("n2"),
+        F.size(F.array_distinct(sh2)).alias("nd2"),
+    )
+    hist = (
+        base.select(key, F.explode("toks").alias("tok"))
+        .groupBy(key, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(key)
+        .agg(F.max("c").alias("top_c"))
+    )
+    n = F.col("n_tokens").cast("double")
+    dup_tok = F.when(
+        F.col("n_tokens") > 0, (F.col("n_tokens") - F.col("n_distinct")) / n
+    ).otherwise(F.lit(0.0))
+    top_tok = F.when(
+        F.col("n_tokens") > 0, F.coalesce(F.col("top_c"), F.lit(0)) / n
+    ).otherwise(F.lit(0.0))
+    dup2 = F.when(
+        F.col("n2") > 0,
+        (F.col("n2") - F.col("nd2")) / F.col("n2").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return row.join(hist, key, "left").select(
+        key,
+        "n_tokens",
+        F.round(dup_tok, 6).alias("dup_token_frac"),
+        F.round(top_tok, 6).alias("top_token_frac"),
+        F.round(dup2, 6).alias("dup_2gram_frac"),
+        ((top_tok > top_token_max) | (dup2 > dup_2gram_max)).alias("is_repetitive"),
+    )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    top_k: int = 20,
+    flag_frac: float = 0.5,
+) -> DataFrame:
+    """Flag documents dominated by the corpus's most document-frequent
+    word ``n``-grams (two-pass: global top-k, then a broadcast probe).
+
+    Determinism: top-k ties break on the shingle string ascending, so
+    the cut set is identical across engines and partitionings.
+    """
+    sh = docs.select(F.col(key), shingles(F.col(text), n).alias("sh"))
+    e = sh.select(key, F.explode("sh").alias("shingle"))
+    topk = (
+        e.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("shingle"))
+        .limit(top_k)
+    )
+    nb = (
+        e.join(F.broadcast(topk.select("shingle")), "shingle")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    n_sh = F.col("n_shingles")
+    n_boiler = F.coalesce(F.col("nb"), F.lit(0))
+    frac = F.when(n_sh > 0, n_boiler / n_sh.cast("double")).otherwise(F.lit(0.0))
+    return (
+        sh.select(key, F.size("sh").alias("n_shingles"))
+        .join(nb, key, "left")
+        .select(
+            key,
+            "n_shingles",
+            n_boiler.alias("n_boiler"),
+            F.round(frac, 6).alias("boiler_frac"),
+            (frac >= flag_frac).alias("is_boilerplate"),
+        )
+    )
+
+
+def pii_redact(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Mask emails and phone numbers, returning the redacted text plus
+    per-doc counts. The synthetic corpus is PII-free, so a deterministic
+    contact blurb derived from the key is appended first (on both
+    engines identically) — the redaction pass is exercised non-vacuously
+    and the oracle checks byte equality of the masked output.
+    """
+    aug = F.concat(
+        F.col(text),
+        F.lit(" Contact: user"),
+        F.col(key).cast("string"),
+        F.lit("@example.com or call +36 30 555 "),
+        F.lpad((F.col(key) % 10000).cast("string"), 4, "0"),
+        F.lit("."),
+        F.when((F.col(key) % 3) == 0, F.lit(" cc admin@example.org")).otherwise(
+            F.lit("")
+        ),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(aug, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        F.col(key),
+        F.regexp_count(aug, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(aug, F.lit(PHONE_RE)).alias("n_phones"),
+        red.alias("redacted"),
+    )

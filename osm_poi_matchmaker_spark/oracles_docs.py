@@ -307,3 +307,79 @@ SELECT d.doc_id,
        COALESCE(h.hit_shingles, 0) AS hit_shingles,
        h.min_bench_id
 FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id"""
+
+
+def repetition_stats_sql(
+    top_token_max: float = 0.10, dup_2gram_max: float = 0.30
+) -> str:
+    """Twin of operators/quality.repetition_stats: token histogram via
+    unnest+group-by, 2-gram duplicate fraction via list exprs."""
+    toks = _TOKS.format(t="lower(text)")
+    top_tok = "CASE WHEN len(toks) > 0 THEN COALESCE(top_c, 0)::DOUBLE / len(toks) ELSE 0.0 END"
+    dup2 = (
+        "CASE WHEN len(sh2) > 0 THEN (len(sh2) - len(list_distinct(sh2)))::DOUBLE"
+        " / len(sh2) ELSE 0.0 END"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+r AS (SELECT doc_id, toks,
+        list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                       i -> array_to_string(toks[i:i+1], ' ')) AS sh2
+      FROM t),
+h AS (SELECT doc_id, max(c) AS top_c
+      FROM (SELECT doc_id, tok, count(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+            GROUP BY 1, 2)
+      GROUP BY 1)
+SELECT r.doc_id,
+  len(toks) AS n_tokens,
+  ROUND(CASE WHEN len(toks) > 0
+             THEN (len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks)
+             ELSE 0.0 END, 6) AS dup_token_frac,
+  ROUND({top_tok}, 6) AS top_token_frac,
+  ROUND({dup2}, 6) AS dup_2gram_frac,
+  ({top_tok} > {top_token_max} OR {dup2} > {dup_2gram_max}) AS is_repetitive
+FROM r LEFT JOIN h USING (doc_id)"""
+
+
+def boilerplate_ngrams_sql(top_k: int = 20, flag_frac: float = 0.5) -> str:
+    """Twin of operators/quality.boilerplate_ngrams over the shared
+    3-gram shingle CTEs; top-k ties break on the shingle string so the
+    cut is engine-identical."""
+    frac = "CASE WHEN len(sh) > 0 THEN COALESCE(nb, 0)::DOUBLE / len(sh) ELSE 0.0 END"
+    return f"""
+WITH {_shingle_ctes()},
+c AS (SELECT shingle, count(*) AS df FROM e GROUP BY 1),
+k AS (SELECT shingle FROM c ORDER BY df DESC, shingle LIMIT {top_k}),
+b AS (SELECT doc_id, count(*) AS nb FROM e JOIN k USING (shingle) GROUP BY 1)
+SELECT s.doc_id,
+  len(sh) AS n_shingles,
+  COALESCE(nb, 0) AS n_boiler,
+  ROUND({frac}, 6) AS boiler_frac,
+  ({frac} >= {flag_frac}) AS is_boilerplate
+FROM s LEFT JOIN b USING (doc_id)"""
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+\d{2} \d{2} \d{3} \d{4}"
+
+
+def pii_redact_sql() -> str:
+    """Twin of operators/quality.pii_redact: identical deterministic
+    contact blurb, identical regexes (Java/RE2 common subset), byte
+    equality on the masked text."""
+    return f"""
+WITH a AS (
+  SELECT doc_id,
+         text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call +36 30 555 '
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+              || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@example.org'
+                      ELSE '' END AS aug
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(aug, '{PII_EMAIL_RE}')) AS n_emails,
+  len(regexp_extract_all(aug, '{PII_PHONE_RE}')) AS n_phones,
+  regexp_replace(regexp_replace(aug, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                 '{PII_PHONE_RE}', '[PHONE]', 'g') AS redacted
+FROM a"""
