@@ -1,0 +1,106 @@
+"""URL canonicalization + per-domain rollups for the crawl pipeline.
+
+A web-scale corpus keys almost everything on the URL (dedup, refetch
+policy, per-domain quotas), so canonicalization must be deterministic
+and cheap: everything here is pure column expressions (whole-stage
+codegen, zero Python). Spark's ``parse_url`` would be the idiomatic
+extractor, but the DuckDB oracle has no twin for it — the splits below
+stay inside the regex/string common subset of both engines and are
+pinned byte-exact by the ``url_normalize`` oracle query.
+
+Normalization rules (the usual crawl-frontier canon):
+- scheme and host lowercased;
+- default ports dropped (``http:80``, ``https:443``), others kept;
+- fragment stripped;
+- empty path → ``/``; trailing slashes trimmed (except the root);
+- tracking params (``utm_*``) dropped, the rest sorted byte-wise.
+
+The reference has no URL layer (its feeds are fixed endpoints,
+``dataproviders/*.py`` link constants); this is pipeline-side new work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def url_normalize(u: Column) -> Column:
+    """Canonical form of an absolute ``scheme://host[:port]/path?query``
+    URL (see module docstring for the rules)."""
+    nofrag = F.substring_index(u, "#", 1)
+    base = F.substring_index(nofrag, "?", 1)
+    # substring_index returns the WHOLE string when the separator is
+    # absent, so the query must be guarded (DuckDB's split_part yields
+    # '' unguarded — the CASE keeps the twins aligned).
+    query = F.when(
+        nofrag.contains("?"), F.substring_index(nofrag, "?", -1)
+    ).otherwise(F.lit(""))
+    scheme = F.lower(F.substring_index(base, "://", 1))
+    rest = F.substring_index(base, "://", -1)
+    hostport = F.substring_index(rest, "/", 1)
+    path = F.regexp_replace(rest, r"^[^/]*", "")
+    host = F.lower(F.substring_index(hostport, ":", 1))
+    port = F.when(
+        hostport.contains(":"), F.substring_index(hostport, ":", -1)
+    ).otherwise(F.lit(""))
+    is_default = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_out = F.when(
+        (port != "") & ~is_default, F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+    trimmed = F.regexp_replace(path, r"/+$", "")
+    path_out = F.when(trimmed == "", F.lit("/")).otherwise(trimmed)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda kv: (kv != "") & ~kv.startswith("utm_"),
+        )
+    )
+    qs = F.concat_ws("&", params)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        port_out,
+        path_out,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def url_host(u: Column) -> Column:
+    """Lowercased host of an absolute URL (port stripped)."""
+    rest = F.substring_index(F.substring_index(u, "://", -1), "/", 1)
+    return F.lower(F.substring_index(rest, ":", 1))
+
+
+def registered_domain(host: Column) -> Column:
+    """Last two labels of the host — the registrable-domain approximation
+    (a real deployment plugs in the public-suffix list; two labels keep
+    the op dependency-free and oracle-reproducible)."""
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def domain_stats(pages: DataFrame, url: str = "url", text: str = "text") -> DataFrame:
+    """Per-host crawl rollup: page count, distinct canonical URLs, and
+    mean text length — the shape behind per-domain quotas and frontier
+    prioritization. One partial-aggregated groupBy on the host; no
+    joins, the wide table shuffles once on an already-tiny projection.
+    """
+    canon = url_normalize(F.col(url))
+    host = url_host(F.col(url))
+    return (
+        pages.select(
+            host.alias("host"),
+            registered_domain(host).alias("domain"),
+            canon.alias("canon_url"),
+            F.length(F.col(text)).alias("text_len"),
+        )
+        .groupBy("host", "domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("canon_url").alias("n_urls"),
+            F.round(F.avg("text_len"), 6).alias("avg_text_len"),
+        )
+    )
