@@ -1,0 +1,77 @@
+"""Sequence packing for training-data assembly.
+
+GPT-style pretraining concatenates the token stream and cuts it every
+``ctx`` tokens ("concat-then-chunk"), so each document maps to a global
+token offset and a span of context-window bins. That mapping is a pure
+function of an exact global prefix sum over a deterministic document
+order — which is where naive Spark goes wrong: ``Window.orderBy(...)``
+with no partition funnels the whole corpus through ONE task.
+
+:func:`pack_sequences` computes the prefix sum two-phase instead (the
+same shape as ``plans/export.global_row_number``): bucket by aligned
+ranges of the numeric key (order-preserving shift), aggregate per-bucket
+token sums map-side, window over the tiny bucket list for each bucket's
+starting offset, broadcast back, and run the in-bucket cumulative sum
+one task per bucket. Output is identical to the single-window form
+(tested) and the plan scales with bucket count.
+
+The reference has no training-data layer; this is pipeline-side new
+work (token accounting reuses functions/textstats.token_count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textstats import token_count
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx: int = 512,
+    key: str = "doc_id",
+    text: str = "text",
+    bucket_shift: int = 8,
+) -> DataFrame:
+    """Map each doc to its global token offset and context-window span.
+
+    Returns (key, n_tokens, global_offset, bin_first, bin_last,
+    bin_offset, n_bins_spanned). Bin ids use exact integer division
+    (``div``), never double division — offsets past 2^53 tokens would
+    silently round under a float path. An empty doc occupies (and only
+    touches) the bin its offset falls in.
+    """
+    d = docs.select(F.col(key), token_count(F.col(text)).alias("n_tokens"))
+    b = d.withColumn("_gb", F.shiftright(F.col(key), bucket_shift))
+    sums = b.groupBy("_gb").agg(F.sum("n_tokens").alias("_s"))
+    w_off = Window.orderBy("_gb")  # bucket rows only — thousands, not billions
+    offsets = sums.withColumn("_off", F.sum("_s").over(w_off) - F.col("_s")).drop(
+        "_s"
+    )
+    w_in = Window.partitionBy("_gb").orderBy(key)
+    out = (
+        b.join(F.broadcast(offsets), "_gb")
+        .withColumn(
+            "global_offset",
+            (F.col("_off") + F.sum("n_tokens").over(w_in) - F.col("n_tokens")).cast(
+                "long"
+            ),
+        )
+        .drop("_gb", "_off")
+    )
+    n = F.col("n_tokens")
+    off = F.col("global_offset")
+    bin_first = F.expr(f"global_offset div {ctx}")
+    bin_last = F.when(
+        n > 0, F.expr(f"(global_offset + n_tokens - 1) div {ctx}")
+    ).otherwise(bin_first)
+    return out.select(
+        key,
+        "n_tokens",
+        "global_offset",
+        bin_first.alias("bin_first"),
+        bin_last.alias("bin_last"),
+        (off % ctx).alias("bin_offset"),
+        (bin_last - bin_first + 1).alias("n_bins_spanned"),
+    )
