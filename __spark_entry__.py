@@ -21,7 +21,14 @@ from osm_poi_matchmaker_spark import oracles_docs, synth, synth_sql
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 from osm_poi_matchmaker_spark.extract.geotag import geotag_pages
 from osm_poi_matchmaker_spark.functions.textstats import doc_stats
-from osm_poi_matchmaker_spark.operators import dedup, quality, similarity
+from osm_poi_matchmaker_spark.functions import urls
+from osm_poi_matchmaker_spark.operators import (
+    dedup,
+    delta,
+    packing,
+    quality,
+    similarity,
+)
 from osm_poi_matchmaker_spark.operators.knn import nearest_poi_expanding
 from osm_poi_matchmaker_spark.operators.match import match_pages
 from osm_poi_matchmaker_spark.plans.lineage import match_lineage
@@ -228,6 +235,67 @@ def _q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.pii_redact(_docs(spark, sf_dir))
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.pack_sequences(_docs(spark, sf_dir), ctx=512)
+
+
+def _q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two crawl snapshots carved deterministically from pages: the old
+    release lacks page_id % 11 == 3, the new lacks % 13 == 5, and
+    % 7 == 2 pages changed content between them."""
+    pages = synth.pages(spark, sf_dir).select("page_id", "url", "text")
+    pid = F.col("page_id")
+    old = pages.where(pid % 11 != 3).select("url", "text")
+    new = pages.where(pid % 13 != 5).select(
+        "url",
+        F.when(pid % 7 == 2, F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return delta.crawl_delta(old, new)
+
+
+def _messy_url_expr() -> "F.Column":
+    """Deterministic messy-URL fixture derived from page_id (the synth
+    crawl is single-host/clean, so the canonicalizer needs adversarial
+    inputs): mixed-case scheme/host, cdn subdomains, default :443 port,
+    trailing slash, utm tracking params, unsorted params, fragments.
+    Mirrored byte-for-byte by _messy_url_sql()."""
+    pid = F.col("page_id")
+    return F.concat(
+        F.when(pid % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(
+            pid % 2 == 1, F.concat(F.lit("cdn"), (pid % 7).cast("string"), F.lit("."))
+        ).otherwise(F.lit("")),
+        F.when(pid % 3 == 0, F.lit("CC.Example")).otherwise(F.lit("cc.example")),
+        F.when(pid % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/"),
+        pid.cast("string"),
+        F.when(pid % 6 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(pid % 7 == 0, F.lit(""))
+        .when(pid % 2 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .otherwise(F.lit("?b=2&a=1")),
+        F.when(pid % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+def _q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _messy_url_expr()
+    return synth.pages(spark, sf_dir).select(
+        "page_id",
+        m.alias("url_raw"),
+        urls.url_normalize(m).alias("canon_url"),
+    )
+
+
+def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = synth.pages(spark, sf_dir).select(
+        _messy_url_expr().alias("url"), "text"
+    )
+    return urls.domain_stats(pages)
 
 
 def _q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2556,6 +2624,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "pii_redact": _q_pii_redact,
+        "url_normalize": _q_url_normalize,
+        "domain_stats": _q_domain_stats,
+        "pack_sequences": _q_pack_sequences,
+        "crawl_delta": _q_crawl_delta,
         "ann_topk_exact": _q_ann_topk_exact,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
@@ -2653,6 +2725,51 @@ def _addr_overwrite_oracle_sql(match_base: str) -> str:
         f"{ch('o_street', 'street')} OR {ch('o_csn', 'csn')}"
         ")) AS changed_from_osm FROM md"
     )
+
+
+def _url_canon_ctes() -> str:
+    """DuckDB twin of _messy_url_expr() + functions/urls.url_normalize:
+    staged CTEs (nofrag → base/query → scheme/rest → hostport/path →
+    host/port → canonical), split_part/regexp in the shared dialect."""
+    messy = (
+        "CASE WHEN page_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END || '://' || "
+        "CASE WHEN page_id % 2 = 1 THEN 'cdn' || CAST(page_id % 7 AS VARCHAR) || '.' "
+        "ELSE '' END || "
+        "CASE WHEN page_id % 3 = 0 THEN 'CC.Example' ELSE 'cc.example' END || "
+        "CASE WHEN page_id % 5 = 0 THEN ':443' ELSE '' END || "
+        "'/' || CAST(page_id AS VARCHAR) || "
+        "CASE WHEN page_id % 6 = 0 THEN '/' ELSE '' END || "
+        "CASE WHEN page_id % 7 = 0 THEN '' "
+        "WHEN page_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1' "
+        "ELSE '?b=2&a=1' END || "
+        "CASE WHEN page_id % 4 = 0 THEN '#frag' ELSE '' END"
+    )
+    return f"""
+mu AS (SELECT page_id, {messy} AS messy, text FROM pages),
+u1 AS (SELECT page_id, messy, text, split_part(messy, '#', 1) AS nofrag FROM mu),
+u2 AS (SELECT *, split_part(nofrag, '?', 1) AS b,
+         CASE WHEN contains(nofrag, '?') THEN split_part(nofrag, '?', 2)
+              ELSE '' END AS q FROM u1),
+u3 AS (SELECT *, lower(split_part(b, '://', 1)) AS scheme,
+         split_part(b, '://', 2) AS rest FROM u2),
+u4 AS (SELECT *, split_part(rest, '/', 1) AS hostport,
+         regexp_replace(rest, '^[^/]*', '') AS pth FROM u3),
+u5 AS (SELECT *, lower(split_part(hostport, ':', 1)) AS host,
+         CASE WHEN contains(hostport, ':') THEN split_part(hostport, ':', 2)
+              ELSE '' END AS port FROM u4),
+u6 AS (SELECT *,
+         CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                       OR (scheme = 'https' AND port = '443'))
+              THEN ':' || port ELSE '' END AS port_out,
+         CASE WHEN regexp_replace(pth, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(pth, '/+$', '') END AS path_out,
+         array_to_string(list_sort(list_filter(string_split(q, '&'),
+           x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS qs
+       FROM u5),
+uc AS (SELECT page_id, messy, text, host,
+         scheme || '://' || host || port_out || path_out ||
+         CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canon_url
+       FROM u6)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2875,6 +2992,32 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": oracles_docs.repetition_stats_sql(),
         "boilerplate_ngrams": oracles_docs.boilerplate_ngrams_sql(top_k=20),
         "pii_redact": oracles_docs.pii_redact_sql(),
+        "url_normalize": (
+            f"{base},{_url_canon_ctes()} "
+            "SELECT page_id, messy AS url_raw, canon_url FROM uc"
+        ),
+        "domain_stats": (
+            f"{base},{_url_canon_ctes()} "
+            "SELECT host, regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain, "
+            "count(*) AS n_pages, count(DISTINCT canon_url) AS n_urls, "
+            "round(avg(length(text)), 6) AS avg_text_len "
+            "FROM uc GROUP BY 1, 2"
+        ),
+        "pack_sequences": oracles_docs.pack_sequences_sql(ctx=512),
+        "crawl_delta": (
+            f"{base}, "
+            "po AS (SELECT url, md5(text) AS old_hash FROM pages "
+            "WHERE page_id % 11 <> 3), "
+            "pn AS (SELECT url, md5(CASE WHEN page_id % 7 = 2 "
+            "THEN text || ' [rev2]' ELSE text END) AS new_hash "
+            "FROM pages WHERE page_id % 13 <> 5) "
+            "SELECT COALESCE(po.url, pn.url) AS url, "
+            "CASE WHEN old_hash IS NULL THEN 'added' "
+            "WHEN new_hash IS NULL THEN 'removed' "
+            "WHEN old_hash <> new_hash THEN 'changed' "
+            "ELSE 'unchanged' END AS status, old_hash, new_hash "
+            "FROM po FULL OUTER JOIN pn ON po.url = pn.url"
+        ),
         "doc_rolling_fingerprint": oracles_docs.rolling_fingerprint_sql(),
         "ann_topk_exact": oracles_docs.ann_exact_sql(k=5, query_mod=50),
         "ann_topk_lsh": oracles_docs.ann_lsh_sql(k=5, bits=8, query_mod=50),

@@ -383,3 +383,25 @@ SELECT doc_id,
   regexp_replace(regexp_replace(aug, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
                  '{PII_PHONE_RE}', '[PHONE]', 'g') AS redacted
 FROM a"""
+
+
+def pack_sequences_sql(ctx: int = 512) -> str:
+    """Twin of operators/packing.pack_sequences: exact global prefix sum
+    over doc_id order, integer-division bin spans."""
+    toks = _TOKS.format(t="text")
+    return f"""
+WITH t AS (SELECT doc_id, len({toks}) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS global_offset
+      FROM t)
+SELECT doc_id, n_tokens, global_offset,
+  CAST(global_offset // {ctx} AS BIGINT) AS bin_first,
+  CAST(CASE WHEN n_tokens > 0 THEN (global_offset + n_tokens - 1) // {ctx}
+       ELSE global_offset // {ctx} END AS BIGINT) AS bin_last,
+  CAST(global_offset % {ctx} AS BIGINT) AS bin_offset,
+  CAST((CASE WHEN n_tokens > 0 THEN (global_offset + n_tokens - 1) // {ctx}
+        ELSE global_offset // {ctx} END) - global_offset // {ctx} + 1
+    AS BIGINT) AS n_bins_spanned
+FROM c"""
