@@ -119,28 +119,41 @@ def boilerplate_ngrams(
     Determinism: top-k ties break on the shingle string ascending, so
     the cut set is identical across engines and partitionings.
     """
-    sh = docs.select(F.col(key), shingles(F.col(text), n).alias("sh"))
-    e = sh.select(key, F.explode("sh").alias("shingle"))
+    e = docs.select(
+        F.col(key), F.explode(shingles(F.col(text), n)).alias("shingle")
+    )
     topk = (
         e.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.desc("df"), F.asc("shingle"))
         .limit(top_k)
     )
-    nb = (
-        e.join(F.broadcast(topk.select("shingle")), "shingle")
+    # one probe pass computes BOTH per-doc totals: shingle count and
+    # top-k hits (a left broadcast join + single groupBy). The shingle
+    # arrays are materialized exactly twice corpus-wide (top-k build,
+    # probe) — the minimum for an exact two-pass top-k; zero-shingle
+    # docs drop out of the explode and re-enter via the key-only join.
+    per = (
+        e.join(
+            F.broadcast(topk.select("shingle", F.lit(1).alias("_hit"))),
+            "shingle",
+            "left",
+        )
         .groupBy(key)
-        .agg(F.count(F.lit(1)).alias("nb"))
+        .agg(
+            F.count(F.lit(1)).alias("nsh"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("nb"),
+        )
     )
-    n_sh = F.col("n_shingles")
+    n_sh = F.coalesce(F.col("nsh"), F.lit(0))
     n_boiler = F.coalesce(F.col("nb"), F.lit(0))
     frac = F.when(n_sh > 0, n_boiler / n_sh.cast("double")).otherwise(F.lit(0.0))
     return (
-        sh.select(key, F.size("sh").alias("n_shingles"))
-        .join(nb, key, "left")
+        docs.select(key)
+        .join(per, key, "left")
         .select(
             key,
-            "n_shingles",
+            n_sh.cast("int").alias("n_shingles"),
             n_boiler.alias("n_boiler"),
             F.round(frac, 6).alias("boiler_frac"),
             (frac >= flag_frac).alias("is_boilerplate"),
