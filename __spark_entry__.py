@@ -221,6 +221,10 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(_docs(spark, sf_dir))
 
 
+def _q_lsh_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_agreement(_docs(spark, sf_dir))
+
+
 def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_stats(_docs(spark, sf_dir))
 
@@ -2620,6 +2624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "decontaminate": _q_decontaminate,
         "dedup_simhash": _q_dedup_simhash,
+        "lsh_agreement": _q_lsh_agreement,
         "doc_stats": _q_doc_stats,
         "repetition_stats": _q_repetition_stats,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
@@ -2988,6 +2993,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": oracles_docs.dedup_keep_best_sql(num_perm=8, bands=4),
         "decontaminate": oracles_docs.decontaminate_sql(n=8, modulus=17, residue=3),
         "dedup_simhash": oracles_docs.simhash_sql(),
+        "lsh_agreement": oracles_docs.lsh_agreement_sql(),
         "doc_stats": oracles_docs.doc_stats_sql(),
         "repetition_stats": oracles_docs.repetition_stats_sql(),
         "boilerplate_ngrams": oracles_docs.boilerplate_ngrams_sql(top_k=20),

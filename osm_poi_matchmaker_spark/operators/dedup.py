@@ -438,3 +438,44 @@ def decontaminate(
         F.coalesce("hit_shingles", F.lit(0)).alias("hit_shingles"),
         "min_bench_id",
     )
+
+
+def lsh_agreement(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    num_perm: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Evaluation harness: LSH candidate pairs vs exact-Jaccard truth.
+
+    Tuning (num_perm, bands) against a threshold is guesswork without a
+    measured error profile, so this full-outer-joins the two pair sets
+    and labels each pair ``hit`` (candidate and truly >= threshold),
+    ``missed`` (true near-dup the banding skipped — recall loss) or
+    ``extra`` (candidate below threshold — verification cost, not an
+    error). At 100 TB you run it on a sampled shard; both inputs are
+    already bucket-join shaped, and the agreement join keys on the pair
+    ids themselves.
+    """
+    truth = ngram_jaccard_pairs(docs, key, text, n, threshold).select(
+        F.col("doc_a").alias("ta"), F.col("doc_b").alias("tb")
+    )
+    cand = minhash_lsh_pairs(docs, key, text, n, num_perm, bands).select(
+        F.col("doc_a").alias("ca"), F.col("doc_b").alias("cb")
+    )
+    j = truth.join(
+        cand, (F.col("ta") == F.col("ca")) & (F.col("tb") == F.col("cb")), "full_outer"
+    )
+    status = (
+        F.when(F.col("ta").isNotNull() & F.col("ca").isNotNull(), F.lit("hit"))
+        .when(F.col("ta").isNotNull(), F.lit("missed"))
+        .otherwise(F.lit("extra"))
+    )
+    return j.select(
+        F.coalesce(F.col("ta"), F.col("ca")).alias("doc_a"),
+        F.coalesce(F.col("tb"), F.col("cb")).alias("doc_b"),
+        status.alias("status"),
+    )

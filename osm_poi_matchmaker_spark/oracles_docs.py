@@ -405,3 +405,23 @@ SELECT doc_id, n_tokens, global_offset,
         ELSE global_offset // {ctx} END) - global_offset // {ctx} + 1
     AS BIGINT) AS n_bins_spanned
 FROM c"""
+
+
+def lsh_agreement_sql(
+    n: int = 3,
+    num_perm: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    """Twin of operators/dedup.lsh_agreement: composes the two existing
+    oracle statements as CTE-bearing subqueries."""
+    return f"""
+WITH truth AS (SELECT * FROM ({ngram_jaccard_sql(threshold=threshold)})),
+cand AS (SELECT * FROM ({minhash_lsh_sql(num_perm=num_perm, bands=bands)}))
+SELECT COALESCE(t.doc_a, c.doc_a) AS doc_a,
+       COALESCE(t.doc_b, c.doc_b) AS doc_b,
+       CASE WHEN t.doc_a IS NOT NULL AND c.doc_a IS NOT NULL THEN 'hit'
+            WHEN t.doc_a IS NOT NULL THEN 'missed'
+            ELSE 'extra' END AS status
+FROM truth t FULL OUTER JOIN cand c
+  ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b"""
