@@ -225,12 +225,26 @@ def _q_lsh_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_agreement(_docs(spark, sf_dir))
 
 
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm_poi_matchmaker_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir))
+
+
 def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_stats(_docs(spark, sf_dir))
 
 
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.bigram_lm_score(_docs(spark, sf_dir))
+
+
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.vocab_topk(_docs(spark, sf_dir))
 
 
 def _q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2625,8 +2639,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "dedup_simhash": _q_dedup_simhash,
         "lsh_agreement": _q_lsh_agreement,
+        "bm25_topk": _q_bm25_topk,
         "doc_stats": _q_doc_stats,
         "repetition_stats": _q_repetition_stats,
+        "bigram_lm_score": _q_bigram_lm_score,
+        "vocab_topk": _q_vocab_topk,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "pii_redact": _q_pii_redact,
         "url_normalize": _q_url_normalize,
@@ -2994,8 +3011,11 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": oracles_docs.decontaminate_sql(n=8, modulus=17, residue=3),
         "dedup_simhash": oracles_docs.simhash_sql(),
         "lsh_agreement": oracles_docs.lsh_agreement_sql(),
+        "bm25_topk": oracles_docs.bm25_topk_sql(),
         "doc_stats": oracles_docs.doc_stats_sql(),
         "repetition_stats": oracles_docs.repetition_stats_sql(),
+        "bigram_lm_score": oracles_docs.bigram_lm_score_sql(),
+        "vocab_topk": oracles_docs.vocab_topk_sql(),
         "boilerplate_ngrams": oracles_docs.boilerplate_ngrams_sql(top_k=20),
         "pii_redact": oracles_docs.pii_redact_sql(),
         "url_normalize": (

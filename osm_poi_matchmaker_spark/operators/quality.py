@@ -28,7 +28,7 @@ never moves.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textstats import tokens
@@ -188,3 +188,97 @@ def pii_redact(docs: DataFrame, key: str = "doc_id", text: str = "text") -> Data
         F.regexp_count(aug, F.lit(PHONE_RE)).alias("n_phones"),
         red.alias("redacted"),
     )
+
+
+def bigram_lm_score(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """CCNet-style LM quality scoring: train an add-one-smoothed bigram
+    LM on the corpus itself, score every doc by mean token log-prob and
+    perplexity. Low-probability docs (gibberish, OCR noise, wrong-language
+    spillover) sit in the high-perplexity tail — the standard cut for a
+    crawl quality filter when no external LM is allowed.
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V); per-doc score is the mean
+    over its bigrams. Docs with < 2 tokens have no bigrams and are absent.
+
+    Scale shape: bigram/unigram counting is explode + map-side partial
+    agg; the two count joins shuffle on (w1, w2) / w1 — the canonical
+    LM-training shape, AQE handles stop-word skew; the 1-row vocab size
+    broadcasts. Determinism: per-doc log-probs are folded in position
+    order on both engines, so the double sum is bit-identical before the
+    6-dp edge rounding.
+    """
+    base = docs.select(F.col(key).alias("doc_id"), tokens(F.col(text)).alias("toks"))
+    n_bi = F.greatest(F.size("toks") - F.lit(1), F.lit(0))
+    empty = F.array().cast("array<struct<pos:int,w1:string,w2:string>>")
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n_bi > 0,
+                F.transform(
+                    F.sequence(F.lit(1), n_bi),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.element_at("toks", i).alias("w1"),
+                        F.element_at("toks", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(empty)
+        ).alias("b"),
+    ).select("doc_id", "b.pos", "b.w1", "b.w2")
+
+    uni = (
+        base.select(F.explode("toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    bic = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+
+    logp = F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
+    scored = (
+        bg.join(bic, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "pos", logp.alias("logp"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "logp"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["logp"],
+        ).alias("s"),
+    )
+    avg = F.col("s") / F.col("n_bigrams")
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(avg, 6).alias("avg_logp"),
+        F.round(F.exp(-avg), 6).alias("perplexity"),
+    )
+
+
+def vocab_topk(
+    docs: DataFrame, k: int = 100, key: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Tokenizer-vocab induction: the corpus's top-``k`` terms by total
+    frequency, with document frequency alongside — the first pass of any
+    BPE/WordPiece vocab build and the frequency table behind stopword
+    and boilerplate lists.
+
+    Scale shape: explode + map-side partial agg, then TakeOrderedAndProject
+    (per-partition top-k, driver merges k rows per partition — no global
+    sort). Ties break on the term ascending so the cut is identical
+    across engines and partitionings; rank is a window over the k
+    surviving rows only.
+    """
+    uni = (
+        docs.select(F.col(key).alias("_k"), F.explode(tokens(F.col(text))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"), F.countDistinct("_k").alias("df"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    return uni.withColumn("rank", F.row_number().over(w).cast("long"))

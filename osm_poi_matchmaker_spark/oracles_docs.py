@@ -425,3 +425,100 @@ SELECT COALESCE(t.doc_a, c.doc_a) AS doc_a,
             ELSE 'extra' END AS status
 FROM truth t FULL OUTER JOIN cand c
   ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b"""
+
+
+def bm25_topk_sql(
+    queries=None,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Twin of operators/retrieval.bm25_topk.
+
+    Determinism contract (mirrored Spark-side): per-(query, doc) float
+    contributions are summed IN TERM ORDER (``list(c ORDER BY term)`` →
+    list_sum, vs array_sort → aggregate), and the top-k cut orders by
+    the 6-dp-ROUNDED score with a doc_id tie-break.
+    """
+    from .operators.retrieval import DEFAULT_QUERIES, _query_terms
+
+    pairs = _query_terms(DEFAULT_QUERIES if queries is None else queries)
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in pairs)
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+lens AS (SELECT doc_id, len(toks) AS dl FROM base),
+stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM lens),
+qt AS (SELECT * FROM (VALUES {values}) AS v(query_id, term)),
+matched AS (
+  SELECT b.doc_id, len(b.toks) AS dl, t.term, COUNT(*) AS tf
+  FROM base b, UNNEST(b.toks) AS t(term)
+  WHERE t.term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY b.doc_id, len(b.toks), t.term),
+dfq AS (SELECT term, COUNT(*) AS df FROM matched GROUP BY term),
+contrib AS (
+  SELECT qt.query_id, m.doc_id, m.term,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (m.tf * {k1 + 1.0!r}) / (m.tf + {k1!r} * (1.0 - {b!r} + {b!r} * m.dl / s.avgdl)) AS c
+  FROM matched m
+  JOIN dfq d ON m.term = d.term
+  JOIN qt ON m.term = qt.term
+  CROSS JOIN stats s),
+scored AS (
+  SELECT query_id, doc_id, list_sum(list(c ORDER BY term)) AS score
+  FROM contrib GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id, ROUND(score, 6) AS bm25,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(score, 6) DESC, doc_id) AS rank
+  FROM scored)
+SELECT query_id, doc_id, bm25, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def bigram_lm_score_sql() -> str:
+    """Twin of operators/quality.bigram_lm_score: add-one bigram LM
+    trained on the corpus, per-doc mean log-prob + perplexity, log-probs
+    folded in position order for bit-identical double sums."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS.format(t='text')} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, s.pos AS pos, s.w1 AS w1, s.w2 AS w2
+  FROM base, UNNEST(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+       i -> struct_pack(pos := i, w1 := toks[i], w2 := toks[i+1]))) AS u(s)),
+uni AS (
+  SELECT t.w1 AS w1, COUNT(*) AS c1
+  FROM (SELECT UNNEST(toks) AS w1 FROM base) t GROUP BY t.w1),
+vocab AS (SELECT COUNT(*) AS v FROM uni),
+bic AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+sc AS (
+  SELECT bg.doc_id, bg.pos,
+         ln((bic.c2 + 1.0) / (uni.c1 + vocab.v)) AS logp
+  FROM bg
+  JOIN bic ON bg.w1 = bic.w1 AND bg.w2 = bic.w2
+  JOIN uni ON bg.w1 = uni.w1
+  CROSS JOIN vocab),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         list_sum(list(logp ORDER BY pos)) AS s
+  FROM sc GROUP BY doc_id)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       ROUND(s / n_bigrams, 6) AS avg_logp,
+       ROUND(exp(-(s / n_bigrams)), 6) AS perplexity
+FROM agg"""
+
+
+def vocab_topk_sql(k: int = 100) -> str:
+    """Twin of operators/quality.vocab_topk (ties break on term asc)."""
+    return f"""
+WITH e AS (
+  SELECT doc_id, UNNEST({_TOKS.format(t='text')}) AS term FROM documents),
+uni AS (
+  SELECT term, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS df
+  FROM e GROUP BY term),
+topk AS (SELECT * FROM uni ORDER BY freq DESC, term LIMIT {k})
+SELECT term, freq, df,
+       CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rank
+FROM topk"""
