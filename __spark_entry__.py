@@ -197,6 +197,17 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_components(docs, pairs)
 
 
+def _q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware split: the whole near-dup component inherits the
+    canonical id's MINSTD split, so near-duplicates never straddle
+    train/test (eval leakage)."""
+    from osm_poi_matchmaker_spark.operators.sampling import leakage_safe_split
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, n=3, num_perm=8, bands=4)
+    return leakage_safe_split(docs, dedup.dedup_components(docs, pairs))
+
+
 def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-best cluster dedup: canonical = longest text per near-dup
     component (ties to smallest id) — the retention policy production
@@ -2644,6 +2655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "bigram_lm_score": _q_bigram_lm_score,
         "vocab_topk": _q_vocab_topk,
+        "leakage_safe_split": _q_leakage_safe_split,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "pii_redact": _q_pii_redact,
         "url_normalize": _q_url_normalize,
@@ -3016,6 +3028,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": oracles_docs.repetition_stats_sql(),
         "bigram_lm_score": oracles_docs.bigram_lm_score_sql(),
         "vocab_topk": oracles_docs.vocab_topk_sql(),
+        "leakage_safe_split": oracles_docs.leakage_safe_split_sql(num_perm=8, bands=4),
         "boilerplate_ngrams": oracles_docs.boilerplate_ngrams_sql(top_k=20),
         "pii_redact": oracles_docs.pii_redact_sql(),
         "url_normalize": (

@@ -81,3 +81,37 @@ def stratified_sample(
     for g, r in sorted(rates.items()):
         expr = F.when(F.col(group) == g, int(round(r * buckets))).otherwise(expr)
     return df.where(b < expr)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    components: DataFrame,
+    key: str = "doc_id",
+    train: float = 0.9,
+    val: float = 0.05,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Near-dup-aware train/val/test assignment: every member of a
+    near-dup component inherits the split of its CANONICAL id, so two
+    near-duplicate documents can never straddle train and test (the
+    eval-leakage failure mode a plain per-doc split has — ~half of each
+    near-dup pair's mass lands across the boundary).
+
+    ``components`` is the (key, canonical_id) verdict from
+    :func:`~..operators.dedup.dedup_components` (or keep-best); the
+    bucket arithmetic is the same overflow-free MINSTD hash as
+    :func:`assign_split`, applied to canonical_id. Split membership is
+    therefore key-based and resume/cluster-size stable, and changing
+    the LSH recall only moves docs whose component changed.
+    """
+    b = hash_bucket(F.col("canonical_id"), buckets)
+    t_hi = int(round(train * buckets))
+    v_hi = t_hi + int(round(val * buckets))
+    split = (
+        F.when(b < t_hi, F.lit("train"))
+        .when(b < v_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(key).join(
+        components.select(key, "canonical_id"), key
+    ).select(key, "canonical_id", split.alias("split"))

@@ -522,3 +522,27 @@ topk AS (SELECT * FROM uni ORDER BY freq DESC, term LIMIT {k})
 SELECT term, freq, df,
        CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rank
 FROM topk"""
+
+
+def leakage_safe_split_sql(
+    num_perm: int = 8,
+    bands: int = 4,
+    train: float = 0.9,
+    val: float = 0.05,
+    buckets: int = 1000,
+) -> str:
+    """Twin of operators/sampling.leakage_safe_split over
+    dedup_components(minhash_lsh_pairs): the MINSTD bucket of the
+    component-canonical id decides the whole component's split."""
+    t_hi = int(round(train * buckets))
+    v_hi = t_hi + int(round(val * buckets))
+    return f"""
+WITH RECURSIVE {_components_ctes(num_perm, bands)},
+canon AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+SELECT doc_id, canonical_id,
+       CASE WHEN ((canonical_id * 48271) % 2147483647) % {buckets} < {t_hi} THEN 'train'
+            WHEN ((canonical_id * 48271) % 2147483647) % {buckets} < {v_hi} THEN 'val'
+            ELSE 'test' END AS split
+FROM canon"""

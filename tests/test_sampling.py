@@ -52,3 +52,25 @@ def test_sample_plan_is_narrow(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_leakage_safe_split_component_coherent(spark):
+    from osm_poi_matchmaker_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(20)], "doc_id long, text string"
+    )
+    comp = spark.createDataFrame(
+        # 0-1-2 one component (canonical 0); 5-6 another; rest singletons
+        [(i, 0 if i in (0, 1, 2) else (5 if i in (5, 6) else i)) for i in range(20)],
+        "doc_id long, canonical_id long",
+    )
+    rows = {r["doc_id"]: r for r in leakage_safe_split(docs, comp).collect()}
+    assert len(rows) == 20
+    assert rows[0]["split"] == rows[1]["split"] == rows[2]["split"]
+    assert rows[5]["split"] == rows[6]["split"]
+    # component split equals the canonical's plain assign_split bucket
+    from osm_poi_matchmaker_spark.operators.sampling import hash_bucket  # noqa: F401
+
+    b = (0 * 48271 % 2147483647) % 1000
+    assert rows[0]["split"] == ("train" if b < 900 else "val" if b < 950 else "test")
