@@ -258,6 +258,13 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.vocab_topk(_docs(spark, sf_dir))
 
 
+def _q_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite keep/drop verdict (first-failing-rule): too_short →
+    repetitive → high_perplexity → keep. All four reasons non-vacuous
+    at sf0.01 (272 keep / 171 repetitive / 38 high-ppl / 19 short)."""
+    return quality.corpus_gate(_docs(spark, sf_dir))
+
+
 def _q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.boilerplate_ngrams(_docs(spark, sf_dir), top_k=20)
 
@@ -2656,6 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_score": _q_bigram_lm_score,
         "vocab_topk": _q_vocab_topk,
         "leakage_safe_split": _q_leakage_safe_split,
+        "corpus_gate": _q_corpus_gate,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "pii_redact": _q_pii_redact,
         "url_normalize": _q_url_normalize,
@@ -3029,6 +3037,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_score": oracles_docs.bigram_lm_score_sql(),
         "vocab_topk": oracles_docs.vocab_topk_sql(),
         "leakage_safe_split": oracles_docs.leakage_safe_split_sql(num_perm=8, bands=4),
+        "corpus_gate": oracles_docs.corpus_gate_sql(),
         "boilerplate_ngrams": oracles_docs.boilerplate_ngrams_sql(top_k=20),
         "pii_redact": oracles_docs.pii_redact_sql(),
         "url_normalize": (

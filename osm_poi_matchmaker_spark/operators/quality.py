@@ -282,3 +282,50 @@ def vocab_topk(
     )
     w = Window.orderBy(F.desc("freq"), F.asc("term"))
     return uni.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def corpus_gate(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    min_tokens: int = 15,
+    max_perplexity: float = 31.0,
+) -> DataFrame:
+    """The composite keep/drop verdict a corpus build actually applies:
+    every document gets a ``keep`` flag and the FIRST failing rule as
+    ``reason`` (fixed rule order, so the verdict is deterministic):
+
+    1. ``too_short``       — fewer than ``min_tokens`` whitespace tokens;
+    2. ``repetitive``      — :func:`repetition_stats` composite flag
+       (Gopher-style dup-token / top-token / dup-2-gram cuts);
+    3. ``high_perplexity`` — corpus bigram-LM perplexity above
+       ``max_perplexity`` (:func:`bigram_lm_score`); docs too short to
+       have bigrams were already caught by rule 1;
+    4. otherwise ``keep``.
+
+    Composes three already-verified passes with two joins on the doc
+    key; the threshold compares use the 6-dp-ROUNDED perplexity both
+    engines emit identically. Scale shape: inherits the component ops'
+    shapes — nothing here adds a shuffle beyond the key joins.
+    """
+    toks_n = docs.select(
+        F.col(key).alias("doc_id"), F.size(tokens(F.col(text))).alias("_nt")
+    )
+    rep = repetition_stats(docs, key=key, text=text).select(
+        F.col(key).alias("doc_id"), "is_repetitive"
+    )
+    lm = bigram_lm_score(docs, key=key, text=text).select("doc_id", "perplexity")
+    j = toks_n.join(rep, "doc_id").join(lm, "doc_id", "left")
+    reason = (
+        F.when(F.col("_nt") < min_tokens, F.lit("too_short"))
+        .when(F.col("is_repetitive"), F.lit("repetitive"))
+        .when(
+            F.col("perplexity").isNotNull()
+            & (F.col("perplexity") > F.lit(max_perplexity)),
+            F.lit("high_perplexity"),
+        )
+        .otherwise(F.lit("keep"))
+    )
+    return j.select(
+        "doc_id", reason.alias("reason"), (reason == "keep").alias("keep")
+    )

@@ -546,3 +546,26 @@ SELECT doc_id, canonical_id,
             WHEN ((canonical_id * 48271) % 2147483647) % {buckets} < {v_hi} THEN 'val'
             ELSE 'test' END AS split
 FROM canon"""
+
+
+def corpus_gate_sql(min_tokens: int = 15, max_perplexity: float = 31.0) -> str:
+    """Twin of operators/quality.corpus_gate: composes the
+    repetition-stats and bigram-LM oracle bodies, first-failing-rule
+    verdict; the perplexity compare uses the 6-dp-rounded value both
+    engines emit identically."""
+    return f"""
+WITH rep AS (SELECT * FROM ({repetition_stats_sql()})),
+lm AS (SELECT * FROM ({bigram_lm_score_sql()})),
+tok AS (
+  SELECT doc_id, len({_TOKS.format(t='text')}) AS nt FROM documents),
+g AS (
+  SELECT t.doc_id,
+         CASE WHEN t.nt < {min_tokens} THEN 'too_short'
+              WHEN r.is_repetitive THEN 'repetitive'
+              WHEN lm.perplexity IS NOT NULL AND lm.perplexity > {max_perplexity!r}
+                THEN 'high_perplexity'
+              ELSE 'keep' END AS reason
+  FROM tok t
+  JOIN rep r ON t.doc_id = r.doc_id
+  LEFT JOIN lm ON t.doc_id = lm.doc_id)
+SELECT doc_id, reason, reason = 'keep' AS keep FROM g"""

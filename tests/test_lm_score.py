@@ -69,3 +69,22 @@ def test_vocab_topk_counts_and_ties(spark):
     got.sort(key=lambda x: x[3])
     # a and b tie at freq 3 -> term-asc breaks the tie; c (freq 2) third
     assert got == [("a", 3, 3, 1), ("b", 3, 2, 2), ("c", 2, 2, 3)]
+
+
+def test_corpus_gate_rule_order(spark):
+    from osm_poi_matchmaker_spark.operators.quality import corpus_gate
+
+    rows = [
+        # short AND repetitive -> too_short wins (first failing rule)
+        (1, "a a a a a"),
+        # long + repetitive (one token dominates > 10%)
+        (2, " ".join(["spam"] * 10 + [f"w{i}" for i in range(20)])),
+        # long, diverse -> keep (or high_perplexity; must not be short/rep)
+        (3, " ".join(f"t{i} u{i}" for i in range(20))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in corpus_gate(docs).collect()}
+    assert got[1]["reason"] == "too_short" and not got[1]["keep"]
+    assert got[2]["reason"] == "repetitive" and not got[2]["keep"]
+    assert got[3]["reason"] in ("keep", "high_perplexity")
+    assert got[3]["keep"] == (got[3]["reason"] == "keep")
