@@ -236,6 +236,12 @@ def _q_lsh_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_agreement(_docs(spark, sf_dir))
 
 
+def _q_lsh_arrival_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy bucket-claim LSH dedup (the crawl-edge online policy; batch
+    twin of streaming/dedup.lsh_dedup_stream) — no pair materialization."""
+    return dedup.lsh_arrival_dedup(_docs(spark, sf_dir))
+
+
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm_poi_matchmaker_spark.operators.retrieval import bm25_topk
 
@@ -2657,6 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "dedup_simhash": _q_dedup_simhash,
         "lsh_agreement": _q_lsh_agreement,
+        "lsh_arrival_dedup": _q_lsh_arrival_dedup,
         "bm25_topk": _q_bm25_topk,
         "doc_stats": _q_doc_stats,
         "repetition_stats": _q_repetition_stats,
@@ -3031,6 +3038,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": oracles_docs.decontaminate_sql(n=8, modulus=17, residue=3),
         "dedup_simhash": oracles_docs.simhash_sql(),
         "lsh_agreement": oracles_docs.lsh_agreement_sql(),
+        "lsh_arrival_dedup": oracles_docs.lsh_arrival_dedup_sql(num_perm=8, bands=4),
         "bm25_topk": oracles_docs.bm25_topk_sql(),
         "doc_stats": oracles_docs.doc_stats_sql(),
         "repetition_stats": oracles_docs.repetition_stats_sql(),

@@ -181,6 +181,26 @@ def minhash_signatures(
     )
 
 
+def band_signatures(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    num_perm: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """(key, band, band_sig) — the LSH bucket keys every MinHash consumer
+    shares (pair join, components, arrival dedup, the streaming claimer).
+    band_sig = comma-join of the band's sorted minhashes."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, key, text, n, num_perm).withColumn(
+        "band", F.floor(F.col("perm") / rows_per_band)
+    )
+    return sigs.groupBy(key, "band").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("minhash"))).alias("band_sig")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     key: str = "doc_id",
@@ -196,13 +216,7 @@ def minhash_lsh_pairs(
     Scale path: the band-bucket join replaces the all-pairs comparison —
     identical to bucketing the signature table by (band, band_sig).
     """
-    rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, key, text, n, num_perm).withColumn(
-        "band", F.floor(F.col("perm") / rows_per_band)
-    )
-    band_sigs = sigs.groupBy(key, "band").agg(
-        F.concat_ws(",", F.array_sort(F.collect_list("minhash"))).alias("band_sig")
-    )
+    band_sigs = band_signatures(docs, key, text, n, num_perm, bands)
     a = band_sigs.select(F.col(key).alias("doc_a"), "band", "band_sig")
     b = band_sigs.select(F.col(key).alias("doc_b"), "band", "band_sig")
     return (
@@ -478,4 +492,46 @@ def lsh_agreement(
         F.coalesce(F.col("ta"), F.col("ca")).alias("doc_a"),
         F.coalesce(F.col("tb"), F.col("cb")).alias("doc_b"),
         status.alias("status"),
+    )
+
+
+def lsh_arrival_dedup(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    num_perm: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Arrival-ordered (greedy) LSH dedup with BUCKET-CLAIM semantics:
+    the earliest doc (smallest key — crawl page ids are monotone with
+    arrival) to touch each LSH band bucket owns it; a doc is a duplicate
+    iff any of its buckets is owned by an earlier doc, ``dup_of`` = the
+    earliest such owner (itself when it survives).
+
+    This is the batch twin of ``streaming/dedup.lsh_dedup_stream`` —
+    the online policy a crawl edge actually runs (each bucket is claimed
+    independently; claims are NOT restricted to surviving docs, which is
+    what makes the policy single-pass and parallel — unlike the
+    transitive ``dedup_components`` release-time pass, which stays the
+    batch-only complement).
+
+    Scale shape: one groupBy per (band, bucket) with a partial-agg min,
+    one equi-join back, one per-doc agg — no pair materialization at
+    all (the pair join of ``minhash_lsh_pairs`` is skipped entirely).
+    """
+    bs = band_signatures(docs, key, text, n, num_perm, bands)
+    own = bs.groupBy("band", "band_sig").agg(F.min(key).alias("owner"))
+    v = (
+        bs.join(own, ["band", "band_sig"])
+        .groupBy(key)
+        .agg(
+            F.min(F.when(F.col("owner") != F.col(key), F.col("owner"))).alias("dup_src"),
+            F.max(F.col("owner") != F.col(key)).alias("isd"),
+        )
+    )
+    return docs.select(key).join(v, key, "left").select(
+        key,
+        F.coalesce("dup_src", F.col(key)).alias("dup_of"),
+        F.coalesce("isd", F.lit(False)).alias("is_duplicate"),
     )

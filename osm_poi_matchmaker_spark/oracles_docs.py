@@ -230,9 +230,9 @@ s AS (SELECT vec_a, vec_b, {cos} AS cs FROM pr)
 SELECT vec_a, vec_b, ROUND(cs, 6) AS cosine_sim FROM s WHERE cs >= {threshold}"""
 
 
-def _components_ctes(num_perm: int, bands: int) -> str:
-    """Shared CTE chain: shingles → MinHash → LSH bands → pair graph →
-    recursive transitive closure → ``comp(node, component)``."""
+def _band_ctes(num_perm: int, bands: int) -> str:
+    """Shared CTE chain: shingles → MinHash → LSH band buckets
+    ``bs(doc_id, band, band_sig)`` (twin of operators/dedup.band_signatures)."""
     rpb = num_perm // bands
     return f"""{_shingle_ctes()},
 pp AS (SELECT doc_id, shingle, unnest(range(0, {num_perm})) AS perm FROM e),
@@ -241,7 +241,13 @@ sig AS (SELECT doc_id, perm,
         FROM pp GROUP BY 1, 2),
 bs AS (SELECT doc_id, CAST(perm // {rpb} AS BIGINT) AS band,
               array_to_string(list_sort(list(minhash)), ',') AS band_sig
-       FROM sig GROUP BY 1, 2),
+       FROM sig GROUP BY 1, 2)"""
+
+
+def _components_ctes(num_perm: int, bands: int) -> str:
+    """Band CTEs + pair graph + recursive transitive closure →
+    ``comp(node, component)``."""
+    return f"""{_band_ctes(num_perm, bands)},
 prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bs a JOIN bs b ON a.band = b.band AND a.band_sig = b.band_sig
         WHERE a.doc_id < b.doc_id),
@@ -569,3 +575,23 @@ g AS (
   JOIN rep r ON t.doc_id = r.doc_id
   LEFT JOIN lm ON t.doc_id = lm.doc_id)
 SELECT doc_id, reason, reason = 'keep' AS keep FROM g"""
+
+
+def lsh_arrival_dedup_sql(num_perm: int = 8, bands: int = 4) -> str:
+    """Twin of operators/dedup.lsh_arrival_dedup: greedy bucket-claim
+    dedup — smallest doc_id owns each band bucket; a doc is a duplicate
+    iff any of its buckets has an earlier owner."""
+    return f"""
+WITH {_band_ctes(num_perm, bands)},
+own AS (SELECT band, band_sig, MIN(doc_id) AS owner
+        FROM bs GROUP BY band, band_sig),
+j AS (SELECT b.doc_id, o.owner
+      FROM bs b JOIN own o ON b.band = o.band AND b.band_sig = o.band_sig),
+v AS (SELECT doc_id,
+             MIN(CASE WHEN owner <> doc_id THEN owner END) AS dup_src,
+             BOOL_OR(owner <> doc_id) AS isd
+      FROM j GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(v.dup_src, d.doc_id) AS dup_of,
+       COALESCE(v.isd, FALSE) AS is_duplicate
+FROM documents d LEFT JOIN v ON v.doc_id = d.doc_id"""
