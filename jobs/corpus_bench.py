@@ -103,11 +103,17 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
 
+    from osm_poi_matchmaker_spark.operators.quality import bigram_lm_score
+    from osm_poi_matchmaker_spark.operators.retrieval import bm25_topk
+
     stages = {}
     stages["repetition_stats"] = run("rep", repetition_stats(docs))
     stages["boilerplate_ngrams"] = run("boil", boilerplate_ngrams(docs, top_k=20))
     stages["pack_sequences"] = run("pack", pack_sequences(docs, ctx=2048))
     stages["pii_redact"] = run("pii", pii_redact(docs))
+    stages["bigram_lm_score"] = run("lm", bigram_lm_score(docs))
+    bm25_queries = [(1, "cookies"), (2, "spark join"), (3, "fast table scan")]
+    stages["bm25_topk"] = run("bm25", bm25_topk(docs, bm25_queries))
 
     # correctness 1: the boilerplate flag recovers EXACTLY the banner
     # docs (banner shingle df is n/10, organic trigram df ~n/300)
@@ -126,6 +132,25 @@ def main() -> None:
         F.sum("n_tokens")
     ).collect()[0][0]
 
+    # correctness 3: BM25 closed-form — 'cookies' appears exactly once in
+    # every banner doc and nowhere else; all banner docs have dl=12, so
+    # scores tie and the doc_id tie-break makes top-5 = docs 0..40
+    b = bm25_topk(docs, bm25_queries, k=5)
+    top_cookies = [
+        r["doc_id"]
+        for r in b.where(F.col("query_id") == 1).orderBy("rank").collect()
+    ]
+    bm25_exact = top_cookies == [0, 10, 20, 30, 40]
+    # correctness 4: banner docs are built from corpus-frequent bigrams
+    # (each banner bigram repeats n/10 times) -> their LM perplexity must
+    # sit strictly below the organic mean
+    lm = bigram_lm_score(docs).withColumn("banner", F.col("doc_id") % 10 == 0)
+    ppl = {
+        r["banner"]: r["p"]
+        for r in lm.groupBy("banner").agg(F.avg("perplexity").alias("p")).collect()
+    }
+    lm_ordered = bool(ppl[True] < ppl[False])
+
     wall = sum(stages.values())
     print(
         json.dumps(
@@ -142,6 +167,10 @@ def main() -> None:
                 "boiler_flagged": flagged,
                 "boiler_expected": expected_banner_docs,
                 "boiler_exact": bool(flag_err == 0),
+                "bm25_exact": bool(bm25_exact),
+                "lm_banner_ppl": round(ppl[True], 3),
+                "lm_organic_ppl": round(ppl[False], 3),
+                "lm_ordered": lm_ordered,
                 "cpus": cpus,
             }
         )
