@@ -2577,6 +2577,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asset_decode_real": _q_asset_decode_real,
         "osm_xml_name_flags": _q_osm_xml_name_flags,
         "match_cascade": _q_match_cascade,
+        # round-2 corpus-pipeline flagships — kept inside the driver's
+        # verified window alongside the geospatial core
+        "lsh_arrival_dedup": _q_lsh_arrival_dedup,
+        "corpus_gate": _q_corpus_gate,
+        "bigram_lm_score": _q_bigram_lm_score,
+        "bm25_topk": _q_bm25_topk,
+        "leakage_safe_split": _q_leakage_safe_split,
         "match_cascade_bounded": _q_match_cascade_bounded,
         "osm_xml_render": _q_osm_xml_render,
         "hu_address_parse": _q_hu_address_parse,
@@ -2663,14 +2670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "dedup_simhash": _q_dedup_simhash,
         "lsh_agreement": _q_lsh_agreement,
-        "lsh_arrival_dedup": _q_lsh_arrival_dedup,
-        "bm25_topk": _q_bm25_topk,
         "doc_stats": _q_doc_stats,
         "repetition_stats": _q_repetition_stats,
-        "bigram_lm_score": _q_bigram_lm_score,
         "vocab_topk": _q_vocab_topk,
-        "leakage_safe_split": _q_leakage_safe_split,
-        "corpus_gate": _q_corpus_gate,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "pii_redact": _q_pii_redact,
         "url_normalize": _q_url_normalize,

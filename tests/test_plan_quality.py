@@ -124,3 +124,35 @@ def test_decontaminate_broadcasts_benchmark(spark):
     plan = plan_of(entry_mod._q_decontaminate(spark, SF), mode="simple")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_bm25_broadcast_semi_filter(spark):
+    # the query-term restriction is a broadcast hash join applied BEFORE
+    # the tf aggregation: non-query postings die map-side, the corpus
+    # never shuffles its full postings list
+    plan = plan_of(entry_mod._q_bm25_topk(spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # everything stays codegen'd column exprs — no Python anywhere
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_bigram_lm_pure_codegen(spark):
+    # LM training + scoring is explode + counts + joins + ordered fold:
+    # all JVM-side, no Python, no cartesian beyond the 1-row vocab
+    # broadcast (BroadcastNestedLoopJoin over a single-row dim is fine)
+    plan = plan_of(entry_mod._q_bigram_lm_score(spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_lsh_arrival_no_pair_join(spark):
+    # bucket-claim dedup never materializes candidate PAIRS: no self-join
+    # of the band table on (band, band_sig) producing doc_a/doc_b — the
+    # owner attaches by an equi-join after a partial-agg min
+    plan = plan_of(entry_mod._q_lsh_arrival_dedup(spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "doc_a" not in plan and "doc_b" not in plan
+    assert "partial_min" in plan or "min(" in plan
