@@ -115,3 +115,49 @@ def leakage_safe_split(
     return docs.select(key).join(
         components.select(key, "canonical_id"), key
     ).select(key, "canonical_id", split.alias("split"))
+
+
+def corpus_release(
+    docs: DataFrame,
+    gate: DataFrame,
+    keep_best: DataFrame,
+    key: str = "doc_id",
+    train: float = 0.9,
+    val: float = 0.05,
+    buckets: int = 1000,
+) -> DataFrame:
+    """End-to-end release disposition — the verdict column a corpus build
+    stamps on every document before writing shards:
+
+    - ``gate:<reason>``  quality-gated out (:func:`~..operators.quality.corpus_gate`);
+    - ``duplicate``      survived the gate but lost keep-best dedup
+      (:func:`~..operators.dedup.dedup_keep_best`);
+    - ``train``/``val``/``test``  survivors, split by the MINSTD bucket
+      of their keep-best CANONICAL id — so near-dup families that
+      somehow both survive can never straddle the eval boundary, and
+      the verdict is stable across cluster sizes and resumes.
+
+    Gate and dedup verdicts are computed corpus-wide (not gated-first):
+    idempotent, order-free, and each sub-verdict remains independently
+    auditable. One plan, three key-joins — no new shuffles beyond the
+    component ops' own.
+    """
+    b = hash_bucket(F.col("canonical_id"), buckets)
+    t_hi = int(round(train * buckets))
+    v_hi = t_hi + int(round(val * buckets))
+    split = (
+        F.when(b < t_hi, F.lit("train"))
+        .when(b < v_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    disposition = (
+        F.when(F.col("reason") != "keep", F.concat(F.lit("gate:"), F.col("reason")))
+        .when(F.col("is_duplicate"), F.lit("duplicate"))
+        .otherwise(split)
+    )
+    return (
+        docs.select(F.col(key).alias("doc_id"))
+        .join(gate.select("doc_id", "reason"), "doc_id")
+        .join(keep_best.select(key, "canonical_id", "is_duplicate"), "doc_id")
+        .select("doc_id", disposition.alias("disposition"))
+    )

@@ -595,3 +595,26 @@ SELECT d.doc_id,
        COALESCE(v.dup_src, d.doc_id) AS dup_of,
        COALESCE(v.isd, FALSE) AS is_duplicate
 FROM documents d LEFT JOIN v ON v.doc_id = d.doc_id"""
+
+
+def corpus_release_sql(
+    num_perm: int = 8,
+    bands: int = 4,
+    train: float = 0.9,
+    val: float = 0.05,
+    buckets: int = 1000,
+) -> str:
+    """Twin of operators/sampling.corpus_release: gate → keep-best dedup
+    → leakage-safe split, composed from the verified oracle bodies."""
+    t_hi = int(round(train * buckets))
+    v_hi = t_hi + int(round(val * buckets))
+    return f"""
+WITH g AS (SELECT * FROM ({corpus_gate_sql()})),
+kb AS (SELECT * FROM ({dedup_keep_best_sql(num_perm, bands)}))
+SELECT g.doc_id,
+       CASE WHEN g.reason <> 'keep' THEN 'gate:' || g.reason
+            WHEN kb.is_duplicate THEN 'duplicate'
+            WHEN ((kb.canonical_id * 48271) % 2147483647) % {buckets} < {t_hi} THEN 'train'
+            WHEN ((kb.canonical_id * 48271) % 2147483647) % {buckets} < {v_hi} THEN 'val'
+            ELSE 'test' END AS disposition
+FROM g JOIN kb ON g.doc_id = kb.doc_id"""

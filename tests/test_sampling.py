@@ -74,3 +74,33 @@ def test_leakage_safe_split_component_coherent(spark):
 
     b = (0 * 48271 % 2147483647) % 1000
     assert rows[0]["split"] == ("train" if b < 900 else "val" if b < 950 else "test")
+
+
+def test_corpus_release_disposition_precedence(spark):
+    from osm_poi_matchmaker_spark.operators.sampling import corpus_release
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    gate = spark.createDataFrame(
+        [(0, "keep"), (1, "too_short"), (2, "repetitive"), (3, "keep"),
+         (4, "keep"), (5, "high_perplexity")],
+        "doc_id long, reason string",
+    )
+    kb = spark.createDataFrame(
+        # 3 is a duplicate of 0; 5 is a duplicate too, but the gate wins
+        [(0, 0, False), (1, 1, False), (2, 2, False), (3, 0, True),
+         (4, 4, False), (5, 0, True)],
+        "doc_id long, canonical_id long, is_duplicate boolean",
+    )
+    got = {r["doc_id"]: r["disposition"]
+           for r in corpus_release(docs, gate, kb).collect()}
+    assert got[1] == "gate:too_short"
+    assert got[2] == "gate:repetitive"
+    assert got[5] == "gate:high_perplexity"  # gate outranks duplicate
+    assert got[3] == "duplicate"
+    # survivors split by CANONICAL id -> 0 and (hypothetically) its
+    # family share a split; 0 and 4 get their own buckets
+    b0 = (0 * 48271 % 2147483647) % 1000
+    assert got[0] == ("train" if b0 < 900 else "val" if b0 < 950 else "test")
+    assert got[4] in ("train", "val", "test")
