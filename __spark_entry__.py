@@ -380,6 +380,15 @@ def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the LSH and IVF paths vs exact brute force —
+    the tuning read-off for (bits, nprobe, centroids)."""
+    exact = _q_ann_topk_exact(spark, sf_dir)
+    return similarity.ann_recall(exact, _q_ann_topk_lsh(spark, sf_dir), "lsh").unionAll(
+        similarity.ann_recall(exact, _q_ann_topk_ivf(spark, sf_dir), "ivf")
+    )
+
+
 def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Threshold 0.35 is tuned to the synthetic corpus (random embeddings —
     # real near-dup corpora would use ~0.9); the operator semantics are
@@ -2696,6 +2705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_exact": _q_ann_topk_exact,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        "ann_recall": _q_ann_recall,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "html_text_parity": _q_html_text_parity,
         "ordered_scan": _q_ordered_scan,
@@ -3097,6 +3107,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": oracles_docs.ann_ivf_sql(
             k=5, centroid_mod=100, nprobe=2, query_mod=50
         ),
+        "ann_recall": oracles_docs.ann_recall_sql(k=5, query_mod=50),
         "dedup_embedding_cosine": oracles_docs.embedding_cosine_dup_sql(
             threshold=0.35, bits=4
         ),

@@ -219,3 +219,33 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "match_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
     )
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame, method: str) -> DataFrame:
+    """Evaluation harness: per-query recall@k of an approximate top-k
+    (LSH / IVF) against the exact brute-force top-k — the measured error
+    profile that turns (bits, nprobe, centroids) tuning from guesswork
+    into a read-off, same role :func:`~.dedup.lsh_agreement` plays for
+    MinHash banding. At 100 TB this runs on a sampled query shard; both
+    inputs are already top-k-sized (k rows per query), so the join is
+    trivial.
+
+    Returns (query_id, method, n_exact, n_hits, recall).
+    """
+    e = exact.select("query_id", "match_id")
+    a = approx.select("query_id", "match_id", F.lit(1).alias("_h"))
+    return (
+        e.join(a, ["query_id", "match_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("_h"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            F.lit(method).alias("method"),
+            "n_exact",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
+        )
+    )

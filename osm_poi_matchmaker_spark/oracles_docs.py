@@ -618,3 +618,25 @@ SELECT g.doc_id,
             WHEN ((kb.canonical_id * 48271) % 2147483647) % {buckets} < {v_hi} THEN 'val'
             ELSE 'test' END AS disposition
 FROM g JOIN kb ON g.doc_id = kb.doc_id"""
+
+
+def ann_recall_sql(k: int = 5, query_mod: int = 50) -> str:
+    """Twin of the ann_recall registry query: recall@k of the LSH and IVF
+    top-k vs the exact top-k, one row per (query, method)."""
+    def leg(name: str, approx_sql: str) -> str:
+        return f"""
+SELECT ex.query_id, '{name}' AS method,
+       COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN ap.match_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       ROUND(CAST(SUM(CASE WHEN ap.match_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             / COUNT(*), 6) AS recall
+FROM ({ann_exact_sql(k=k, query_mod=query_mod)}) ex
+LEFT JOIN ({approx_sql}) ap
+  ON ex.query_id = ap.query_id AND ex.match_id = ap.match_id
+GROUP BY ex.query_id"""
+
+    return (
+        leg("lsh", ann_lsh_sql(k=k, bits=8, query_mod=query_mod))
+        + "\nUNION ALL\n"
+        + leg("ivf", ann_ivf_sql(k=k, centroid_mod=100, nprobe=2, query_mod=query_mod))
+    )

@@ -43,3 +43,21 @@ def test_agreement_partitions_the_union(spark):
     assert {p for p, s in ag.items() if s == "hit"} == truth & cand
     assert {p for p, s in ag.items() if s == "missed"} == truth - cand
     assert {p for p, s in ag.items() if s == "extra"} == cand - truth
+
+
+def test_ann_recall_bounds_and_exact_self(spark):
+    from osm_poi_matchmaker_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], "query_id long, match_id long"
+    )
+    # approx hits 1 of 2 for query 1, both for query 2
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21)], "query_id long, match_id long"
+    )
+    got = {r["query_id"]: r for r in ann_recall(exact, approx, "x").collect()}
+    assert got[1]["recall"] == 0.5 and got[1]["n_hits"] == 1
+    assert got[2]["recall"] == 1.0 and got[2]["n_hits"] == 2
+    # recall of exact vs itself is 1 everywhere
+    self_r = ann_recall(exact, exact, "self").collect()
+    assert all(r["recall"] == 1.0 for r in self_r)
