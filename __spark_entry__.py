@@ -232,6 +232,13 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(_docs(spark, sf_dir))
 
 
+def _q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span stats (Lee et al. 2022): k-token
+    windows occurring >=2 times corpus-wide mark spans; per-doc merged
+    coverage via the fixed-window lag clamp."""
+    return dedup.substring_spans(_docs(spark, sf_dir), k=8)
+
+
 def _q_lsh_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_agreement(_docs(spark, sf_dir))
 
@@ -2692,6 +2699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "decontaminate": _q_decontaminate,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_substring": _q_dedup_substring,
         "lsh_agreement": _q_lsh_agreement,
         "doc_stats": _q_doc_stats,
         "repetition_stats": _q_repetition_stats,
@@ -3063,6 +3071,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": oracles_docs.dedup_keep_best_sql(num_perm=8, bands=4),
         "decontaminate": oracles_docs.decontaminate_sql(n=8, modulus=17, residue=3),
         "dedup_simhash": oracles_docs.simhash_sql(),
+        "dedup_substring": oracles_docs.substring_spans_sql(k=8),
         "lsh_agreement": oracles_docs.lsh_agreement_sql(),
         "lsh_arrival_dedup": oracles_docs.lsh_arrival_dedup_sql(num_perm=8, bands=4),
         "bm25_topk": oracles_docs.bm25_topk_sql(),

@@ -535,3 +535,86 @@ def lsh_arrival_dedup(
         F.coalesce("dup_src", F.col(key)).alias("dup_of"),
         F.coalesce("isd", F.lit(False)).alias("is_duplicate"),
     )
+
+
+def substring_spans(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    k: int = 8,
+    flag_frac: float = 0.5,
+    hashed: bool = False,
+) -> DataFrame:
+    """Exact duplicated-substring spans (ExactSubstr-style dedup, Lee et
+    al. 2022 "Deduplicating Training Data Makes Language Models Better"):
+    every k-token window whose exact text occurs >= 2 times corpus-wide
+    (any document, any position — self-repeats count, matching the
+    suffix-array semantics) marks its k-token span as duplicated.
+
+    Rather than building a corpus suffix array (a driver-side global
+    structure), the distributed shape is: per-position window strings
+    (one explode, linear in corpus tokens) -> groupBy window with a
+    HAVING count >= 2 (partial-agg shuffle) -> equi-join positions back
+    (same key, AQE coalesces) -> one per-doc window pass. Because every
+    duplicated window covers exactly ``k`` tokens, merged span coverage
+    needs no interval stack: sum over duplicated positions of
+    ``min(k, pos - prev_pos)`` (first position contributes ``k``).
+
+    ``hashed=True`` shuffles ``xxhash64(window)`` instead of the window
+    string — the 100 TB path (8-byte keys vs ~50-byte strings through
+    two shuffles); identical output barring 64-bit collisions, pinned
+    equal on fixtures by tests. The string key stays the default so the
+    DuckDB oracle reproduces the plan exactly.
+
+    Generalizes the reference's exact-key get-or-create dedup
+    (dao/data_handlers.py:220-312) from whole-record keys to
+    within-document spans.
+    """
+    from ..functions.textstats import tokens
+
+    t = docs.select(F.col(key), tokens(F.lower(F.col(text))).alias("toks"))
+    n_w = F.greatest(F.size("toks") - F.lit(k - 1), F.lit(0))
+    wins = F.when(
+        n_w > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_w),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    w = t.select(F.col(key), F.posexplode(wins).alias("pos", "win"))
+    if hashed:
+        w = w.select(key, "pos", F.xxhash64("win").alias("win"))
+    dup = (
+        w.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= 2)
+        .select("win")
+    )
+    p = w.join(dup, "win").select(key, "pos")
+    prev = F.lag("pos").over(Window.partitionBy(key).orderBy("pos"))
+    c = (
+        p.select(
+            F.col(key),
+            F.when(prev.isNull(), F.lit(k))
+            .otherwise(F.least(F.lit(k), F.col("pos") - prev))
+            .alias("cov"),
+        )
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.sum("cov").alias("dup_span_tokens"),
+        )
+    )
+    n_tok = F.size("toks")
+    covered = F.coalesce(F.col("dup_span_tokens"), F.lit(0))
+    frac = F.when(n_tok > 0, covered.cast("double") / n_tok.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return t.join(c, key, "left").select(
+        F.col(key),
+        n_tok.alias("n_tokens"),
+        F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long").alias("n_dup_windows"),
+        covered.cast("long").alias("dup_span_tokens"),
+        F.round(frac, 6).alias("dup_frac"),
+        (frac >= flag_frac).alias("is_substring_dup"),
+    )

@@ -640,3 +640,34 @@ GROUP BY ex.query_id"""
         + "\nUNION ALL\n"
         + leg("ivf", ann_ivf_sql(k=k, centroid_mod=100, nprobe=2, query_mod=query_mod))
     )
+
+
+def substring_spans_sql(k: int = 8, flag_frac: float = 0.5) -> str:
+    """Twin of operators/dedup.substring_spans: per-position k-gram
+    windows via range+slice, HAVING count>=2 for corpus-duplicated
+    windows, lag-clamped span coverage per doc."""
+    toks = _TOKS.format(t="lower(text)")
+    frac = (
+        "CASE WHEN len(toks) > 0 THEN COALESCE(covered, 0)::DOUBLE / len(toks)"
+        " ELSE 0.0 END"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+w AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+{k - 1}], ' ') AS win
+      FROM (SELECT doc_id, toks,
+                   unnest(range(1, greatest(len(toks) - {k - 1}, 0) + 1)) AS i
+            FROM t)),
+d AS (SELECT win FROM w GROUP BY 1 HAVING count(*) >= 2),
+p AS (SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM w JOIN d USING (win)),
+c AS (SELECT doc_id, count(*) AS n_dup_windows,
+             sum(CASE WHEN prev IS NULL THEN {k}
+                      ELSE least({k}, pos - prev) END) AS covered
+      FROM p GROUP BY 1)
+SELECT t.doc_id, len(toks) AS n_tokens,
+  COALESCE(n_dup_windows, 0) AS n_dup_windows,
+  COALESCE(covered, 0)::BIGINT AS dup_span_tokens,
+  ROUND({frac}, 6) AS dup_frac,
+  ({frac} >= {flag_frac}) AS is_substring_dup
+FROM t LEFT JOIN c USING (doc_id)"""

@@ -1,0 +1,70 @@
+"""ExactSubstr-style duplicated-span dedup (operators/dedup.substring_spans).
+
+Pins the span-merge clamp semantics — ``sum(min(k, pos - prev))`` with the
+first duplicated position contributing ``k`` — on a handcrafted corpus where
+coverage is PARTIAL (the parquet fixtures are template-copies, so their
+dup_frac is degenerately 0 or 1 and would not catch a clamp bug), plus the
+hashed-key scale path's exact equivalence to the string-key plan.
+"""
+
+from __future__ import annotations
+
+from osm_poi_matchmaker_spark.operators import dedup
+
+
+def _mk_docs(spark):
+    rows = [
+        # within-doc repeat: "w1 w2 w3 w4 w5" at token offsets 0 and 7
+        # (k=4 -> dup windows at pos 0,1,7,8; coverage 4+1+4+1 = 10 of 12)
+        (1, "w1 w2 w3 w4 w5 x1 x2 w1 w2 w3 w4 w5"),
+        # all-unique tokens: zero dup windows
+        (2, "u1 u2 u3 u4 u5 u6 u7 u8"),
+        # cross-doc shared 4-token run "s1 s2 s3 s4" (one window each)
+        (3, "s1 s2 s3 s4 a1 a2 a3"),
+        (4, "b1 b2 b3 s1 s2 s3 s4"),
+        # shorter than k: no windows at all
+        (5, "t1 t2 t3"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_partial_coverage_clamp(spark):
+    out = {
+        r["doc_id"]: r
+        for r in dedup.substring_spans(_mk_docs(spark), k=4, flag_frac=0.5).collect()
+    }
+    assert out[1]["n_dup_windows"] == 4
+    assert out[1]["dup_span_tokens"] == 10
+    assert abs(out[1]["dup_frac"] - round(10 / 12, 6)) < 1e-9
+    assert out[1]["is_substring_dup"] is True
+
+    assert out[2]["n_dup_windows"] == 0
+    assert out[2]["dup_span_tokens"] == 0
+    assert out[2]["is_substring_dup"] is False
+
+    for d in (3, 4):
+        assert out[d]["n_dup_windows"] == 1
+        assert out[d]["dup_span_tokens"] == 4
+        assert out[d]["is_substring_dup"] is (4 / 7 >= 0.5)
+
+    assert out[5]["n_tokens"] == 3
+    assert out[5]["n_dup_windows"] == 0
+    assert out[5]["dup_frac"] == 0.0
+
+
+def test_hashed_key_is_equivalent(spark):
+    docs = _mk_docs(spark)
+    a = sorted(map(tuple, dedup.substring_spans(docs, k=4).collect()))
+    b = sorted(map(tuple, dedup.substring_spans(docs, k=4, hashed=True).collect()))
+    assert a == b
+
+
+def test_case_insensitive_windows(spark):
+    docs = spark.createDataFrame(
+        [(1, "Foo Bar Baz Qux tail1"), (2, "foo bar baz qux tail2")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r for r in dedup.substring_spans(docs, k=4).collect()
+    }
+    assert out[1]["n_dup_windows"] == 1 and out[2]["n_dup_windows"] == 1
