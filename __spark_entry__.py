@@ -239,6 +239,13 @@ def _q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_spans(_docs(spark, sf_dir), k=8)
 
 
+def _q_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span removal: documents rewritten with every token
+    inside a corpus-duplicated 8-gram window dropped (all-occurrence
+    policy — deterministic under any partitioning)."""
+    return dedup.substring_rewrite(_docs(spark, sf_dir), k=8)
+
+
 def _q_lsh_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_agreement(_docs(spark, sf_dir))
 
@@ -2700,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_substring": _q_dedup_substring,
+        "dedup_substring_rewrite": _q_dedup_substring_rewrite,
         "lsh_agreement": _q_lsh_agreement,
         "doc_stats": _q_doc_stats,
         "repetition_stats": _q_repetition_stats,
@@ -3072,6 +3080,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": oracles_docs.decontaminate_sql(n=8, modulus=17, residue=3),
         "dedup_simhash": oracles_docs.simhash_sql(),
         "dedup_substring": oracles_docs.substring_spans_sql(k=8),
+        "dedup_substring_rewrite": oracles_docs.substring_rewrite_sql(k=8),
         "lsh_agreement": oracles_docs.lsh_agreement_sql(),
         "lsh_arrival_dedup": oracles_docs.lsh_arrival_dedup_sql(num_perm=8, bands=4),
         "bm25_topk": oracles_docs.bm25_topk_sql(),

@@ -618,3 +618,75 @@ def substring_spans(
         F.round(frac, 6).alias("dup_frac"),
         (frac >= flag_frac).alias("is_substring_dup"),
     )
+
+
+def substring_rewrite(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """ExactSubstr span REMOVAL: rewrite each document with every token
+    that falls inside a corpus-duplicated k-token window dropped (the
+    destructive companion to ``substring_spans``; Lee et al. 2022 cut
+    one span per duplicate cluster, we cut all occurrences — the
+    stricter, order-independent policy, so output is deterministic
+    under any partitioning).
+
+    Scale shape: all joins are equi-joins on (doc, token index) — the
+    covered-index set is exploded and distinct-ed rather than probed
+    per token, so per-doc work is O(n_tokens * k) regardless of how
+    many duplicated windows a pathological doc carries, and tokens
+    never leave their doc_id shuffle key. Reassembly is one
+    collect_list + array_sort per doc.
+    """
+    from ..functions.textstats import tokens
+
+    t = docs.select(F.col(key), tokens(F.lower(F.col(text))).alias("toks"))
+    n_w = F.greatest(F.size("toks") - F.lit(k - 1), F.lit(0))
+    wins = F.when(
+        n_w > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_w),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    w = t.select(F.col(key), F.posexplode(wins).alias("pos", "win"))
+    dup = (
+        w.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= 2)
+        .select("win")
+    )
+    covered = (
+        w.join(dup, "win")
+        .select(
+            F.col(key),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias(
+                "idx"
+            ),
+        )
+        .distinct()
+    )
+    toksidx = t.select(F.col(key), F.posexplode("toks").alias("idx", "tok"))
+    kept = (
+        toksidx.join(covered, [key, "idx"], "left_anti")
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("text_rewritten"),
+        )
+    )
+    n_tok = F.size("toks")
+    return t.join(kept, key, "left").select(
+        F.col(key),
+        n_tok.alias("n_tokens"),
+        (n_tok - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long").alias("n_removed"),
+        F.coalesce(F.col("text_rewritten"), F.lit("")).alias("text_rewritten"),
+    )

@@ -671,3 +671,29 @@ SELECT t.doc_id, len(toks) AS n_tokens,
   ROUND({frac}, 6) AS dup_frac,
   ({frac} >= {flag_frac}) AS is_substring_dup
 FROM t LEFT JOIN c USING (doc_id)"""
+
+
+def substring_rewrite_sql(k: int = 8) -> str:
+    """Twin of operators/dedup.substring_rewrite: covered token indices
+    via unnest(range(pos, pos+k)), anti-join against token positions,
+    ordered string_agg reassembly."""
+    toks = _TOKS.format(t="lower(text)")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+w AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+{k - 1}], ' ') AS win
+      FROM (SELECT doc_id, toks,
+                   unnest(range(1, greatest(len(toks) - {k - 1}, 0) + 1)) AS i
+            FROM t)),
+d AS (SELECT win FROM w GROUP BY 1 HAVING count(*) >= 2),
+cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + {k})) AS idx
+        FROM w JOIN d USING (win)),
+ti AS (SELECT doc_id, i - 1 AS idx, toks[i] AS tok
+       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)),
+kept AS (SELECT ti.doc_id, count(*) AS n_kept,
+                string_agg(tok, ' ' ORDER BY idx) AS text_rewritten
+         FROM ti ANTI JOIN cov ON ti.doc_id = cov.doc_id AND ti.idx = cov.idx
+         GROUP BY 1)
+SELECT t.doc_id, len(toks) AS n_tokens,
+  (len(toks) - COALESCE(n_kept, 0))::BIGINT AS n_removed,
+  COALESCE(text_rewritten, '') AS text_rewritten
+FROM t LEFT JOIN kept USING (doc_id)"""

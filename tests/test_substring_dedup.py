@@ -68,3 +68,33 @@ def test_case_insensitive_windows(spark):
         r["doc_id"]: r for r in dedup.substring_spans(docs, k=4).collect()
     }
     assert out[1]["n_dup_windows"] == 1 and out[2]["n_dup_windows"] == 1
+
+
+def test_rewrite_removes_covered_spans(spark):
+    out = {
+        r["doc_id"]: r
+        for r in dedup.substring_rewrite(_mk_docs(spark), k=4).collect()
+    }
+    # doc 1: covered idx = [0,3]∪[1,4]∪[7,10]∪[8,11] → 0..4 and 7..11
+    # kept: idx 5 ('x1') and 6 ('x2')
+    assert out[1]["n_removed"] == 10
+    assert out[1]["text_rewritten"] == "x1 x2"
+    # doc 2 untouched (lowercased by design)
+    assert out[2]["n_removed"] == 0
+    assert out[2]["text_rewritten"] == "u1 u2 u3 u4 u5 u6 u7 u8"
+    # docs 3/4: the shared 4-token run goes, tails stay in order
+    assert out[3]["text_rewritten"] == "a1 a2 a3"
+    assert out[4]["text_rewritten"] == "b1 b2 b3"
+    # doc 5 (< k tokens): no windows, fully kept
+    assert out[5]["n_removed"] == 0
+    assert out[5]["text_rewritten"] == "t1 t2 t3"
+
+
+def test_rewrite_fully_duplicated_doc_empties(spark):
+    docs = spark.createDataFrame(
+        [(1, "c1 c2 c3 c4"), (2, "c1 c2 c3 c4")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in dedup.substring_rewrite(docs, k=4).collect()}
+    for d in (1, 2):
+        assert out[d]["n_removed"] == 4
+        assert out[d]["text_rewritten"] == ""
