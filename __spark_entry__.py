@@ -113,6 +113,15 @@ def _q_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution tile-count pyramid: level 0 scans points once;
+    levels 1..3 each aggregate the previous level's output (log-cascade,
+    never re-scanning the point table)."""
+    from osm_poi_matchmaker_spark.tiling import tile_pyramid
+
+    return tile_pyramid(_pages_geo(spark, sf_dir), levels=4)
+
+
 def _q_match_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _match(spark, sf_dir).select(
         "page_id",
@@ -2737,6 +2746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_brands": _q_distinct_brands,
         "dedup_first_per_city": _q_dedup_first_per_city,
         "cell_histogram_salted": _q_cell_histogram_salted,
+        "tile_pyramid": _q_tile_pyramid,
         "events_windowed": _q_events_windowed,
         "events_sessionize": _q_events_sessionize,
         "events_asof": _q_events_asof,
@@ -4394,6 +4404,18 @@ def oracle_sql() -> dict[str, str]:
             # change results, only the shuffle shape
             f"{base} SELECT {_CELL} AS cell_id, COUNT(*) AS n_pages "
             f"FROM pages_x WHERE {_GEO_FILTER} GROUP BY 1"
+        ),
+        "tile_pyramid": (
+            # direct per-level grouping — must equal the Spark cascade
+            # (sum is associative; floor(floor(v/2)/2) == floor(v/4))
+            f"{base}, b AS (SELECT {_CELL} AS cell, COUNT(*) AS n"
+            f" FROM pages_x WHERE {_GEO_FILTER} GROUP BY 1)"
+            " SELECT lvl AS level,"
+            " ((cell // 262144) // (1 << lvl)) * 262144"
+            " + ((cell % 262144) // (1 << lvl)) AS cell_id,"
+            " SUM(n)::BIGINT AS n_pages"
+            " FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS lvl)"
+            " GROUP BY 1, 2"
         ),
         "events_windowed": (
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,"

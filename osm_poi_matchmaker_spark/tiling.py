@@ -142,3 +142,42 @@ def explode_ring3x3(
     cell = coarse_cell_id(F.col(lat), F.col(lon), mult)
     offsets = F.array(*[F.lit(dy * X_SPAN + dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
     return df.withColumn(out, F.explode(F.transform(offsets, lambda o: cell + o)))
+
+
+def tile_pyramid(
+    points: DataFrame, cell: str = "cell_id", levels: int = 4
+) -> DataFrame:
+    """Multi-resolution tile-count pyramid (the hypertable-rollup /
+    vector-tile-pyramid shape; generalizes the reference's per-table
+    admin rollups in ``dao/poi_base.py`` to a tiling hierarchy).
+
+    Level 0 is the base-grid histogram; level L+1 halves both axes
+    (``x >> 1``, ``y >> 1`` of the row-major id). Only level 0 touches
+    the point table — every coarser level aggregates the PREVIOUS
+    level's already-reduced output, so the scan+shuffle cost is one
+    full pass plus a log-cascade of tiny aggs (the right shape when
+    level 0 has 10^9 occupied cells and level 3 has 10^7).
+
+    Returns (level:int, cell_id:long, n_pages:long). Ids are only
+    comparable within one level.
+    """
+    base = points.groupBy(F.col(cell).alias("cell_id")).agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
+    out = base.select(F.lit(0).alias("level"), "cell_id", "n_pages")
+    cur = base
+    for lvl in range(1, levels):
+        # exact integer halving of both axes (ids are non-negative)
+        parent = F.expr(
+            f"((cell_id div {X_SPAN}) div 2) * {X_SPAN}"
+            f" + ((cell_id % {X_SPAN}) div 2)"
+        )
+        cur = (
+            cur.select(parent.alias("cell_id"), "n_pages")
+            .groupBy("cell_id")
+            .agg(F.sum("n_pages").alias("n_pages"))
+        )
+        out = out.unionByName(
+            cur.select(F.lit(lvl).alias("level"), "cell_id", "n_pages")
+        )
+    return out

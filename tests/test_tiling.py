@@ -68,3 +68,36 @@ def test_cell_id_injective_over_bbox():
             assert cid not in seen
             seen.add(cid)
     assert max(x for _, x in [cell_xy(48.6, 22.9, GRID_MULT)]) < X_SPAN
+
+
+def test_tile_pyramid_cascade_equals_direct(spark):
+    """The log-cascade rollup must equal per-level direct grouping, and
+    every level must conserve the total point count."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_matchmaker_spark.tiling import X_SPAN, tile_pyramid
+
+    pts = spark.createDataFrame(
+        [(i, (i * 37) % 900, (i * 91) % 1300) for i in range(400)],
+        ["pid", "yraw", "xraw"],
+    ).select("pid", (F.col("yraw") * X_SPAN + F.col("xraw")).alias("cell_id"))
+    pyr = tile_pyramid(pts, levels=4).toPandas()
+    assert sorted(pyr["level"].unique()) == [0, 1, 2, 3]
+    for lvl in range(4):
+        sub = pyr[pyr["level"] == lvl]
+        assert sub["n_pages"].sum() == 400
+        direct = (
+            pts.select(
+                F.expr(
+                    f"((cell_id div {X_SPAN}) div {1 << lvl}) * {X_SPAN}"
+                    f" + ((cell_id % {X_SPAN}) div {1 << lvl})"
+                ).alias("cell_id")
+            )
+            .groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n_pages"))
+            .toPandas()
+        )
+        got = sub[["cell_id", "n_pages"]].sort_values("cell_id").reset_index(drop=True)
+        want = direct.sort_values("cell_id").reset_index(drop=True)
+        assert got["cell_id"].tolist() == want["cell_id"].tolist()
+        assert got["n_pages"].tolist() == want["n_pages"].tolist()
