@@ -151,12 +151,15 @@ def tile_pyramid(
     vector-tile-pyramid shape; generalizes the reference's per-table
     admin rollups in ``dao/poi_base.py`` to a tiling hierarchy).
 
-    Level 0 is the base-grid histogram; level L+1 halves both axes
-    (``x >> 1``, ``y >> 1`` of the row-major id). Only level 0 touches
-    the point table — every coarser level aggregates the PREVIOUS
-    level's already-reduced output, so the scan+shuffle cost is one
-    full pass plus a log-cascade of tiny aggs (the right shape when
-    level 0 has 10^9 occupied cells and level 3 has 10^7).
+    Level 0 is the base-grid histogram; level L halves both axes L
+    times (``x >> L``, ``y >> L`` of the row-major id). The point table
+    is scanned and shuffled exactly ONCE (the level-0 partial-agg
+    groupBy); coarser levels then come from exploding ``levels``
+    parent ids per already-reduced base cell and re-aggregating — a
+    second shuffle over levels × |occupied cells| rows, which is tiny
+    next to the point count. (A per-level union of cascaded aggs reads
+    nicer but physically re-scans the source once per level unless the
+    base is materialized — this shape never does.)
 
     Returns (level:int, cell_id:long, n_pages:long). Ids are only
     comparable within one level.
@@ -164,20 +167,24 @@ def tile_pyramid(
     base = points.groupBy(F.col(cell).alias("cell_id")).agg(
         F.count(F.lit(1)).alias("n_pages")
     )
-    out = base.select(F.lit(0).alias("level"), "cell_id", "n_pages")
-    cur = base
-    for lvl in range(1, levels):
-        # exact integer halving of both axes (ids are non-negative)
-        parent = F.expr(
-            f"((cell_id div {X_SPAN}) div 2) * {X_SPAN}"
-            f" + ((cell_id % {X_SPAN}) div 2)"
+    # one (level, parent_id) struct per level, derived from the base id
+    # by exact integer halving (ids are non-negative)
+    lvl_structs = F.array(
+        *[
+            F.struct(
+                F.lit(lvl).alias("level"),
+                F.expr(
+                    f"((cell_id div {X_SPAN}) div {1 << lvl}) * {X_SPAN}"
+                    f" + ((cell_id % {X_SPAN}) div {1 << lvl})"
+                ).alias("pcell"),
+            )
+            for lvl in range(levels)
+        ]
+    )
+    return (
+        base.select(F.explode(lvl_structs).alias("lp"), "n_pages")
+        .groupBy(
+            F.col("lp.level").alias("level"), F.col("lp.pcell").alias("cell_id")
         )
-        cur = (
-            cur.select(parent.alias("cell_id"), "n_pages")
-            .groupBy("cell_id")
-            .agg(F.sum("n_pages").alias("n_pages"))
-        )
-        out = out.unionByName(
-            cur.select(F.lit(lvl).alias("level"), "cell_id", "n_pages")
-        )
-    return out
+        .agg(F.sum("n_pages").alias("n_pages"))
+    )

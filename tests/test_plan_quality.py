@@ -156,3 +156,26 @@ def test_lsh_arrival_no_pair_join(spark):
     assert "CartesianProduct" not in plan
     assert "doc_a" not in plan and "doc_b" not in plan
     assert "partial_min" in plan or "min(" in plan
+
+
+def test_substring_spans_single_window_shuffle(spark):
+    """The ExactSubstr plan must be: one partial-agg shuffle on the
+    window key, the duplicated-window set joined back without a
+    cartesian, and the per-doc pass a Window (never a pair join)."""
+    plan = plan_of(entry_mod._q_dedup_substring(spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial agg
+    assert "Window" in plan
+
+
+def test_tile_pyramid_scans_points_once(spark):
+    """All four levels must derive from ONE base aggregation of the point
+    table — no per-level union arms each re-scanning the source. The
+    plan is: scan -> partial+final agg (level 0) -> explode 4 level ids
+    -> partial+final agg. Exactly one Generate, no Union."""
+    df = entry_mod._q_tile_pyramid(spark, SF)
+    plan = plan_of(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "Union" not in plan
+    assert plan.count("Generate") == 1
+    assert plan.count("HashAggregate") >= 4  # two partial+final pairs
