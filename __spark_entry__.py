@@ -248,6 +248,15 @@ def _q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_spans(_docs(spark, sf_dir), k=8)
 
 
+def _q_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest: docs with doc_id % 7 == 0 play the
+    incoming crawl snapshot, the rest the settled indexed corpus."""
+    d = _docs(spark, sf_dir)
+    return dedup.lsh_index_probe(
+        d.where(F.col("doc_id") % 7 != 0), d.where(F.col("doc_id") % 7 == 0)
+    )
+
+
 def _q_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr span removal: documents rewritten with every token
     inside a corpus-duplicated 8-gram window dropped (all-occurrence
@@ -2717,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_substring": _q_dedup_substring,
         "dedup_substring_rewrite": _q_dedup_substring_rewrite,
+        "lsh_index_probe": _q_lsh_index_probe,
         "lsh_agreement": _q_lsh_agreement,
         "doc_stats": _q_doc_stats,
         "repetition_stats": _q_repetition_stats,
@@ -3091,6 +3101,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": oracles_docs.simhash_sql(),
         "dedup_substring": oracles_docs.substring_spans_sql(k=8),
         "dedup_substring_rewrite": oracles_docs.substring_rewrite_sql(k=8),
+        "lsh_index_probe": oracles_docs.lsh_index_probe_sql(batch_mod=7),
         "lsh_agreement": oracles_docs.lsh_agreement_sql(),
         "lsh_arrival_dedup": oracles_docs.lsh_arrival_dedup_sql(num_perm=8, bands=4),
         "bm25_topk": oracles_docs.bm25_topk_sql(),

@@ -690,3 +690,47 @@ def substring_rewrite(
         (n_tok - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long").alias("n_removed"),
         F.coalesce(F.col("text_rewritten"), F.lit("")).alias("text_rewritten"),
     )
+
+
+def lsh_index_probe(
+    corpus: DataFrame,
+    batch: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    num_perm: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental near-dup ingest: probe a NEW batch against an EXISTING
+    corpus's LSH index (the crawl-snapshot shape: the settled corpus is
+    indexed once; each incoming snapshot only pays for its own shingles
+    plus one bucket equi-join — the corpus is never re-paired with
+    itself, unlike re-running ``minhash_lsh_pairs`` over corpus ∪ batch,
+    whose cost grows with the TOTAL corpus every ingest).
+
+    A batch doc is a known near-dup iff it shares ≥1 band bucket with
+    any corpus doc; ``matched_id`` is the smallest matching corpus key
+    (deterministic under any partitioning). Batch docs sharing buckets
+    only with each other are NOT flagged here — route survivors through
+    ``lsh_arrival_dedup`` for intra-batch policy.
+
+    Scale shape: both sides reduce to (key, band, band_sig) before the
+    join; the join key is the bucket, so a 10^12-doc corpus index can be
+    a bucketed/sorted table on disk and the probe a map-side lookup.
+
+    Returns (key, is_known_dup, matched_id).
+    """
+    ci = band_signatures(corpus, key, text, n, num_perm, bands).select(
+        F.col(key).alias("_corpus_id"), "band", "band_sig"
+    )
+    bi = band_signatures(batch, key, text, n, num_perm, bands)
+    hits = (
+        bi.join(ci, ["band", "band_sig"])
+        .groupBy(key)
+        .agg(F.min("_corpus_id").alias("matched_id"))
+    )
+    return batch.select(key).join(hits, key, "left").select(
+        F.col(key),
+        F.col("matched_id").isNotNull().alias("is_known_dup"),
+        "matched_id",
+    )

@@ -697,3 +697,29 @@ SELECT t.doc_id, len(toks) AS n_tokens,
   (len(toks) - COALESCE(n_kept, 0))::BIGINT AS n_removed,
   COALESCE(text_rewritten, '') AS text_rewritten
 FROM t LEFT JOIN kept USING (doc_id)"""
+
+
+def lsh_index_probe_sql(
+    batch_mod: int = 7, num_perm: int = 8, bands: int = 4
+) -> str:
+    """Twin of operators/dedup.lsh_index_probe over the corpus/batch
+    split doc_id % batch_mod: shared minhash band CTEs, one-sided
+    bucket join, min matched corpus id."""
+    rpb = num_perm // bands
+    return f"""
+WITH {_shingle_ctes()},
+pp AS (SELECT doc_id, shingle, unnest(range(0, {num_perm})) AS perm FROM e),
+sig AS (SELECT doc_id, perm,
+               MIN(md5(CONCAT(CAST(perm AS STRING), '|', shingle))) AS minhash
+        FROM pp GROUP BY 1, 2),
+bs AS (SELECT doc_id, CAST(perm // {rpb} AS BIGINT) AS band,
+              array_to_string(list_sort(list(minhash)), ',') AS band_sig
+       FROM sig GROUP BY 1, 2),
+ci AS (SELECT doc_id AS corpus_id, band, band_sig FROM bs
+       WHERE doc_id % {batch_mod} <> 0),
+bi AS (SELECT doc_id, band, band_sig FROM bs WHERE doc_id % {batch_mod} = 0),
+hits AS (SELECT bi.doc_id, MIN(corpus_id) AS matched_id
+         FROM bi JOIN ci USING (band, band_sig) GROUP BY 1)
+SELECT d.doc_id, (matched_id IS NOT NULL) AS is_known_dup, matched_id
+FROM (SELECT doc_id FROM documents WHERE doc_id % {batch_mod} = 0) d
+LEFT JOIN hits USING (doc_id)"""

@@ -98,3 +98,40 @@ def test_rewrite_fully_duplicated_doc_empties(spark):
     for d in (1, 2):
         assert out[d]["n_removed"] == 4
         assert out[d]["text_rewritten"] == ""
+
+
+def test_lsh_index_probe_one_sided(spark):
+    """Batch docs near-dup of a corpus doc are flagged with the MIN
+    matching corpus id; batch-only near-dup families are NOT flagged
+    (intra-batch policy belongs to lsh_arrival_dedup)."""
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            (11, "the quick brown fox jumps over the lazy dog today"),
+            (12, "completely unrelated corpus text about spark plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "novel batch document with fresh tokens nobody indexed"),
+            (3, "novel batch document with fresh tokens nobody indexed"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.lsh_index_probe(corpus, batch).collect()
+    }
+    assert out[1]["is_known_dup"] is True and out[1]["matched_id"] == 10
+    # docs 2/3 duplicate each other but match nothing in the corpus
+    assert out[2]["is_known_dup"] is False and out[2]["matched_id"] is None
+    assert out[3]["is_known_dup"] is False
+
+    # consistency with the symmetric pair op: a flagged batch doc must
+    # appear in minhash_lsh_pairs over corpus ∪ batch with its match
+    pairs = dedup.minhash_lsh_pairs(corpus.unionByName(batch)).collect()
+    assert any({p["doc_a"], p["doc_b"]} == {1, 10} for p in pairs)
