@@ -248,6 +248,15 @@ def _q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_spans(_docs(spark, sf_dir), k=8)
 
 
+def _q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style static domain reweighting: per-source keep rate ==
+    mean 0..3 quality indicator (exact integer ppm), MINSTD bucket keep
+    test — deterministic across partitionings and resumes."""
+    from osm_poi_matchmaker_spark.operators.sampling import quality_weighted_sample
+
+    return quality_weighted_sample(_docs(spark, sf_dir))
+
+
 def _q_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup ingest: docs with doc_id % 7 == 0 play the
     incoming crawl snapshot, the rest the settled indexed corpus."""
@@ -2727,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": _q_dedup_substring,
         "dedup_substring_rewrite": _q_dedup_substring_rewrite,
         "lsh_index_probe": _q_lsh_index_probe,
+        "quality_weighted_sample": _q_quality_weighted_sample,
         "lsh_agreement": _q_lsh_agreement,
         "doc_stats": _q_doc_stats,
         "repetition_stats": _q_repetition_stats,
@@ -3102,6 +3112,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring": oracles_docs.substring_spans_sql(k=8),
         "dedup_substring_rewrite": oracles_docs.substring_rewrite_sql(k=8),
         "lsh_index_probe": oracles_docs.lsh_index_probe_sql(batch_mod=7),
+        "quality_weighted_sample": oracles_docs.quality_weighted_sample_sql(),
         "lsh_agreement": oracles_docs.lsh_agreement_sql(),
         "lsh_arrival_dedup": oracles_docs.lsh_arrival_dedup_sql(num_perm=8, bands=4),
         "bm25_topk": oracles_docs.bm25_topk_sql(),

@@ -161,3 +161,61 @@ def corpus_release(
         .join(keep_best.select(key, "canonical_id", "is_duplicate"), "doc_id")
         .select("doc_id", disposition.alias("disposition"))
     )
+
+
+def quality_weighted_sample(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    group: str = "source",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Domain reweighting, the deterministic static form (DoReMi-style
+    domain weights without the proxy-model loop): each group's (source
+    domain's) keep-rate IS its mean quality — domains full of
+    boilerplate or gibberish shrink in the training mix, clean domains
+    pass through intact.
+
+    The mean is exact integer arithmetic end-to-end: per-doc quality is
+    the 0..3 indicator sum behind ``textstats.quality_score`` (length ok
+    + stopword-rate ok + punctuation ok), so
+    ``rate_ppm = (SUM(ok3) * 1_000_000) div (3 * COUNT(*))`` is
+    associative and bit-identical on any engine and any partitioning —
+    a double mean would be sum-order-dependent and could flip a
+    keep/drop at a bucket boundary. Keep iff
+    ``minstd_bucket(key, 1e6) < rate_ppm``: re-runs, resumes and
+    cluster-size changes keep exactly the same rows, and a group's rate
+    only moves when its quality profile does.
+
+    One tiny per-group agg broadcast back onto a narrow filter — the
+    doc table crosses no shuffle. Returns (key, group, rate_ppm, kept).
+    """
+    from ..functions.textstats import punct_ratio, stopword_ratio, token_count
+
+    t = F.col(text)
+    n = token_count(t)
+    sw = stopword_ratio(t)
+    pr = punct_ratio(t)
+    ok3 = (
+        ((n >= 10) & (n <= 5000)).cast("int")
+        + ((sw >= 0.01) & (sw <= 0.6)).cast("int")
+        + (pr <= 0.2).cast("int")
+    )
+    rates = (
+        docs.select(F.col(group), ok3.alias("ok3"))
+        .groupBy(group)
+        .agg(
+            F.expr(f"(sum(ok3) * {buckets}) div (3 * count(1))").alias("rate_ppm")
+        )
+    )
+    b = hash_bucket(F.col(key), buckets)
+    return (
+        docs.select(F.col(key), F.col(group))
+        .join(F.broadcast(rates), group)
+        .select(
+            F.col(key),
+            F.col(group),
+            "rate_ppm",
+            (b < F.col("rate_ppm")).alias("kept"),
+        )
+    )

@@ -723,3 +723,34 @@ hits AS (SELECT bi.doc_id, MIN(corpus_id) AS matched_id
 SELECT d.doc_id, (matched_id IS NOT NULL) AS is_known_dup, matched_id
 FROM (SELECT doc_id FROM documents WHERE doc_id % {batch_mod} = 0) d
 LEFT JOIN hits USING (doc_id)"""
+
+
+def quality_weighted_sample_sql(buckets: int = 1_000_000) -> str:
+    """Twin of operators/sampling.quality_weighted_sample: integer 0..3
+    quality indicator sum, per-source ppm rate via integer division,
+    MINSTD bucket keep test."""
+    toks = _TOKS.format(t="text")
+    ltoks = _TOKS.format(t="lower(text)")
+    n = f"len({toks})"
+    sw_en = f"len(list_filter({ltoks}, t -> t IN {_in_list(STOPWORDS_EN)}))"
+    sw_ratio = (
+        f"(CASE WHEN {n} > 0 THEN CAST({sw_en} AS DOUBLE) / CAST({n} AS DOUBLE)"
+        " ELSE 0.0 END)"
+    )
+    punct = "length(regexp_replace(text, '[^.,;:!?]', '', 'g'))"
+    pr_ratio = (
+        f"(CASE WHEN length(text) > 0 THEN CAST({punct} AS DOUBLE)"
+        " / CAST(length(text) AS DOUBLE) ELSE 0.0 END)"
+    )
+    ok3 = (
+        f"((CASE WHEN {n} >= 10 AND {n} <= 5000 THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN {sw_ratio} >= 0.01 AND {sw_ratio} <= 0.6 THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN {pr_ratio} <= 0.2 THEN 1 ELSE 0 END))"
+    )
+    return f"""
+WITH q AS (SELECT doc_id, source, {ok3} AS ok3 FROM documents),
+r AS (SELECT source, (SUM(ok3) * {buckets}) // (3 * COUNT(*)) AS rate_ppm
+      FROM q GROUP BY 1)
+SELECT doc_id, source, rate_ppm::BIGINT AS rate_ppm,
+       (((doc_id * 48271) % 2147483647) % {buckets}) < rate_ppm AS kept
+FROM q JOIN r USING (source)"""

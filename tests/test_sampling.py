@@ -104,3 +104,35 @@ def test_corpus_release_disposition_precedence(spark):
     b0 = (0 * 48271 % 2147483647) % 1000
     assert got[0] == ("train" if b0 < 900 else "val" if b0 < 950 else "test")
     assert got[4] in ("train", "val", "test")
+
+
+def test_quality_weighted_sample_rates_and_determinism(spark):
+    """A group of all-max-quality docs keeps (nearly) everything, an
+    all-garbage group keeps nothing, and the kept-set is a pure function
+    of (doc_id, group rate) — repartitioning never changes it."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_matchmaker_spark.operators.sampling import (
+        quality_weighted_sample,
+    )
+
+    # 60 tokens, stopword ratio 7/15 ≈ 0.47 (within 0.01..0.6), no punct
+    good = "the cat sat on a mat and the dog ran to the park for fun " * 4
+    bad = "!!!!! ????? ;;;;;"  # 3 tokens (< 10), all punctuation
+    rows = [(i, good, "clean.example") for i in range(200)]
+    rows += [(1000 + i, bad, "spam.example") for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = quality_weighted_sample(docs).toPandas()
+    by = out.groupby("source")
+    # clean source: ok3 == 3 for every doc -> rate_ppm == 1_000_000 -> all kept
+    clean = out[out.source == "clean.example"]
+    assert (clean.rate_ppm == 1_000_000).all() and clean.kept.all()
+    # spam source: ok3 == 0 -> rate 0 -> none kept
+    spam = out[out.source == "spam.example"]
+    assert (spam.rate_ppm == 0).all() and (~spam.kept).all()
+
+    # determinism across partitioning
+    out2 = quality_weighted_sample(docs.repartition(13, "text")).toPandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
