@@ -188,3 +188,79 @@ def claims_to_verdicts(docs, claims, key: str = "doc_id"):
             F.coalesce("isd", F.lit(False)).alias("is_duplicate"),
         )
     )
+
+
+def index_probe_stream(
+    spark: SparkSession,
+    batch_dir: str,
+    schema,
+    corpus,
+    out_dir: str,
+    checkpoint_dir: str,
+    key: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    num_perm: int = 8,
+    bands: int = 4,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming twin of ``operators/dedup.lsh_index_probe``: incoming
+    docs probe a STATIC settled-corpus LSH index at the crawl edge,
+    with ZERO streaming state.
+
+    The trick that removes all state: the static index is pre-reduced
+    to one row per bucket carrying ``min(corpus_id)``, and the stream
+    side takes one stream-static LEFT join per band (band fixed per
+    join, so the key is just the band signature) instead of exploding
+    buckets and re-aggregating per doc — ``least()`` over the per-band
+    matches equals the batch op's min over all matching bucket rows.
+    No watermark, no aggregation, no dropDuplicates: every arriving doc
+    emits exactly one verdict row, immediately.
+
+    Each micro-batch re-probes the same static snapshot of ``corpus``;
+    refreshing the index is a restart (the settled corpus changes per
+    release, not per micro-batch).
+    """
+    from ..operators.dedup import band_signatures
+
+    idx = (
+        band_signatures(corpus, key, text, n, num_perm, bands)
+        .groupBy("band", "band_sig")
+        .agg(F.min(key).alias("matched_id"))
+        .persist()
+    )
+    idx.count()  # materialize once; every micro-batch reuses the cache
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    s = reader.parquet(batch_dir).withColumn(
+        "_bs", band_structs_expr(F.col(text), n, num_perm, bands)
+    )
+    for b in range(bands):
+        side = (
+            idx.where(F.col("band") == b)
+            .select(
+                F.col("band_sig").alias(f"_sig{b}"),
+                F.col("matched_id").alias(f"_m{b}"),
+            )
+        )
+        s = s.withColumn(
+            f"_sig{b}", F.element_at("_bs", b + 1)["band_sig"]
+        ).join(F.broadcast(side), f"_sig{b}", "left")
+    matched = F.least(*[F.col(f"_m{b}") for b in range(bands)])
+    out = s.select(
+        F.col(key),
+        matched.isNotNull().alias("is_known_dup"),
+        matched.alias("matched_id"),
+    )
+    (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    idx.unpersist()
