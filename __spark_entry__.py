@@ -179,6 +179,27 @@ def _q_match_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tile_top_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile brand leaderboard (the heatmap read-off a tile server
+    would want): level-6 parent tile (64× coarser both axes, same
+    integer-exact halving as tiling.tile_pyramid) of each matched
+    page's cell, top-3 poi_codes per tile by matched-page count, ties
+    broken poi_code-ascending for an engine-identical cut."""
+    from pyspark.sql.window import Window
+
+    m = _match(spark, sf_dir).where(F.col("osm_id").isNotNull())
+    tile = F.expr(
+        "((cell_id div 262144) div 64) * 262144 + ((cell_id % 262144) div 64)"
+    )
+    c = (
+        m.select(tile.alias("tile"), "poi_code")
+        .groupBy("tile", "poi_code")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("tile").orderBy(F.desc("n"), F.asc("poi_code"))
+    return c.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 3)
+
+
 def _q_knn_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nearest_poi_expanding(
         _pages_geo(spark, sf_dir), synth.osm_pois(spark, sf_dir), radii=(250.0, 2000.0)
@@ -2767,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_first_per_city": _q_dedup_first_per_city,
         "cell_histogram_salted": _q_cell_histogram_salted,
         "tile_pyramid": _q_tile_pyramid,
+        "tile_top_brands": _q_tile_top_brands,
         "events_windowed": _q_events_windowed,
         "events_sessionize": _q_events_sessionize,
         "events_asof": _q_events_asof,
@@ -4426,6 +4448,20 @@ def oracle_sql() -> dict[str, str]:
             # change results, only the shuffle shape
             f"{base} SELECT {_CELL} AS cell_id, COUNT(*) AS n_pages "
             f"FROM pages_x WHERE {_GEO_FILTER} GROUP BY 1"
+        ),
+        "tile_top_brands": (
+            f"{match_base} "
+            "SELECT tile, poi_code, n, rank FROM ("
+            "  SELECT tile, poi_code, n, ROW_NUMBER() OVER ("
+            "    PARTITION BY tile ORDER BY n DESC, poi_code) AS rank"
+            "  FROM (SELECT ((cell // 262144) // 64) * 262144"
+            "               + ((cell % 262144) // 64) AS tile,"
+            "               b.poi_code, COUNT(*) AS n"
+            f"        FROM (SELECT px.page_id, {_CELL} AS cell FROM pages_x px"
+            f"              WHERE {_GEO_FILTER}) p"
+            "        JOIN best b ON p.page_id = b.page_id"
+            "        WHERE b.osm_id IS NOT NULL GROUP BY 1, 2))"
+            " WHERE rank <= 3"
         ),
         "tile_pyramid": (
             # direct per-level grouping — must equal the Spark cascade
