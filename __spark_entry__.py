@@ -269,6 +269,15 @@ def _q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_spans(_docs(spark, sf_dir), k=8)
 
 
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (ctx=64, stride=48): the
+    doc-boundary-preserving twin of pack_sequences, sized so sf0.01
+    docs produce multi-chunk output non-vacuously."""
+    from osm_poi_matchmaker_spark.operators.packing import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), ctx=64, stride=48)
+
+
 def _q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi-style static domain reweighting: per-source keep rate ==
     mean 0..3 quality indicator (exact integer ppm), MINSTD bucket keep
@@ -2758,6 +2767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_rewrite": _q_dedup_substring_rewrite,
         "lsh_index_probe": _q_lsh_index_probe,
         "quality_weighted_sample": _q_quality_weighted_sample,
+        "doc_chunks": _q_doc_chunks,
         "lsh_agreement": _q_lsh_agreement,
         "doc_stats": _q_doc_stats,
         "repetition_stats": _q_repetition_stats,
@@ -3135,6 +3145,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_rewrite": oracles_docs.substring_rewrite_sql(k=8),
         "lsh_index_probe": oracles_docs.lsh_index_probe_sql(batch_mod=7),
         "quality_weighted_sample": oracles_docs.quality_weighted_sample_sql(),
+        "doc_chunks": oracles_docs.chunk_documents_sql(ctx=64, stride=48),
         "lsh_agreement": oracles_docs.lsh_agreement_sql(),
         "lsh_arrival_dedup": oracles_docs.lsh_arrival_dedup_sql(num_perm=8, bands=4),
         "bm25_topk": oracles_docs.bm25_topk_sql(),

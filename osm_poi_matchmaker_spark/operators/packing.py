@@ -75,3 +75,62 @@ def pack_sequences(
         (off % ctx).alias("bin_offset"),
         (bin_last - bin_first + 1).alias("n_bins_spanned"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    ctx: int = 2048,
+    stride: int | None = None,
+) -> DataFrame:
+    """Per-document sliding-window chunking (the document-boundary-
+    preserving counterpart of ``pack_sequences``' concat-then-chunk):
+    windows of ``ctx`` tokens every ``stride`` tokens (stride < ctx =
+    overlapping context, the long-document training recipe).
+
+    Start count is the standard recipe ``1 + ceil(max(0, n - ctx) /
+    stride)`` — the last chunk reaches the document end (shorter than
+    ctx only when the remainder is), and no chunk is ever fully
+    contained in its predecessor. Pure array expressions — one sequence
+    + transform + posexplode, no shuffle at all (chunking is
+    embarrassingly row-local; provenance (doc_id, chunk_idx, start_tok)
+    rides along for lineage).
+    """
+    from ..functions.textstats import tokens
+
+    if stride is None:
+        stride = ctx
+    t = docs.select(F.col(key), tokens(F.col(text)).alias("toks"))
+    n = F.size("toks")
+    # exact integer ceil on non-negative ints (doubles exact < 2^53)
+    n_starts = F.when(
+        n > 0,
+        F.lit(1)
+        + (
+            (F.greatest(n - F.lit(ctx), F.lit(0)) + F.lit(stride - 1))
+            / F.lit(stride)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    chunks = F.when(
+        n_starts > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_starts.cast("int") - 1),
+            lambda i: F.struct(
+                (i * stride).alias("start_tok"),
+                F.concat_ws(
+                    " ", F.slice(F.col("toks"), i * stride + 1, ctx)
+                ).alias("chunk_text"),
+                F.least(n - i * stride, F.lit(ctx)).alias("n_tokens"),
+            ),
+        ),
+    ).otherwise(F.array().cast(
+        "array<struct<start_tok:int,chunk_text:string,n_tokens:int>>"
+    ))
+    return t.select(F.col(key), F.posexplode(chunks).alias("chunk_idx", "c")).select(
+        key,
+        "chunk_idx",
+        F.col("c.start_tok").alias("start_tok"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

@@ -754,3 +754,26 @@ r AS (SELECT source, (SUM(ok3) * {buckets}) // (3 * COUNT(*)) AS rate_ppm
 SELECT doc_id, source, rate_ppm::BIGINT AS rate_ppm,
        (((doc_id * 48271) % 2147483647) % {buckets}) < rate_ppm AS kept
 FROM q JOIN r USING (source)"""
+
+
+def chunk_documents_sql(ctx: int = 2048, stride: int | None = None) -> str:
+    """Twin of operators/packing.chunk_documents: chunk starts via
+    range over 1 + ceil(max(0, n - ctx) / stride), inclusive slicing."""
+    if stride is None:
+        stride = ctx
+    toks = _TOKS.format(t="text")
+    n_starts = (
+        "CASE WHEN len(toks) > 0"
+        f" THEN 1 + (greatest(len(toks) - {ctx}, 0) + {stride - 1}) // {stride}"
+        " ELSE 0 END"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+c AS (SELECT doc_id, i - 1 AS chunk_idx, (i - 1) * {stride} AS start_tok,
+             least(len(toks) - (i - 1) * {stride}, {ctx}) AS n_tokens,
+             array_to_string(
+               toks[(i - 1) * {stride} + 1 : (i - 1) * {stride} + {ctx}],
+               ' ') AS chunk_text
+      FROM (SELECT doc_id, toks, unnest(range(1, ({n_starts}) + 1)) AS i
+            FROM t))
+SELECT doc_id, chunk_idx, start_tok, n_tokens, chunk_text FROM c"""

@@ -61,3 +61,41 @@ def test_two_phase_equals_single_window(spark):
             for r in pack_sequences(docs, ctx=512, bucket_shift=shift).collect()
         }
         assert got == want, shift
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    """ctx=4, stride=2 over a 9-token doc: 1 + ceil(5/2) = 4 starts
+    (0,2,4,6) — the last chunk reaches the end, and no start is emitted
+    once the previous chunk already covered the tail. A 3-token doc
+    yields one chunk; an empty doc none."""
+    from osm_poi_matchmaker_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i"),
+            (2, "x y z"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, ctx=4, stride=2).collect()
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["start_tok"], r["n_tokens"], r["chunk_text"])
+        for r in out
+    }
+    assert got[(1, 0)] == (0, 4, "a b c d")
+    assert got[(1, 1)] == (2, 4, "c d e f")
+    assert got[(1, 2)] == (4, 4, "e f g h")
+    assert got[(1, 3)] == (6, 3, "g h i")
+    assert (1, 4) not in got  # tail already covered by chunk 3
+    assert got[(2, 0)] == (0, 3, "x y z")
+    assert (2, 1) not in got
+    assert (3, 0) not in got
+    assert len(got) == 5
+
+    # stride == ctx (default) -> disjoint cover, token-exact
+    cover = chunk_documents(docs, ctx=4).collect()
+    doc1 = sorted(
+        (r["chunk_idx"], r["chunk_text"]) for r in cover if r["doc_id"] == 1
+    )
+    assert doc1 == [(0, "a b c d"), (1, "e f g h"), (2, "i")]
