@@ -408,6 +408,49 @@ def _messy_url_expr() -> "F.Column":
     )
 
 
+def _template_url_expr() -> "F.Column":
+    """Deterministic template-URL fixture derived from page_id: four
+    path layouts (entity pages with embedded ids, a dated blog shape,
+    a flat product page, a static page) across three hosts — the shape
+    a real crawl presents to template clustering. Mirrored by the
+    url_templates oracle SQL."""
+    pid = F.col("page_id")
+    host = (
+        F.when(pid % 3 == 0, F.lit("shop.example"))
+        .when(pid % 3 == 1, F.lit("news.example"))
+        .otherwise(F.lit("blog.example"))
+    )
+    path = (
+        F.when(
+            pid % 4 == 0,
+            F.concat(F.lit("/store/"), pid.cast("string"), F.lit("/details")),
+        )
+        .when(
+            pid % 4 == 1,
+            F.concat(
+                F.lit("/blog/"),
+                (pid % 12).cast("string"),
+                F.lit("/post-"),
+                pid.cast("string"),
+            ),
+        )
+        .when(
+            pid % 4 == 2,
+            F.concat(F.lit("/product-"), pid.cast("string"), F.lit(".html")),
+        )
+        .otherwise(F.lit("/about/team"))
+    )
+    return F.concat(F.lit("https://"), host, path)
+
+
+def _q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(host, template) page counts: digit runs in the path collapse
+    to {n}, so /product-17.html and /product-99.html share a row — the
+    page-LAYOUT histogram of the crawl."""
+    pages = synth.pages(spark, sf_dir).select(_template_url_expr().alias("url"))
+    return urls.template_stats(pages)
+
+
 def _q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _messy_url_expr()
     return synth.pages(spark, sf_dir).select(
@@ -2775,6 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "pii_redact": _q_pii_redact,
         "url_normalize": _q_url_normalize,
+        "url_templates": _q_url_templates,
         "domain_stats": _q_domain_stats,
         "pack_sequences": _q_pack_sequences,
         "crawl_delta": _q_crawl_delta,
@@ -3158,6 +3202,21 @@ def oracle_sql() -> dict[str, str]:
         "corpus_release": oracles_docs.corpus_release_sql(num_perm=8, bands=4),
         "boilerplate_ngrams": oracles_docs.boilerplate_ngrams_sql(top_k=20),
         "pii_redact": oracles_docs.pii_redact_sql(),
+        "url_templates": (
+            base + ", tu AS (SELECT "
+            "CASE WHEN page_id % 3 = 0 THEN 'shop.example' "
+            "WHEN page_id % 3 = 1 THEN 'news.example' "
+            "ELSE 'blog.example' END AS h, "
+            "CASE WHEN page_id % 4 = 0 THEN '/store/' || CAST(page_id AS VARCHAR) || '/details' "
+            "WHEN page_id % 4 = 1 THEN '/blog/' || CAST(page_id % 12 AS VARCHAR) || '/post-' || CAST(page_id AS VARCHAR) "
+            "WHEN page_id % 4 = 2 THEN '/product-' || CAST(page_id AS VARCHAR) || '.html' "
+            "ELSE '/about/team' END AS p FROM pages), "
+            "tp AS (SELECT lower(split_part(h, ':', 1)) AS host, "
+            "regexp_replace(CASE WHEN p = '' THEN '/' ELSE p END, "
+            "'[0-9]+', '{n}', 'g') AS template FROM tu) "
+            "SELECT host, template, COUNT(*) AS n_pages "
+            "FROM tp GROUP BY 1, 2"
+        ),
         "url_normalize": (
             f"{base},{_url_canon_ctes()} "
             "SELECT page_id, messy AS url_raw, canon_url FROM uc"

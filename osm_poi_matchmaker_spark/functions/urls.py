@@ -104,3 +104,32 @@ def domain_stats(pages: DataFrame, url: str = "url", text: str = "text") -> Data
             F.round(F.avg("text_len"), 6).alias("avg_text_len"),
         )
     )
+
+
+def url_template(u: Column) -> Column:
+    """Digit-collapsed path template of an absolute URL: fragment and
+    query stripped, every decimal-digit run in the path replaced by
+    ``{n}`` — the crawl-side "same template, different entity" key
+    behind frontier dedup, per-template quotas and boilerplate
+    discovery (all /product-{n}.html pages share one layout)."""
+    nofrag = F.substring_index(u, "#", 1)
+    noq = F.substring_index(nofrag, "?", 1)
+    rest = F.substring_index(noq, "://", -1)
+    path = F.regexp_replace(rest, r"^[^/]*", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.regexp_replace(path, r"[0-9]+", "{n}")
+
+
+def template_stats(pages: DataFrame, url: str = "url") -> DataFrame:
+    """Per-(host, template) page counts — one partial-agg groupBy on a
+    two-column projection (template cardinality is the number of page
+    LAYOUTS a site ships, orders of magnitude below its URL count, so
+    the aggregate output is tiny at any crawl scale)."""
+    return (
+        pages.select(
+            url_host(F.col(url)).alias("host"),
+            url_template(F.col(url)).alias("template"),
+        )
+        .groupBy("host", "template")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )

@@ -63,3 +63,29 @@ def test_domain_stats_rollup(spark):
     assert got["a.example"]["avg_text_len"] == round((2 + 4 + 2) / 3, 6)
     assert got["b.example"]["n_pages"] == 1
     assert got["a.example"]["domain"] == "a.example"
+
+
+def test_url_template_collapses_digit_runs(spark):
+    from pyspark.sql import functions as F
+
+    from osm_poi_matchmaker_spark.functions.urls import template_stats, url_template
+
+    rows = [
+        (1, "https://Shop.Example:443/product-17.html?a=1#frag"),
+        (2, "https://shop.example/product-9999.html"),
+        (3, "https://shop.example/store/5/details"),
+        (4, "https://shop.example"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "url"])
+    t = {r["i"]: r["t"] for r in df.select("i", url_template(F.col("url")).alias("t")).collect()}
+    assert t[1] == "/product-{n}.html"  # query + fragment stripped
+    assert t[2] == "/product-{n}.html"  # 1 and 2 share a template
+    assert t[3] == "/store/{n}/details"
+    assert t[4] == "/"  # bare host -> root template
+
+    stats = {
+        (r["host"], r["template"]): r["n_pages"]
+        for r in template_stats(df).collect()
+    }
+    assert stats[("shop.example", "/product-{n}.html")] == 2
+    assert stats[("shop.example", "/store/{n}/details")] == 1
