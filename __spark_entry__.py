@@ -25,6 +25,7 @@ from osm_poi_matchmaker_spark.functions import urls
 from osm_poi_matchmaker_spark.operators import (
     dedup,
     delta,
+    linkgraph,
     packing,
     quality,
     similarity,
@@ -449,6 +450,37 @@ def _q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     page-LAYOUT histogram of the crawl."""
     pages = synth.pages(spark, sf_dir).select(_template_url_expr().alias("url"))
     return urls.template_stats(pages)
+
+
+def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank over the crawl's host graph (12 synthetic
+    hosts, page_id % 12; each host links to h+1, h+2, h+5 mod 12 so
+    out-degree is uniformly 3 and every host has in-degree 3). Start
+    mass is each host's page count; 4 iterations at damping 17/20. All
+    arithmetic is BIGINT (see operators/linkgraph.py) so the unrolled
+    DuckDB oracle hashes identically."""
+    pages = synth.pages(spark, sf_dir)
+    hid = (F.col("page_id") % 12).cast("long")
+    nodes = (
+        pages.groupBy(hid.alias("hid"))
+        .agg(F.count("*").alias("weight"))
+        .select(
+            F.concat(F.lit("host"), F.col("hid").cast("string")).alias("node"),
+            "weight",
+            "hid",
+        )
+    )
+    edges = nodes.select(
+        "hid", F.explode(F.array(F.lit(1), F.lit(2), F.lit(5))).alias("off")
+    ).select(
+        F.concat(F.lit("host"), F.col("hid").cast("string")).alias("src"),
+        F.concat(
+            F.lit("host"), ((F.col("hid") + F.col("off")) % 12).cast("string")
+        ).alias("dst"),
+    )
+    return linkgraph.pagerank(
+        nodes.select("node", "weight"), edges, iterations=4
+    )
 
 
 def _q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2819,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "url_normalize": _q_url_normalize,
         "url_templates": _q_url_templates,
+        "host_pagerank": _q_host_pagerank,
         "domain_stats": _q_domain_stats,
         "pack_sequences": _q_pack_sequences,
         "crawl_delta": _q_crawl_delta,
@@ -2922,6 +2955,30 @@ def _addr_overwrite_oracle_sql(match_base: str) -> str:
         f"{ch('o_street', 'street')} OR {ch('o_csn', 'csn')}"
         ")) AS changed_from_osm FROM md"
     )
+
+
+def _pagerank_ctes(iterations: int = 4) -> str:
+    """Unrolled integer-exact PageRank over the 12-host fixture graph
+    (mirrors _q_host_pagerank / operators/linkgraph.py: L = outdeg = 3,
+    per-edge mult = 1, unit U_i = n*w*60^i, base term 9*w*60^(i-1))."""
+    ctes = [
+        "hosts AS (SELECT page_id % 12 AS hid, CAST(COUNT(*) AS BIGINT) "
+        "AS weight FROM pages GROUP BY 1)",
+        "pr_c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(weight) AS BIGINT) AS w FROM hosts)",
+        "pr_e AS (SELECT hid AS src, (hid + o) % 12 AS dst "
+        "FROM hosts, (VALUES (1), (2), (5)) AS t(o))",
+        "r0 AS (SELECT hid, weight * (SELECT n FROM pr_c) AS r FROM hosts)",
+    ]
+    for i in range(1, iterations + 1):
+        base = f"9 * (SELECT w FROM pr_c) * {60 ** (i - 1)}"
+        ctes.append(
+            f"r{i} AS (SELECT h.hid, CAST({base} + 17 * COALESCE(SUM(p.r), 0) "
+            f"AS BIGINT) AS r "
+            f"FROM hosts h LEFT JOIN pr_e e ON e.dst = h.hid "
+            f"LEFT JOIN r{i - 1} p ON p.hid = e.src GROUP BY h.hid)"
+        )
+    return ", ".join(ctes)
 
 
 def _url_canon_ctes() -> str:
@@ -3216,6 +3273,14 @@ def oracle_sql() -> dict[str, str]:
             "'[0-9]+', '{n}', 'g') AS template FROM tu) "
             "SELECT host, template, COUNT(*) AS n_pages "
             "FROM tp GROUP BY 1, 2"
+        ),
+        "host_pagerank": (
+            f"{base}, {_pagerank_ctes(4)} "
+            "SELECT 'host' || CAST(hid AS VARCHAR) AS node, "
+            "r AS rank_num, "
+            f"(SELECT n * w FROM pr_c) * {60 ** 4} AS rank_unit, "
+            f"CAST(r AS DOUBLE) / CAST((SELECT n * w FROM pr_c) * {60 ** 4} "
+            "AS DOUBLE) AS rank_frac FROM r4"
         ),
         "url_normalize": (
             f"{base},{_url_canon_ctes()} "
