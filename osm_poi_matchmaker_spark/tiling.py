@@ -188,3 +188,84 @@ def tile_pyramid(
         )
         .agg(F.sum("n_pages").alias("n_pages"))
     )
+
+
+def hotspot_cells(
+    points: DataFrame,
+    cell: str = "cell_id",
+    factor: tuple[int, int] = (2, 1),
+    min_count: int = 2,
+) -> DataFrame:
+    """Spatial hotspot detection: cells whose point count exceeds
+    ``factor`` × the mean of their 3×3 ring (a Getis-Ord-style local
+    statistic kept integer-exact: ``cnt * 8 * f_den > f_num * ring_sum``
+    cross-multiplies the mean away, so the DuckDB oracle hashes
+    identically — empty neighbors count as zero mass, exactly what the
+    populated-neighbors ring sum already encodes).
+
+    Scale shape: one partial-agg groupBy(cell) over the points (the only
+    shuffle that sees point-count rows), then a fixed 8× explode of the
+    OCCUPIED-cell histogram re-aggregated by neighbor id and joined back
+    — every later stage is sized by occupied cells, not points. No
+    window over a global ordering, no driver collection.
+
+    Returns (cell_id, n_points, ring_sum, n_neighbors, is_peak) for
+    hotspot cells only; ``is_peak`` marks strict local maxima.
+    """
+    f_num, f_den = factor
+    counts = points.groupBy(F.col(cell).alias("cell_id")).agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+    x = F.col("cell_id") % F.lit(X_SPAN)
+    y = F.expr(f"cell_id div {X_SPAN}")
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)
+        ]
+    )
+    ring = (
+        counts.select(
+            F.explode(offs).alias("o"), x.alias("x"), y.alias("y"), "n_points"
+        )
+        .where(
+            (F.col("x") + F.col("o.dx") >= 0)
+            & (F.col("x") + F.col("o.dx") < X_SPAN)
+            & (F.col("y") + F.col("o.dy") >= 0)
+        )
+        .select(
+            (
+                (F.col("y") + F.col("o.dy")) * F.lit(X_SPAN)
+                + F.col("x")
+                + F.col("o.dx")
+            ).alias("ncell"),
+            "n_points",
+        )
+        .groupBy("ncell")
+        .agg(
+            F.sum("n_points").alias("ring_sum"),
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.max("n_points").alias("max_neighbor"),
+        )
+    )
+    return (
+        counts.join(ring, counts.cell_id == ring.ncell, "left")
+        .where(
+            (F.col("n_points") >= min_count)
+            & (
+                F.col("n_points") * F.lit(8 * f_den)
+                > F.lit(f_num) * F.coalesce(F.col("ring_sum"), F.lit(0))
+            )
+        )
+        .select(
+            "cell_id",
+            "n_points",
+            F.coalesce(F.col("ring_sum"), F.lit(0)).alias("ring_sum"),
+            F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("n_neighbors"),
+            (
+                F.col("n_points") > F.coalesce(F.col("max_neighbor"), F.lit(0))
+            ).alias("is_peak"),
+        )
+    )
