@@ -123,6 +123,26 @@ def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_pyramid(_pages_geo(spark, sf_dir), levels=4)
 
 
+def _q_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hotspot cells at a 32×-coarsened grid (~5.6 km × 3.7 km over HU):
+    a cell is hot when its page count beats 2× its 3×3-ring mean —
+    integer cross-multiplied, exact vs the oracle. At base resolution
+    the synth crawl is ~1 page/cell, so the statistic only has power on
+    the coarse grid (the same reason real hotspot scans pick a ring
+    radius ≫ point spacing)."""
+    from osm_poi_matchmaker_spark.tiling import X_SPAN, hotspot_cells
+
+    coarse = F.expr(
+        f"((cell_id div {X_SPAN}) div 32) * {X_SPAN}"
+        f" + ((cell_id % {X_SPAN}) div 32)"
+    )
+    return hotspot_cells(
+        _pages_geo(spark, sf_dir).select(coarse.alias("cell_id")),
+        factor=(2, 1),
+        min_count=2,
+    )
+
+
 def _q_match_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _match(spark, sf_dir).select(
         "page_id",
@@ -481,6 +501,85 @@ def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkgraph.pagerank(
         nodes.select("node", "weight"), edges, iterations=4
     )
+
+
+def _q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-scheduled fetch plan over a 3-host frontier: per-host
+    slots by (priority desc, url), per-host crawl-delays, quota 200."""
+    from osm_poi_matchmaker_spark.operators.frontier import frontier_schedule
+
+    pid = F.col("page_id")
+    host = (
+        F.when(pid % 3 == 0, F.lit("shop.example"))
+        .when(pid % 3 == 1, F.lit("news.example"))
+        .otherwise(F.lit("blog.example"))
+    )
+    fr = synth.pages(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"), pid.cast("string")
+        ).alias("url"),
+        host.alias("host"),
+        (pid % 100).alias("priority"),
+    )
+    return frontier_schedule(
+        fr,
+        host_delays_ms={"shop.example": 500, "news.example": 2000},
+        default_delay_ms=1000,
+        quota=200,
+    )
+
+
+_ROBOTS_RULES = [
+    ("shop.example", "/store/", False),
+    ("shop.example", "/store/1", True),
+    ("news.example", "/product-", False),
+    ("blog.example", "/", False),
+    ("blog.example", "/blog/", True),
+]
+
+
+def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 longest-match robots verdicts over a 3-host frontier:
+    shop disallows /store/ but re-allows /store/1* (the longer rule
+    wins), news blocks product pages, blog blocks everything except
+    /blog/, and unmatched paths default to allowed."""
+    from osm_poi_matchmaker_spark.operators.frontier import robots_filter
+
+    pid = F.col("page_id")
+    host = (
+        F.when(pid % 3 == 0, F.lit("shop.example"))
+        .when(pid % 3 == 1, F.lit("news.example"))
+        .otherwise(F.lit("blog.example"))
+    )
+    path = (
+        F.when(
+            pid % 4 == 0,
+            F.concat(F.lit("/store/"), pid.cast("string"), F.lit("/details")),
+        )
+        .when(
+            pid % 4 == 1,
+            F.concat(
+                F.lit("/blog/"),
+                (pid % 12).cast("string"),
+                F.lit("/post-"),
+                pid.cast("string"),
+            ),
+        )
+        .when(
+            pid % 4 == 2,
+            F.concat(F.lit("/product-"), pid.cast("string"), F.lit(".html")),
+        )
+        .otherwise(F.concat(F.lit("/about/"), pid.cast("string")))
+    )
+    fr = synth.pages(spark, sf_dir).select(
+        F.concat(F.lit("https://"), host, path).alias("url"),
+        host.alias("host"),
+        path.alias("path"),
+    )
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, prefix string, allow boolean"
+    )
+    return robots_filter(fr, rules)
 
 
 def _q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2827,6 +2926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotag_extract": _q_geotag_extract,
         "cell_assign": _q_cell_assign,
         "cell_histogram": _q_cell_histogram,
+        "hotspot_cells": _q_hotspot_cells,
         "match_lineage": _q_match_lineage,
         "addr_overwrite": _q_addr_overwrite,
         "match_rollup": _q_match_rollup,
@@ -2852,6 +2952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": _q_url_normalize,
         "url_templates": _q_url_templates,
         "host_pagerank": _q_host_pagerank,
+        "frontier_schedule": _q_frontier_schedule,
+        "robots_filter": _q_robots_filter,
         "domain_stats": _q_domain_stats,
         "pack_sequences": _q_pack_sequences,
         "crawl_delta": _q_crawl_delta,
@@ -3077,6 +3179,28 @@ def oracle_sql() -> dict[str, str]:
             f"{base} SELECT {_CELL} AS cell_id, COUNT(*) AS n_pages "
             f"FROM pages_x WHERE {_GEO_FILTER} GROUP BY 1"
         ),
+        "hotspot_cells": (
+            f"{base}, hc AS (SELECT (({_CELL} // 262144) // 32) * 262144 "
+            f"+ (({_CELL} % 262144) // 32) AS cell_id, "
+            f"COUNT(*) AS n_points FROM pages_x WHERE {_GEO_FILTER} GROUP BY 1), "
+            "hr AS (SELECT ((cell_id // 262144) + dy) * 262144 "
+            "+ (cell_id % 262144) + dx AS ncell, n_points "
+            "FROM hc, (VALUES (-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0), "
+            "(-1, 1), (0, 1), (1, 1)) AS o(dx, dy) "
+            "WHERE (cell_id % 262144) + dx >= 0 "
+            "AND (cell_id % 262144) + dx < 262144 "
+            "AND (cell_id // 262144) + dy >= 0), "
+            "hrs AS (SELECT ncell, CAST(SUM(n_points) AS BIGINT) AS ring_sum, "
+            "COUNT(*) AS n_neighbors, MAX(n_points) AS max_neighbor "
+            "FROM hr GROUP BY 1) "
+            "SELECT c.cell_id, c.n_points, "
+            "COALESCE(r.ring_sum, 0) AS ring_sum, "
+            "COALESCE(r.n_neighbors, 0) AS n_neighbors, "
+            "c.n_points > COALESCE(r.max_neighbor, 0) AS is_peak "
+            "FROM hc c LEFT JOIN hrs r ON r.ncell = c.cell_id "
+            "WHERE c.n_points >= 2 "
+            "AND c.n_points * 8 > 2 * COALESCE(r.ring_sum, 0)"
+        ),
         "match_cascade": (
             f"{match_base} "
             "SELECT px.page_id, b.osm_id, b.node_type, b.stage, b.priority, "
@@ -3281,6 +3405,47 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT n * w FROM pr_c) * {60 ** 4} AS rank_unit, "
             f"CAST(r AS DOUBLE) / CAST((SELECT n * w FROM pr_c) * {60 ** 4} "
             "AS DOUBLE) AS rank_frac FROM r4"
+        ),
+        "frontier_schedule": (
+            f"{base}, fr AS (SELECT "
+            "CASE WHEN page_id % 3 = 0 THEN 'shop.example' "
+            "WHEN page_id % 3 = 1 THEN 'news.example' "
+            "ELSE 'blog.example' END AS host, "
+            "page_id % 100 AS priority, page_id FROM pages), "
+            "fs AS (SELECT 'https://' || host || '/p/' || "
+            "CAST(page_id AS VARCHAR) AS url, host, priority, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY host "
+            "ORDER BY priority DESC, 'https://' || host || '/p/' || "
+            "CAST(page_id AS VARCHAR) ASC) - 1 AS BIGINT) AS slot FROM fr) "
+            "SELECT url, host, priority, slot, "
+            "slot * CASE host WHEN 'shop.example' THEN 500 "
+            "WHEN 'news.example' THEN 2000 ELSE 1000 END AS scheduled_ms "
+            "FROM fs WHERE slot < 200"
+        ),
+        "robots_filter": (
+            f"{base}, rr AS (SELECT * FROM (VALUES "
+            + ", ".join(
+                f"('{h}', '{p}', {str(a).upper()})" for h, p, a in _ROBOTS_RULES
+            )
+            + ") AS t(host, prefix, allow)), "
+            "rf AS (SELECT "
+            "CASE WHEN page_id % 3 = 0 THEN 'shop.example' "
+            "WHEN page_id % 3 = 1 THEN 'news.example' "
+            "ELSE 'blog.example' END AS host, "
+            "CASE WHEN page_id % 4 = 0 THEN '/store/' || CAST(page_id AS VARCHAR) || '/details' "
+            "WHEN page_id % 4 = 1 THEN '/blog/' || CAST(page_id % 12 AS VARCHAR) || '/post-' || CAST(page_id AS VARCHAR) "
+            "WHEN page_id % 4 = 2 THEN '/product-' || CAST(page_id AS VARCHAR) || '.html' "
+            "ELSE '/about/' || CAST(page_id AS VARCHAR) END AS path "
+            "FROM pages), "
+            "rfu AS (SELECT 'https://' || host || path AS url, host, path FROM rf), "
+            "rm AS (SELECT url, allow, prefix, ROW_NUMBER() OVER ("
+            "PARTITION BY url ORDER BY LENGTH(prefix) DESC, allow DESC, "
+            "prefix DESC) AS rn "
+            "FROM rfu JOIN rr USING (host) WHERE starts_with(path, prefix)) "
+            "SELECT f.url, f.host, f.path, "
+            "COALESCE(m.allow, TRUE) AS allowed, m.prefix AS rule_prefix "
+            "FROM rfu f LEFT JOIN (SELECT * FROM rm WHERE rn = 1) m "
+            "USING (url)"
         ),
         "url_normalize": (
             f"{base},{_url_canon_ctes()} "
