@@ -227,6 +227,22 @@ def _q_knn_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("page_id", "osm_id", F.round("distance", 2).alias("distance_m"))
 
 
+def _q_poi_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering over the POI table (the grouping step a
+    planet-scale conflation pipeline needs after pairwise matching; no
+    reference analogue — its matcher is strictly pairwise). ε-pairs via
+    the kNN cell-ring self-join (never all-pairs), core rule as a degree
+    aggregate, clusters via min-label components over core-core edges;
+    deterministic ids (min core osm_id). eps=400 m stays under the
+    mult=128 grid pitch at the synth latitudes (~588 m lon pitch at
+    47.5°N), so one ring step provably covers the radius."""
+    from osm_poi_matchmaker_spark.operators.spatial_cluster import dbscan_clusters
+
+    return dbscan_clusters(
+        synth.osm_pois(spark, sf_dir), eps_m=400.0, min_pts=3, key="osm_id"
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -2931,6 +2947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "addr_overwrite": _q_addr_overwrite,
         "match_rollup": _q_match_rollup,
         "knn_nearest": _q_knn_nearest,
+        "poi_dbscan": _q_poi_dbscan,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -3350,6 +3367,31 @@ def oracle_sql() -> dict[str, str]:
             "    THEN 'Mo-Su 00:00-12:00,12:30-24:00' || ph"
             "    ELSE '24/7' || ph END)"
             "  END AS opening_hours FROM oh"
+        ),
+        "poi_dbscan": (
+            # All-pairs ε-join is fine for the oracle at sf0.01; the
+            # engine side must NOT do this (cell-ring self-join). The
+            # recursive CTE is the closure twin of min-label propagation.
+            base.replace("WITH ", "WITH RECURSIVE ", 1)
+            + f", pr AS (SELECT p.osm_id AS a, o.osm_id AS b FROM pois p "
+            f"JOIN pois o ON p.osm_id < o.osm_id AND {synth_sql.HAV} < 400.0), "
+            "ed AS (SELECT a, b FROM pr UNION ALL SELECT b AS a, a AS b FROM pr), "
+            "dg AS (SELECT a AS id, COUNT(*) AS n FROM ed GROUP BY 1), "
+            "core AS (SELECT dg.id FROM dg WHERE dg.n + 1 >= 3), "
+            "ce AS (SELECT e.a, e.b FROM ed e JOIN core c1 ON c1.id = e.a "
+            "JOIN core c2 ON c2.id = e.b), "
+            "rc(id, lbl) AS (SELECT id, id FROM core "
+            "UNION SELECT e.b, rc.lbl FROM rc JOIN ce e ON e.a = rc.id), "
+            "cm AS (SELECT id, MIN(lbl) AS cluster FROM rc GROUP BY 1), "
+            "bd AS (SELECT e.a AS id, MIN(c.cluster) AS cluster FROM ed e "
+            "JOIN cm c ON c.id = e.b LEFT JOIN core k ON k.id = e.a "
+            "WHERE k.id IS NULL GROUP BY 1) "
+            "SELECT o.osm_id, "
+            "CASE WHEN cm.id IS NOT NULL THEN 'core' "
+            "WHEN bd.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role, "
+            "COALESCE(cm.cluster, bd.cluster) AS cluster "
+            "FROM pois o LEFT JOIN cm ON cm.id = o.osm_id "
+            "LEFT JOIN bd ON bd.id = o.osm_id"
         ),
         "knn_nearest": (
             f"{base} SELECT page_id, osm_id, ROUND(distance, 2) AS distance_m FROM ("

@@ -1,0 +1,81 @@
+"""DBSCAN closed-form tests beyond the oracle: role assignment (core /
+border / noise), deterministic cluster ids, cell-boundary pair recall,
+and plan hygiene (the ε self-join must be an equi-join, never a
+cartesian)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osm_poi_matchmaker_spark.operators.spatial_cluster import (
+    dbscan_clusters,
+    distance_band_pairs,
+)
+
+# 1 degree of latitude ≈ 111194.9 m on the R=6371000 sphere.
+DEG_300M = 300.0 / 111194.9267
+
+
+def _points(spark, rows):
+    return spark.createDataFrame(rows, ["osm_id", "lat", "lon"])
+
+
+def test_chain_roles_and_noise(spark):
+    # a(1) - b(2) - c(3) spaced 300 m apart on a meridian; eps=400,
+    # min_pts=3: only b has |N(b)|=3 → core; a and c are border onto
+    # b's singleton cluster (id = min core id = 2); d is noise.
+    pts = _points(
+        spark,
+        [
+            (1, 47.0, 19.0),
+            (2, 47.0 + DEG_300M, 19.0),
+            (3, 47.0 + 2 * DEG_300M, 19.0),
+            (4, 48.0, 20.0),
+        ],
+    )
+    out = {r["osm_id"]: (r["role"], r["cluster"]) for r in
+           dbscan_clusters(pts, eps_m=400.0, min_pts=3).collect()}
+    assert out == {1: ("border", 2), 2: ("core", 2), 3: ("border", 2),
+                   4: ("noise", None)}
+
+
+def test_two_blobs_merge_through_core_chain(spark):
+    # two 3-point blobs bridged by a core-core edge chain share one
+    # cluster with id = global min core id.
+    base = [(i, 47.0 + i * DEG_300M, 19.0) for i in range(1, 8)]
+    pts = _points(spark, base)
+    out = dbscan_clusters(pts, eps_m=400.0, min_pts=3).collect()
+    clusters = {r["cluster"] for r in out}
+    # interior points 2..6 are core (each sees both neighbours); the
+    # whole chain is one component labelled by the min core id (2).
+    assert clusters == {2}
+    roles = {r["osm_id"]: r["role"] for r in out}
+    assert roles[1] == "border" and roles[7] == "border"
+    assert all(roles[i] == "core" for i in range(2, 7))
+
+
+def test_min_pts_one_isolated_points_are_singleton_cores(spark):
+    pts = _points(spark, [(10, 47.0, 19.0), (20, 48.0, 20.0)])
+    out = {r["osm_id"]: (r["role"], r["cluster"]) for r in
+           dbscan_clusters(pts, eps_m=400.0, min_pts=1).collect()}
+    assert out == {10: ("core", 10), 20: ("core", 20)}
+
+
+def test_pairs_found_across_cell_boundary(spark):
+    # mult=128 cell pitch is 1/128°; straddle a lat cell edge with a
+    # 300 m pair (well under eps) — the 3×3 ring must recover it.
+    edge = (47.0 * 128 + 64) / 128.0  # an exact cell boundary latitude
+    pts = _points(
+        spark,
+        [(1, edge - DEG_300M / 2, 19.0), (2, edge + DEG_300M / 2, 19.0)],
+    )
+    pairs = distance_band_pairs(pts, eps_m=400.0).collect()
+    assert len(pairs) == 1 and pairs[0]["a"] == 1 and pairs[0]["b"] == 2
+    assert abs(pairs[0]["distance"] - 300.0) < 1.0
+
+
+def test_pair_join_is_equi_join_no_cartesian(spark):
+    pts = _points(spark, [(1, 47.0, 19.0), (2, 47.0 + DEG_300M, 19.0)])
+    plan = distance_band_pairs(pts, eps_m=400.0)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
