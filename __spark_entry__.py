@@ -235,10 +235,17 @@ def _q_poi_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, clusters via min-label components over core-core edges;
     deterministic ids (min core osm_id). eps=400 m stays under the
     mult=128 grid pitch at the synth latitudes (~588 m lon pitch at
-    47.5°N), so one ring step provably covers the radius."""
-    from osm_poi_matchmaker_spark.operators.spatial_cluster import dbscan_clusters
+    47.5°N), so one ring step provably covers the radius. The
+    contracted variant is the scale path: fine cells with diagonal < ε
+    are provably mutual-neighbor sets, so same-cell neighbor counts are
+    analytic and components run over the contracted cell graph — the
+    within-knot quadratic edge term never materializes
+    (bit-identical output, tested vs naive; jobs/dbscan_bench.py)."""
+    from osm_poi_matchmaker_spark.operators.spatial_cluster import (
+        dbscan_clusters_contracted,
+    )
 
-    return dbscan_clusters(
+    return dbscan_clusters_contracted(
         synth.osm_pois(spark, sf_dir), eps_m=400.0, min_pts=3, key="osm_id"
     )
 

@@ -79,3 +79,56 @@ def test_pair_join_is_equi_join_no_cartesian(spark):
     plan = distance_band_pairs(pts, eps_m=400.0)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def _cluster_sets(rows):
+    """Role map + clusters as frozensets (id-scheme-independent compare)."""
+    roles = {r["osm_id"]: r["role"] for r in rows}
+    clusters = {}
+    for r in rows:
+        if r["cluster"] is not None:
+            clusters.setdefault(r["cluster"], set()).add(r["osm_id"])
+    return roles, {frozenset(v) for v in clusters.values()}, {
+        r["osm_id"]: r["cluster"] for r in rows}
+
+
+def test_contracted_equals_naive_on_fixtures(spark):
+    from osm_poi_matchmaker_spark.operators.spatial_cluster import (
+        dbscan_clusters_contracted,
+    )
+
+    pts = _points(
+        spark,
+        [(i, 47.0 + i * DEG_300M, 19.0) for i in range(1, 8)]
+        + [(100, 47.5, 19.5), (101, 47.5 + DEG_300M / 3, 19.5),
+           (102, 47.5 + 2 * DEG_300M / 3, 19.5), (103, 47.5 + DEG_300M, 19.5),
+           (200, 48.9, 20.9)],
+    )
+    for mp in (1, 2, 3, 4):
+        naive = dbscan_clusters(pts, eps_m=400.0, min_pts=mp).collect()
+        fast = dbscan_clusters_contracted(pts, eps_m=400.0, min_pts=mp).collect()
+        assert _cluster_sets(naive) == _cluster_sets(fast), f"min_pts={mp}"
+
+
+def test_contracted_equals_naive_on_synth(spark):
+    from osm_poi_matchmaker_spark import synth
+    from osm_poi_matchmaker_spark.operators.spatial_cluster import (
+        dbscan_clusters_contracted,
+    )
+
+    pois = synth.osm_pois(spark, "/root/testdata/sf0.001")
+    naive = dbscan_clusters(pois, eps_m=400.0, min_pts=3).collect()
+    fast = dbscan_clusters_contracted(pois, eps_m=400.0, min_pts=3).collect()
+    assert _cluster_sets(naive) == _cluster_sets(fast)
+
+
+def test_fine_mult_diagonal_under_eps():
+    from osm_poi_matchmaker_spark.operators.spatial_cluster import (
+        _DIAG_M_PER_DEG,
+        fine_mult_for_eps,
+    )
+
+    for eps in (100.0, 250.0, 400.0, 1000.0):
+        mult = fine_mult_for_eps(eps)
+        assert _DIAG_M_PER_DEG / mult < eps
+        assert _DIAG_M_PER_DEG / (mult // 2) >= eps
