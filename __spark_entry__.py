@@ -648,12 +648,23 @@ def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over the int8 scalar-quantized corpus (SQ8 + asymmetric
+    distance): 4× smaller embedding scans/shuffles at 100 TB, recall
+    cost made measurable by ann_recall. Codes and reconstruction are
+    floor-exact, so the DuckDB oracle reproduces them bit-identically."""
+    emb = _embeddings(spark, sf_dir)
+    return similarity.sq8_topk(emb.where(F.col("vec_id") % 50 == 0), emb, k=5)
+
+
 def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query recall@5 of the LSH and IVF paths vs exact brute force —
-    the tuning read-off for (bits, nprobe, centroids)."""
+    """Per-query recall@5 of the LSH, IVF and SQ8 paths vs exact brute
+    force — the tuning read-off for (bits, nprobe, centroids, codec)."""
     exact = _q_ann_topk_exact(spark, sf_dir)
-    return similarity.ann_recall(exact, _q_ann_topk_lsh(spark, sf_dir), "lsh").unionAll(
-        similarity.ann_recall(exact, _q_ann_topk_ivf(spark, sf_dir), "ivf")
+    return (
+        similarity.ann_recall(exact, _q_ann_topk_lsh(spark, sf_dir), "lsh")
+        .unionAll(similarity.ann_recall(exact, _q_ann_topk_ivf(spark, sf_dir), "ivf"))
+        .unionAll(similarity.ann_recall(exact, _q_ann_topk_sq8(spark, sf_dir), "sq8"))
     )
 
 
@@ -2984,6 +2995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_exact": _q_ann_topk_exact,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        "ann_topk_sq8": _q_ann_topk_sq8,
         "ann_recall": _q_ann_recall,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "html_text_parity": _q_html_text_parity,
@@ -3528,6 +3540,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": oracles_docs.ann_ivf_sql(
             k=5, centroid_mod=100, nprobe=2, query_mod=50
         ),
+        "ann_topk_sq8": oracles_docs.ann_sq8_sql(k=5, query_mod=50),
         "ann_recall": oracles_docs.ann_recall_sql(k=5, query_mod=50),
         "dedup_embedding_cosine": oracles_docs.embedding_cosine_dup_sql(
             threshold=0.35, bits=4

@@ -221,6 +221,87 @@ def lsh_topk(
     )
 
 
+def sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_key: str = "vec_id",
+    corpus_key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Top-k over an int8 scalar-quantized corpus (SQ8 + asymmetric
+    distance, the FAISS ``SQ8`` layout re-expressed relationally).
+
+    At 100 TB the embedding column IS the table: float32×dim per row.
+    SQ8 stores one byte per dimension (4× smaller scans, shuffles and
+    cache) at a small recall cost that :func:`ann_recall` makes
+    measurable. Codes: per-DIMENSION global [min,max] over the corpus
+    (one aggregate pass, broadcast back as two arrays), then
+    ``floor((x-mn)/(mx-mn)*255+0.5)``. Scoring is asymmetric: the query
+    stays full-precision, the corpus vector is reconstructed
+    (``mn + code*(mx-mn)/255``) inside the scan — JVM-side array
+    expressions end to end, no Python. Constant dimensions (mx==mn)
+    reconstruct to mn exactly.
+
+    Deterministic by construction (floor, not round-half-even), so the
+    DuckDB oracle reproduces codes bit-exactly. Returns
+    (query_id, match_id, cosine_sim, rank) like the other ANN paths.
+    """
+    # per-dim min/max: posexplode + groupBy(pos) — partial aggregation
+    # ships dim rows per map partition, then dim tiny arrays broadcast.
+    ex = corpus.select(F.posexplode(F.col(vec)).alias("pos", "x"))
+    dims = (
+        ex.groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "mn"))
+            ).alias("_mns"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", "mx"))
+            ).alias("_mxs"),
+        )
+        .select(
+            F.transform("_mns", lambda s: s.mn).alias("mn"),
+            F.transform("_mxs", lambda s: s.mx).alias("mx"),
+        )
+    )
+    c = corpus.select(
+        F.col(corpus_key).alias("match_id"), F.col(vec).alias("c_vec")
+    ).crossJoin(F.broadcast(dims))
+    mn_i = lambda i: F.element_at(F.col("mn"), i + 1)  # noqa: E731
+    mx_i = lambda i: F.element_at(F.col("mx"), i + 1)  # noqa: E731
+    code = lambda x, i: F.floor(  # noqa: E731
+        (x.cast("double") - mn_i(i)) / (mx_i(i) - mn_i(i)) * F.lit(255.0)
+        + F.lit(0.5)
+    )
+    recon = F.transform(
+        F.col("c_vec"),
+        lambda x, i: F.when(
+            mx_i(i) > mn_i(i),
+            mn_i(i) + (code(x, i) * (mx_i(i) - mn_i(i))) / F.lit(255.0),
+        ).otherwise(mn_i(i)),
+    )
+    c = c.select("match_id", recon.alias("r_vec"))
+
+    q = queries.select(F.col(query_key).alias("query_id"), F.col(vec).alias("q_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("match_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("r_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+    )
+
+
 def ann_recall(exact: DataFrame, approx: DataFrame, method: str) -> DataFrame:
     """Evaluation harness: per-query recall@k of an approximate top-k
     (LSH / IVF) against the exact brute-force top-k — the measured error

@@ -157,6 +157,32 @@ SELECT query_id, match_id, ROUND(cs, 6) AS cosine_sim, rank FROM (
 WHERE rank <= {k}"""
 
 
+def ann_sq8_sql(k: int = 5, query_mod: int = 50) -> str:
+    """Twin of similarity.sq8_topk: per-dim global [min,max] codes
+    (floor, not round-half-even — bit-reproducible), asymmetric scoring
+    against the reconstructed corpus vector."""
+    recon = (
+        "list_transform(embedding, (x, i) -> CASE WHEN mx[i] > mn[i] "
+        "THEN mn[i] + (FLOOR((CAST(x AS DOUBLE) - mn[i]) / (mx[i] - mn[i]) "
+        "* 255.0 + 0.5) * (mx[i] - mn[i])) / 255.0 ELSE mn[i] END)"
+    )
+    cos = f"({_DOT.format(a='qe', b='ce')} / ({_NORM.format(a='qe')} * {_NORM.format(a='ce')}))"
+    return f"""
+WITH d AS (SELECT i AS pos, MIN(CAST(x AS DOUBLE)) AS mn, MAX(CAST(x AS DOUBLE)) AS mx
+           FROM (SELECT unnest(embedding) AS x,
+                        generate_subscripts(embedding, 1) AS i FROM embeddings)
+           GROUP BY i),
+st AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx FROM d),
+c AS (SELECT vec_id AS match_id, {recon} AS ce FROM embeddings, st),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % {query_mod} = 0),
+s AS (SELECT query_id, match_id, {cos} AS cs FROM c, q WHERE query_id <> match_id)
+SELECT query_id, match_id, ROUND(cs, 6) AS cosine_sim, rank FROM (
+  SELECT query_id, match_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
+  FROM s)
+WHERE rank <= {k}"""
+
+
 def _srp_sig(bits: int) -> str:
     # SRP signature; DuckDB lambda index i is 1-based == Spark's (i+1).
     bit_exprs = []
@@ -639,6 +665,8 @@ GROUP BY ex.query_id"""
         leg("lsh", ann_lsh_sql(k=k, bits=8, query_mod=query_mod))
         + "\nUNION ALL\n"
         + leg("ivf", ann_ivf_sql(k=k, centroid_mod=100, nprobe=2, query_mod=query_mod))
+        + "\nUNION ALL\n"
+        + leg("sq8", ann_sq8_sql(k=k, query_mod=query_mod))
     )
 
 
