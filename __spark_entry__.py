@@ -250,6 +250,26 @@ def _q_poi_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_poi_dbscan_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster assignment at crawl cadence: 90% of the POI
+    table is the settled clustering, the osm_id%10==0 arrivals probe
+    settled CORES through one cell-ring join and adopt the smallest
+    neighboring cluster (greedy, like lsh_index_probe / arrival dedup —
+    re-cluster merges deferred to the next full pass)."""
+    from osm_poi_matchmaker_spark.operators.spatial_cluster import (
+        dbscan_assign_probe,
+        dbscan_clusters_contracted,
+    )
+
+    pois = synth.osm_pois(spark, sf_dir)
+    settled_pts = pois.where(F.col("osm_id") % 10 != 0)
+    batch = pois.where(F.col("osm_id") % 10 == 0)
+    settled = dbscan_clusters_contracted(
+        settled_pts, eps_m=400.0, min_pts=3, key="osm_id"
+    ).join(settled_pts.select("osm_id", "lat", "lon"), "osm_id")
+    return dbscan_assign_probe(batch, settled, eps_m=400.0)
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -2966,6 +2986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_rollup": _q_match_rollup,
         "knn_nearest": _q_knn_nearest,
         "poi_dbscan": _q_poi_dbscan,
+        "poi_dbscan_probe": _q_poi_dbscan_probe,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -3162,6 +3183,33 @@ uc AS (SELECT page_id, messy, text, host,
          scheme || '://' || host || port_out || path_out ||
          CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canon_url
        FROM u6)"""
+
+
+def _dbscan_oracle_ctes(
+    base: str, where: str = "TRUE", eps: float = 400.0, min_pts: int = 3
+) -> str:
+    """Shared DBSCAN oracle CTE chain over ``pset`` = filtered pois:
+    all-pairs ε-edges, degree core rule, recursive-CTE min-label
+    closure (cm = cluster per CORE id), border attach (bd)."""
+    from osm_poi_matchmaker_spark import synth_sql
+
+    return (
+        base.replace("WITH ", "WITH RECURSIVE ", 1)
+        + f", pset AS (SELECT * FROM pois WHERE {where}), "
+        f"pr AS (SELECT p.osm_id AS a, o.osm_id AS b FROM pset p "
+        f"JOIN pset o ON p.osm_id < o.osm_id AND {synth_sql.HAV} < {eps}), "
+        "ed AS (SELECT a, b FROM pr UNION ALL SELECT b AS a, a AS b FROM pr), "
+        "dg AS (SELECT a AS id, COUNT(*) AS n FROM ed GROUP BY 1), "
+        f"core AS (SELECT dg.id FROM dg WHERE dg.n + 1 >= {min_pts}), "
+        "ce AS (SELECT e.a, e.b FROM ed e JOIN core c1 ON c1.id = e.a "
+        "JOIN core c2 ON c2.id = e.b), "
+        "rc(id, lbl) AS (SELECT id, id FROM core "
+        "UNION SELECT e.b, rc.lbl FROM rc JOIN ce e ON e.a = rc.id), "
+        "cm AS (SELECT id, MIN(lbl) AS cluster FROM rc GROUP BY 1), "
+        "bd AS (SELECT e.a AS id, MIN(c.cluster) AS cluster FROM ed e "
+        "JOIN cm c ON c.id = e.b LEFT JOIN core k ON k.id = e.a "
+        "WHERE k.id IS NULL GROUP BY 1)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3391,26 +3439,26 @@ def oracle_sql() -> dict[str, str]:
             # All-pairs ε-join is fine for the oracle at sf0.01; the
             # engine side must NOT do this (cell-ring self-join). The
             # recursive CTE is the closure twin of min-label propagation.
-            base.replace("WITH ", "WITH RECURSIVE ", 1)
-            + f", pr AS (SELECT p.osm_id AS a, o.osm_id AS b FROM pois p "
-            f"JOIN pois o ON p.osm_id < o.osm_id AND {synth_sql.HAV} < 400.0), "
-            "ed AS (SELECT a, b FROM pr UNION ALL SELECT b AS a, a AS b FROM pr), "
-            "dg AS (SELECT a AS id, COUNT(*) AS n FROM ed GROUP BY 1), "
-            "core AS (SELECT dg.id FROM dg WHERE dg.n + 1 >= 3), "
-            "ce AS (SELECT e.a, e.b FROM ed e JOIN core c1 ON c1.id = e.a "
-            "JOIN core c2 ON c2.id = e.b), "
-            "rc(id, lbl) AS (SELECT id, id FROM core "
-            "UNION SELECT e.b, rc.lbl FROM rc JOIN ce e ON e.a = rc.id), "
-            "cm AS (SELECT id, MIN(lbl) AS cluster FROM rc GROUP BY 1), "
-            "bd AS (SELECT e.a AS id, MIN(c.cluster) AS cluster FROM ed e "
-            "JOIN cm c ON c.id = e.b LEFT JOIN core k ON k.id = e.a "
-            "WHERE k.id IS NULL GROUP BY 1) "
-            "SELECT o.osm_id, "
+            _dbscan_oracle_ctes(base)
+            + " SELECT o.osm_id, "
             "CASE WHEN cm.id IS NOT NULL THEN 'core' "
             "WHEN bd.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role, "
             "COALESCE(cm.cluster, bd.cluster) AS cluster "
-            "FROM pois o LEFT JOIN cm ON cm.id = o.osm_id "
+            "FROM pset o LEFT JOIN cm ON cm.id = o.osm_id "
             "LEFT JOIN bd ON bd.id = o.osm_id"
+        ),
+        "poi_dbscan_probe": (
+            # settled = 90% of the POI table clustered; batch = the
+            # osm_id%10==0 arrivals probed against settled CORES only.
+            _dbscan_oracle_ctes(base, where="osm_id % 10 <> 0")
+            + f", pb AS (SELECT p.osm_id AS id, MIN(c.cluster) AS cluster "
+            f"FROM pois p JOIN pset o ON {synth_sql.HAV} < 400.0 "
+            "JOIN cm c ON c.id = o.osm_id "
+            "WHERE p.osm_id % 10 = 0 GROUP BY 1) "
+            "SELECT p.osm_id, CASE WHEN pb.cluster IS NOT NULL "
+            "THEN 'assigned' ELSE 'unassigned' END AS status, pb.cluster "
+            "FROM pois p LEFT JOIN pb ON pb.id = p.osm_id "
+            "WHERE p.osm_id % 10 = 0"
         ),
         "knn_nearest": (
             f"{base} SELECT page_id, osm_id, ROUND(distance, 2) AS distance_m FROM ("

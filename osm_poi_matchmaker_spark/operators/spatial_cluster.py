@@ -244,6 +244,68 @@ def dbscan_clusters_contracted(
     )
 
 
+def dbscan_assign_probe(
+    batch: DataFrame,
+    settled: DataFrame,
+    eps_m: float,
+    key: str = "osm_id",
+) -> DataFrame:
+    """Incremental cluster assignment: probe a NEW batch of points
+    against a settled clustering without re-clustering the corpus.
+
+    The spatial twin of :func:`~.dedup.lsh_index_probe` / the greedy
+    arrival-dedup motif: at crawl cadence you don't re-run DBSCAN over
+    10^8 settled POIs per snapshot — new points ring-join the settled
+    CORE points only, and a point with ≥1 core ε-neighbor adopts the
+    smallest neighboring cluster id (deterministic; the greedy
+    approximation — merges a full re-cluster might cause are deferred
+    to the next full run, exactly like the LSH bucket-claiming path).
+    Points with no core neighbor stay ``unassigned`` (a full pass
+    decides noise vs new-cluster).
+
+    ``settled`` needs (key, lat, lon, role, cluster) — the
+    :func:`dbscan_clusters` output joined back to coordinates. One
+    cell-keyed equi-join; the settled side's ring explode is avoided by
+    probing from the (small) batch side.
+    """
+    mult = coarse_mult_for_radius(eps_m)
+    probe = explode_ring3x3(
+        batch.select(F.col(key).alias("b_id"), "lat", "lon"),
+        "lat",
+        "lon",
+        mult,
+        out="probe_cell",
+    )
+    cores = (
+        settled.where(F.col("role") == "core")
+        .select(
+            F.col(key).alias("c_id"),
+            F.col("lat").alias("c_lat"),
+            F.col("lon").alias("c_lon"),
+            "cluster",
+        )
+        .withColumn("cand_cell", coarse_cell_id(F.col("c_lat"), F.col("c_lon"), mult))
+    )
+    dist = haversine_m(F.col("lat"), F.col("lon"), F.col("c_lat"), F.col("c_lon"))
+    hits = (
+        probe.join(cores, F.col("probe_cell") == F.col("cand_cell"))
+        .where(dist < F.lit(float(eps_m)))
+        .groupBy("b_id")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    return (
+        batch.select(F.col(key).alias("b_id"))
+        .join(hits, "b_id", "left")
+        .select(
+            F.col("b_id").alias(key),
+            F.when(F.col("cluster").isNotNull(), F.lit("assigned"))
+            .otherwise(F.lit("unassigned"))
+            .alias("status"),
+            "cluster",
+        )
+    )
+
+
 def dbscan_clusters(
     points: DataFrame,
     eps_m: float,

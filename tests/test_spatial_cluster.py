@@ -132,3 +132,32 @@ def test_fine_mult_diagonal_under_eps():
         mult = fine_mult_for_eps(eps)
         assert _DIAG_M_PER_DEG / mult < eps
         assert _DIAG_M_PER_DEG / (mult // 2) >= eps
+
+
+def test_assign_probe_roles(spark):
+    from osm_poi_matchmaker_spark.operators.spatial_cluster import (
+        dbscan_assign_probe,
+    )
+
+    settled_pts = _points(
+        spark,
+        [(1, 47.0, 19.0), (2, 47.0 + DEG_300M, 19.0),
+         (3, 47.0 + 2 * DEG_300M, 19.0)],
+    )
+    settled = dbscan_clusters(settled_pts, eps_m=400.0, min_pts=3).join(
+        settled_pts.select("osm_id", "lat", "lon"), "osm_id"
+    )
+    batch = _points(
+        spark,
+        [
+            (100, 47.0 + DEG_300M, 19.0 + DEG_300M / 111194.9267 * 75925.0 * 0),  # 0 m east of core 2 → same spot
+            (101, 47.0 + 4 * DEG_300M, 19.0),   # 600 m past core 2's reach → near border 3 only → unassigned
+            (102, 48.5, 20.5),                  # nowhere → unassigned
+        ],
+    )
+    out = {r["osm_id"]: (r["status"], r["cluster"]) for r in
+           dbscan_assign_probe(batch, settled, eps_m=400.0).collect()}
+    # only core 2 counts: 100 sits on it → assigned to cluster 2;
+    # 101 is within ε of POINT 3 but 3 is border, not core → unassigned.
+    assert out == {100: ("assigned", 2), 101: ("unassigned", None),
+                   102: ("unassigned", None)}
