@@ -399,6 +399,33 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.vocab_topk(_docs(spark, sf_dir))
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction over the corpus (Sennrich
+    ACL'16): merges learned on the distinct-word vocab (corpus scanned
+    once; every round touches only the vocab table), argmax pair per
+    round deterministic (count DESC, lexicographic). Iterative → no SQL
+    oracle; pinned EXACTLY vs an independent pure-Python reference in
+    tests/test_bpe.py."""
+    from osm_poi_matchmaker_spark.operators.bpe import learn_bpe, merges_df
+
+    merges, _ = learn_bpe(_docs(spark, sf_dir), n_merges=12)
+    return merges_df(spark, merges)
+
+
+def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with the learned merges: each DISTINCT word
+    tokenized once (Arrow-batched pandas UDF), broadcast-joined back —
+    corpus cost is the join, not the Python. Rows-only (depends on the
+    iterative learner); exact-tokenization pinned in tests/test_bpe.py."""
+    from osm_poi_matchmaker_spark.operators.bpe import apply_bpe, learn_bpe
+
+    docs = _docs(spark, sf_dir)
+    merges, _ = learn_bpe(docs, n_merges=12)
+    return apply_bpe(docs, merges).select(
+        "doc_id", F.concat_ws(" ", F.col("tokens")).alias("tokens_sp"), "n_tokens"
+    )
+
+
 def _q_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end release disposition per doc: gate:<reason> / duplicate /
     train / val / test. All seven dispositions non-vacuous at sf0.01
@@ -3003,6 +3030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "repetition_stats": _q_repetition_stats,
         "vocab_topk": _q_vocab_topk,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_tokenize": _q_bpe_tokenize,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "pii_redact": _q_pii_redact,
         "url_normalize": _q_url_normalize,
