@@ -123,6 +123,22 @@ def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_pyramid(_pages_geo(spark, sf_dir), levels=4)
 
 
+def _q_cell_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact KDE heatmap at the 32×-coarsened grid: 5×5
+    binomial (discrete-Gaussian) kernel over the cell histogram,
+    reported in 1/256 mass units so the oracle hashes identically —
+    the raster layer a tile server renders from, computed at
+    occupied-cells scale (25× explode of the histogram, never of the
+    points)."""
+    from osm_poi_matchmaker_spark.tiling import X_SPAN, kde_smooth
+
+    coarse = F.expr(
+        f"((cell_id div {X_SPAN}) div 32) * {X_SPAN}"
+        f" + ((cell_id % {X_SPAN}) div 32)"
+    )
+    return kde_smooth(_pages_geo(spark, sf_dir).select(coarse.alias("cell_id")))
+
+
 def _q_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hotspot cells at a 32×-coarsened grid (~5.6 km × 3.7 km over HU):
     a cell is hot when its page count beats 2× its 3×3-ring mean —
@@ -3008,6 +3024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_assign": _q_cell_assign,
         "cell_histogram": _q_cell_histogram,
         "hotspot_cells": _q_hotspot_cells,
+        "cell_kde": _q_cell_kde,
         "match_lineage": _q_match_lineage,
         "addr_overwrite": _q_addr_overwrite,
         "match_rollup": _q_match_rollup,
@@ -3214,6 +3231,14 @@ uc AS (SELECT page_id, messy, text, host,
        FROM u6)"""
 
 
+_BINOM5 = (1, 4, 6, 4, 1)
+_KDE_VALUES = ", ".join(
+    f"({dx}, {dy}, {_BINOM5[dx + 2] * _BINOM5[dy + 2]})"
+    for dy in (-2, -1, 0, 1, 2)
+    for dx in (-2, -1, 0, 1, 2)
+)
+
+
 def _dbscan_oracle_ctes(
     base: str, where: str = "TRUE", eps: float = 400.0, min_pts: int = 3
 ) -> str:
@@ -3291,6 +3316,22 @@ def oracle_sql() -> dict[str, str]:
         "cell_histogram": (
             f"{base} SELECT {_CELL} AS cell_id, COUNT(*) AS n_pages "
             f"FROM pages_x WHERE {_GEO_FILTER} GROUP BY 1"
+        ),
+        "cell_kde": (
+            f"{base}, hc AS (SELECT (({_CELL} // 262144) // 32) * 262144 "
+            f"+ (({_CELL} % 262144) // 32) AS cell_id, "
+            f"COUNT(*) AS n_points FROM pages_x WHERE {_GEO_FILTER} GROUP BY 1), "
+            "sp AS (SELECT ((cell_id // 262144) + dy) * 262144 "
+            "+ (cell_id % 262144) + dx AS tcell, n_points * w AS mass "
+            f"FROM hc, (VALUES {_KDE_VALUES}) AS o(dx, dy, w) "
+            "WHERE (cell_id % 262144) + dx >= 0 "
+            "AND (cell_id % 262144) + dx < 262144 "
+            "AND (cell_id // 262144) + dy >= 0), "
+            "sm AS (SELECT tcell, CAST(SUM(mass) AS BIGINT) AS kde_mass_256 "
+            "FROM sp GROUP BY 1) "
+            "SELECT sm.tcell AS cell_id, "
+            "COALESCE(hc.n_points, 0) AS n_points, sm.kde_mass_256 "
+            "FROM sm LEFT JOIN hc ON hc.cell_id = sm.tcell"
         ),
         "hotspot_cells": (
             f"{base}, hc AS (SELECT (({_CELL} // 262144) // 32) * 262144 "

@@ -21,7 +21,10 @@ is the one that grows with corpus size.
 
 Prints ONE JSON line; paste into BENCH.md.
 
-Usage: python3 jobs/dbscan_bench.py [lattice_slots] [blob_size] [cpus]
+Usage: python3 jobs/dbscan_bench.py [lattice_slots] [blob_size] [cpus] [mode]
+mode: "all" (default) or "pairs" (ε-join stage only — the stage whose
+cost scales with data; the component rounds carry a fixed per-round
+driver overhead that only amortizes at much larger inputs).
 """
 
 from __future__ import annotations
@@ -40,6 +43,7 @@ def main() -> None:
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else int(
         os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
+    mode = sys.argv[4] if len(sys.argv) > 4 else "all"
 
     from pyspark.sql import functions as F
 
@@ -50,7 +54,14 @@ def main() -> None:
     )
     from osm_poi_matchmaker_spark.session import get_spark
 
-    spark = get_spark("dbscan-bench", cpus=cpus, shuffle_partitions=cpus * 2)
+    # Partitioning is pinned INDEPENDENT of the parallelism level (fixed
+    # split plan + fixed shuffle width), so a 2-core vs 8-core run
+    # differs only in cores — the same-input rule the scaling_bench.py
+    # protocol uses. cpus*2 partitions at cpus=2 would make the low
+    # level pay spill costs the high level never sees.
+    spark = get_spark(
+        "dbscan-bench", cpus=cpus, shuffle_partitions=max(32, cpus * 2)
+    )
 
     width = 2000  # lattice columns; pitch 0.02 deg (~2.2 km lat, ~1.5 km lon)
     pitch = 0.02
@@ -77,7 +88,7 @@ def main() -> None:
             (F.col("clon") + (F.col("i") / 7).cast("long") * F.lit(0.0004)).alias("lon"),
         )
     )
-    points = noise.unionByName(blobs).repartition(cpus * 2).persist()
+    points = noise.unionByName(blobs).repartition(64).persist()
     n_points = points.count()
     n_blobs = (slots + 19) // 20
     n_noise = slots - n_blobs
@@ -85,6 +96,20 @@ def main() -> None:
     t0 = time.time()
     n_pairs = distance_band_pairs(points, eps_m=400.0).count()
     t_pairs = time.time() - t0
+
+    if mode == "pairs":
+        expect_pairs = n_blobs * blob_size * (blob_size - 1) // 2
+        print(json.dumps({
+            "metric": "dbscan_bench_pairs",
+            "points": n_points,
+            "pairs": n_pairs,
+            "pairs_sec": round(t_pairs, 2),
+            "points_per_sec": round(n_points / t_pairs, 1),
+            "exact": n_pairs == expect_pairs,
+            "cpus": cpus,
+        }))
+        spark.stop()
+        sys.exit(0 if n_pairs == expect_pairs else 1)
 
     def run(fn):
         t0 = time.time()

@@ -269,3 +269,68 @@ def hotspot_cells(
             ).alias("is_peak"),
         )
     )
+
+
+_BINOM5 = (1, 4, 6, 4, 1)  # 5-tap binomial = discrete Gaussian, sum 16
+
+
+def kde_smooth(points: DataFrame, cell: str = "cell_id") -> DataFrame:
+    """Kernel-density smoothing of the cell histogram — the raster twin
+    of hotspot detection, kept INTEGER-exact: the separable 5×5
+    binomial kernel (outer product of 1-4-6-4-1, total mass 256) stands
+    in for a Gaussian, and the smoothed value is reported as
+    ``kde_mass_256`` = Σ w(dx,dy)·count(cell+d) in 1/256 units — BIGINT
+    all the way, so the DuckDB oracle hashes identically (the standard
+    GIS "heatmap layer" without a single float).
+
+    Scale shape (same as hotspot_cells): one partial-agg groupBy(cell)
+    over the points, then a fixed 25× explode of the OCCUPIED-cell
+    histogram re-aggregated by target cell — all later stages sized by
+    occupied cells, not points. Grid-edge guards keep x from wrapping
+    rows. Returns (cell_id, n_points, kde_mass_256) for every cell that
+    receives mass (n_points = 0 for empty cells under the kernel's
+    skirt).
+    """
+    counts = points.groupBy(F.col(cell).alias("cell_id")).agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+    x = F.col("cell_id") % F.lit(X_SPAN)
+    y = F.expr(f"cell_id div {X_SPAN}")
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(_BINOM5[dx + 2] * _BINOM5[dy + 2]).alias("w"),
+            )
+            for dy in (-2, -1, 0, 1, 2)
+            for dx in (-2, -1, 0, 1, 2)
+        ]
+    )
+    spread = (
+        counts.select(
+            F.explode(offs).alias("o"), x.alias("x"), y.alias("y"), "n_points"
+        )
+        .where(
+            (F.col("x") + F.col("o.dx") >= 0)
+            & (F.col("x") + F.col("o.dx") < X_SPAN)
+            & (F.col("y") + F.col("o.dy") >= 0)
+        )
+        .select(
+            (
+                (F.col("y") + F.col("o.dy")) * F.lit(X_SPAN)
+                + F.col("x")
+                + F.col("o.dx")
+            ).alias("tcell"),
+            (F.col("n_points") * F.col("o.w")).alias("mass"),
+        )
+        .groupBy("tcell")
+        .agg(F.sum("mass").cast("bigint").alias("kde_mass_256"))
+    )
+    return spread.join(
+        counts, spread.tcell == counts.cell_id, "left"
+    ).select(
+        F.col("tcell").alias("cell_id"),
+        F.coalesce("n_points", F.lit(0)).alias("n_points"),
+        "kde_mass_256",
+    )
