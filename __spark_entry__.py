@@ -266,6 +266,19 @@ def _q_poi_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_idw_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW interpolation of a POI attribute field at page locations
+    (bounded 1/(1+d²) kernel — finite at coincident coords, so both
+    engines compute the identical estimate): one knn-layout ring join +
+    one partial-agg groupBy; pages never shuffle more than one row."""
+    from osm_poi_matchmaker_spark.operators.interpolate import idw_interpolate
+
+    sources = synth.osm_pois(spark, sf_dir).select(
+        (F.abs(F.col("osm_id")) % 97).cast("double").alias("value"), "lat", "lon"
+    )
+    return idw_interpolate(_pages_geo(spark, sf_dir), sources, radius_m=2000.0)
+
+
 def _q_poi_dbscan_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cluster assignment at crawl cadence: 90% of the POI
     table is the settled clustering, the osm_id%10==0 arrivals probe
@@ -3031,6 +3044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_nearest": _q_knn_nearest,
         "poi_dbscan": _q_poi_dbscan,
         "poi_dbscan_probe": _q_poi_dbscan_probe,
+        "idw_field": _q_idw_field,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -3516,6 +3530,16 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(cm.cluster, bd.cluster) AS cluster "
             "FROM pset o LEFT JOIN cm ON cm.id = o.osm_id "
             "LEFT JOIN bd ON bd.id = o.osm_id"
+        ),
+        "idw_field": (
+            f"{base} SELECT page_id, n_sources, est FROM ("
+            "  SELECT px.page_id, COUNT(*) AS n_sources, "
+            "  ROUND(SUM((CAST(ABS(o.osm_id) % 97 AS DOUBLE)) * "
+            f"  (1.0 / (1.0 + ({hav_px} / 100.0) * ({hav_px} / 100.0)))) "
+            f"  / SUM(1.0 / (1.0 + ({hav_px} / 100.0) * ({hav_px} / 100.0))), 6) AS est "
+            f"  FROM pages_x px JOIN pois o ON {hav_px} < 2000.0 "
+            f"  WHERE {_GEO_FILTER.replace('lat', 'px.lat').replace('lon', 'px.lon')} "
+            "  GROUP BY px.page_id)"
         ),
         "poi_dbscan_probe": (
             # settled = 90% of the POI table clustered; batch = the
