@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -257,6 +258,7 @@ def connected_components(
     left: str = "doc_a",
     right: str = "doc_b",
     max_iter: int = 25,
+    driver_guard_edges: int = 500_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph.
 
@@ -276,8 +278,15 @@ def connected_components(
     document table is never touched, and edge sets are tiny relative to
     the corpus (that's why near-dup candidates were banded first).
 
-    Driver involvement per round is one ``count`` (the convergence
-    check) — O(rounds) actions, no per-row driver work. Each round
+    Below ``driver_guard_edges`` the symmetrized edge set is folded on
+    the driver instead (union-find, identical min-id labels): every
+    pair graph this engine emits is DERIVED and small relative to the
+    corpus, and under ~5·10^5 edges the O(rounds) distributed loop
+    costs more in per-round stage latency than the whole graph costs to
+    fold. Above the guard (planet-scale candidate graphs) the
+    distributed loop engages automatically; driver involvement per
+    round is then one ``count`` (the convergence check) — O(rounds)
+    actions, no per-row driver work. Each round
     eagerly ``localCheckpoint``s the merged label map: the pointer-jump
     is a self-join, so without lineage truncation the logical plan
     DOUBLES every round (2 GB plan strings by round ~20 — observed).
@@ -291,6 +300,53 @@ def connected_components(
         .distinct()
         .persist()
     )
+    n_edges = edges.count()
+    if n_edges <= driver_guard_edges:
+        # Size-guarded fast path (the pip.py guard pattern): every pair
+        # graph this engine feeds components with is DERIVED and small
+        # relative to the corpus (banded near-dup candidates, contracted
+        # DBSCAN cell edges) — below the guard, O(rounds) distributed
+        # iterations cost more in per-round stage latency than the whole
+        # graph costs to fold on the driver. Identical labels by
+        # construction (min node id per component); above the guard the
+        # distributed loop below engages automatically.
+        node_t = pairs.schema[left].dataType
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.toLocalIterator():
+            a, b = row["src"], row["dst"]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict = {}
+        for x in parent:
+            r = find(x)
+            if r not in comp_min or x < comp_min[r]:
+                comp_min[r] = x
+        spark = pairs.sparkSession
+        edges.unpersist()
+        schema = T.StructType(
+            [
+                T.StructField("node", node_t, False),
+                T.StructField("component", node_t, False),
+            ]
+        )
+        return spark.createDataFrame(
+            [(x, comp_min[find(x)]) for x in parent], schema
+        )
+
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -26,13 +26,30 @@ def test_components_disjoint_and_transitive(spark):
 
 def test_components_long_chain_converges(spark):
     # a 300-node path: min-label propagation alone needs ~300 rounds;
-    # pointer jumping must close it within the default max_iter=25
+    # pointer jumping must close it within the default max_iter=25.
+    # driver_guard_edges=0 forces the DISTRIBUTED loop (the default
+    # guard would fold a graph this small on the driver).
     n = 300
     pairs = _pairs(spark, [(i, i + 1) for i in range(n)])
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, driver_guard_edges=0)
     assert comp.select(F.countDistinct("component")).collect()[0][0] == 1
     assert comp.count() == n + 1
     assert comp.agg(F.min("component"), F.max("component")).collect()[0] == (0, 0)
+
+
+def test_guarded_and_distributed_paths_identical(spark):
+    # chains + a star + an isolated pair, labels must agree exactly
+    edges = (
+        [(i, i + 1) for i in range(40)]
+        + [(1000, 1000 + j) for j in range(1, 15)]
+        + [(5000, 5001)]
+    )
+    pairs = _pairs(spark, edges)
+    fast = {r["node"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    dist = {r["node"]: r["component"]
+            for r in connected_components(pairs, driver_guard_edges=0).collect()}
+    assert fast == dist
 
 
 def test_dedup_components_covers_all_docs(spark):

@@ -179,3 +179,54 @@ def test_tile_pyramid_scans_points_once(spark):
     assert "Union" not in plan
     assert plan.count("Generate") == 1
     assert plan.count("HashAggregate") >= 4  # two partial+final pairs
+
+
+def test_idw_broadcast_sources_no_cartesian(spark):
+    """IDW must broadcast the (small) source table into the probe-side
+    ring join and partial-aggregate the estimate — pages shuffle at most
+    one row each."""
+    plan = plan_of(entry_mod._q_idw_field(spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial agg
+
+
+def test_sq8_reconstruction_stays_codegen(spark):
+    """SQ8 scoring must be array expressions under whole-stage codegen —
+    no Python evaluation in the scan — with the stats row and the query
+    shard broadcast."""
+    plan = plan_of(entry_mod._q_ann_topk_sq8(spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_kde_explodes_histogram_not_points(spark):
+    """The KDE kernel spread must generate from the aggregated cell
+    histogram (one Generate AFTER the first aggregate), never a per-point
+    25x explode."""
+    df = entry_mod._q_cell_kde(spark, SF)
+    plan = plan_of(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate") == 1
+    # aggregate(points) precedes the Generate in the plan tree: the
+    # Generate's child subtree must contain a HashAggregate
+    gen_pos = plan.index("Generate")
+    assert "HashAggregate" in plan[gen_pos:]
+
+
+def test_dbscan_pairs_equi_join_probe_side_explode(spark):
+    """The ε self-join must be a cell-keyed equi-join with the ring
+    explode on the probe side only (exactly one Generate), and the
+    contracted component stage must never materialize same-cell pairs
+    (filter on fine-cell inequality present before aggregation)."""
+    from osm_poi_matchmaker_spark import synth
+    from osm_poi_matchmaker_spark.operators.spatial_cluster import (
+        distance_band_pairs,
+    )
+
+    pois = synth.osm_pois(spark, SF)
+    plan = plan_of(distance_band_pairs(pois, 400.0), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate") == 1
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
