@@ -697,6 +697,17 @@ def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls.domain_stats(pages)
 
 
+def _q_domain_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host exact text-length p50/p90/p99 (percentile ≡ DuckDB
+    quantile_cont, same linear-interpolation definition) — what
+    per-domain length gates actually cut on; one partial-agg groupBy
+    on a two-column projection."""
+    pages = synth.pages(spark, sf_dir).select(
+        _messy_url_expr().alias("url"), "text"
+    )
+    return urls.domain_quantiles(pages)
+
+
 def _q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp-style rolling hash over each document's token stream —
     the incrementally-composable fingerprint for chunked/streaming ingest
@@ -3071,6 +3082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_schedule": _q_frontier_schedule,
         "robots_filter": _q_robots_filter,
         "domain_stats": _q_domain_stats,
+        "domain_quantiles": _q_domain_quantiles,
         "pack_sequences": _q_pack_sequences,
         "crawl_delta": _q_crawl_delta,
         "ann_topk_exact": _q_ann_topk_exact,
@@ -3653,6 +3665,14 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": (
             f"{base},{_url_canon_ctes()} "
             "SELECT page_id, messy AS url_raw, canon_url FROM uc"
+        ),
+        "domain_quantiles": (
+            f"{base},{_url_canon_ctes()} "
+            "SELECT host, COUNT(*) AS n_pages, "
+            "ROUND(quantile_cont(length(text), 0.5), 6) AS p50_len, "
+            "ROUND(quantile_cont(length(text), 0.9), 6) AS p90_len, "
+            "ROUND(quantile_cont(length(text), 0.99), 6) AS p99_len "
+            "FROM uc GROUP BY 1"
         ),
         "domain_stats": (
             f"{base},{_url_canon_ctes()} "

@@ -133,3 +133,31 @@ def template_stats(pages: DataFrame, url: str = "url") -> DataFrame:
         .groupBy("host", "template")
         .agg(F.count(F.lit(1)).alias("n_pages"))
     )
+
+
+def domain_quantiles(pages: DataFrame, url: str = "url", text: str = "text") -> DataFrame:
+    """Per-host EXACT text-length quantiles (p50/p90/p99) — the
+    distribution read-off behind per-domain length filters (a mean hides
+    the boilerplate spike; the tail quantiles are what length gates cut
+    on). ``percentile`` is the exact sort-based aggregate with linear
+    interpolation — identical definition to DuckDB's ``quantile_cont``,
+    so the oracle hashes the doubles directly. One partial-agg groupBy
+    on a two-column projection; for 100 TB sketches swap in
+    ``percentile_approx`` (same plan shape, bounded state)."""
+    host = url_host(F.col(url))
+    q = F.expr("percentile(text_len, array(0.5, 0.9, 0.99))")
+    return (
+        pages.select(host.alias("host"), F.length(F.col(text)).alias("text_len"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            q.alias("_q"),
+        )
+        .select(
+            "host",
+            "n_pages",
+            F.round(F.element_at("_q", 1), 6).alias("p50_len"),
+            F.round(F.element_at("_q", 2), 6).alias("p90_len"),
+            F.round(F.element_at("_q", 3), 6).alias("p99_len"),
+        )
+    )
