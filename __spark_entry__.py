@@ -266,6 +266,37 @@ def _q_poi_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_poi_cluster_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster conflation summary over the DBSCAN output: member
+    count (core+border), bounding box and centroid — the rollup a
+    conflation reviewer or tile renderer consumes. One groupBy over the
+    clustered table; the clustering itself is the poi_dbscan plan."""
+    from osm_poi_matchmaker_spark.operators.spatial_cluster import (
+        dbscan_clusters_contracted,
+    )
+
+    pois = synth.osm_pois(spark, sf_dir)
+    clustered = dbscan_clusters_contracted(
+        pois, eps_m=400.0, min_pts=3, key="osm_id"
+    ).join(pois.select("osm_id", "lat", "lon"), "osm_id")
+    return (
+        clustered.where(F.col("cluster").isNotNull())
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.when(F.col("role") == "core", 1).otherwise(0))
+            .cast("long")
+            .alias("n_core"),
+            F.round(F.min("lat"), 6).alias("lat_min"),
+            F.round(F.max("lat"), 6).alias("lat_max"),
+            F.round(F.min("lon"), 6).alias("lon_min"),
+            F.round(F.max("lon"), 6).alias("lon_max"),
+            F.round(F.avg("lat"), 6).alias("lat_centroid"),
+            F.round(F.avg("lon"), 6).alias("lon_centroid"),
+        )
+    )
+
+
 def _q_idw_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IDW interpolation of a POI attribute field at page locations
     (bounded 1/(1+d²) kernel — finite at coincident coords, so both
@@ -3056,6 +3087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poi_dbscan": _q_poi_dbscan,
         "poi_dbscan_probe": _q_poi_dbscan_probe,
         "idw_field": _q_idw_field,
+        "poi_cluster_footprints": _q_poi_cluster_footprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -3552,6 +3584,21 @@ def oracle_sql() -> dict[str, str]:
             f"  FROM pages_x px JOIN pois o ON {hav_px} < 2000.0 "
             f"  WHERE {_GEO_FILTER.replace('lat', 'px.lat').replace('lon', 'px.lon')} "
             "  GROUP BY px.page_id)"
+        ),
+        "poi_cluster_footprints": (
+            _dbscan_oracle_ctes(base)
+            + ", rl AS (SELECT o.osm_id, "
+            "CASE WHEN cm.id IS NOT NULL THEN 'core' "
+            "WHEN bd.id IS NOT NULL THEN 'border' END AS role, "
+            "COALESCE(cm.cluster, bd.cluster) AS cluster, o.lat, o.lon "
+            "FROM pset o LEFT JOIN cm ON cm.id = o.osm_id "
+            "LEFT JOIN bd ON bd.id = o.osm_id) "
+            "SELECT cluster, COUNT(*) AS n_members, "
+            "CAST(SUM(CASE WHEN role = 'core' THEN 1 ELSE 0 END) AS BIGINT) AS n_core, "
+            "ROUND(MIN(lat), 6) AS lat_min, ROUND(MAX(lat), 6) AS lat_max, "
+            "ROUND(MIN(lon), 6) AS lon_min, ROUND(MAX(lon), 6) AS lon_max, "
+            "ROUND(AVG(lat), 6) AS lat_centroid, ROUND(AVG(lon), 6) AS lon_centroid "
+            "FROM rl WHERE cluster IS NOT NULL GROUP BY 1"
         ),
         "poi_dbscan_probe": (
             # settled = 90% of the POI table clustered; batch = the
