@@ -139,6 +139,21 @@ def _q_cell_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kde_smooth(_pages_geo(spark, sf_dir).select(coarse.alias("cell_id")))
 
 
+def _q_kde_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-zoom heatmap: the cell_kde base layer downsampled 4 levels
+    by exact mass summation (one point scan total; the oracle groups
+    each level directly — floor-div composition makes them equal)."""
+    from osm_poi_matchmaker_spark.tiling import X_SPAN, kde_pyramid
+
+    coarse = F.expr(
+        f"((cell_id div {X_SPAN}) div 32) * {X_SPAN}"
+        f" + ((cell_id % {X_SPAN}) div 32)"
+    )
+    return kde_pyramid(
+        _pages_geo(spark, sf_dir).select(coarse.alias("cell_id")), levels=4
+    )
+
+
 def _q_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hotspot cells at a 32×-coarsened grid (~5.6 km × 3.7 km over HU):
     a cell is hot when its page count beats 2× its 3×3-ring mean —
@@ -3080,6 +3095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_histogram": _q_cell_histogram,
         "hotspot_cells": _q_hotspot_cells,
         "cell_kde": _q_cell_kde,
+        "kde_pyramid": _q_kde_pyramid,
         "match_lineage": _q_match_lineage,
         "addr_overwrite": _q_addr_overwrite,
         "match_rollup": _q_match_rollup,
@@ -3390,6 +3406,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sm.tcell AS cell_id, "
             "COALESCE(hc.n_points, 0) AS n_points, sm.kde_mass_256 "
             "FROM sm LEFT JOIN hc ON hc.cell_id = sm.tcell"
+        ),
+        "kde_pyramid": (
+            f"{base}, hc AS (SELECT (({_CELL} // 262144) // 32) * 262144 "
+            f"+ (({_CELL} % 262144) // 32) AS cell_id, "
+            f"COUNT(*) AS n_points FROM pages_x WHERE {_GEO_FILTER} GROUP BY 1), "
+            "sp AS (SELECT ((cell_id // 262144) + dy) * 262144 "
+            "+ (cell_id % 262144) + dx AS tcell, n_points * w AS mass "
+            f"FROM hc, (VALUES {_KDE_VALUES}) AS o(dx, dy, w) "
+            "WHERE (cell_id % 262144) + dx >= 0 "
+            "AND (cell_id % 262144) + dx < 262144 "
+            "AND (cell_id // 262144) + dy >= 0), "
+            "sm AS (SELECT tcell, CAST(SUM(mass) AS BIGINT) AS kde_mass_256 "
+            "FROM sp GROUP BY 1) "
+            "SELECT lvl AS level, "
+            "((tcell // 262144) // (1 << lvl)) * 262144 "
+            "+ ((tcell % 262144) // (1 << lvl)) AS cell_id, "
+            "CAST(SUM(kde_mass_256) AS BIGINT) AS kde_mass_256 "
+            "FROM sm CROSS JOIN (SELECT unnest(range(0, 4)) AS lvl) "
+            "GROUP BY 1, 2"
         ),
         "hotspot_cells": (
             f"{base}, hc AS (SELECT (({_CELL} // 262144) // 32) * 262144 "

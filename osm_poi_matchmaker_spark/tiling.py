@@ -334,3 +334,37 @@ def kde_smooth(points: DataFrame, cell: str = "cell_id") -> DataFrame:
         F.coalesce("n_points", F.lit(0)).alias("n_points"),
         "kde_mass_256",
     )
+
+
+def kde_pyramid(points: DataFrame, cell: str = "cell_id", levels: int = 4) -> DataFrame:
+    """Multi-zoom heatmap pyramid: the :func:`kde_smooth` base layer
+    downsampled ``levels`` times by exact mass summation (a coarser
+    tile's heat is the sum of its children's — the standard heatmap
+    downsample; re-smoothing per level would change the kernel, not the
+    picture, and cost a scan each). Same single-scan cascade shape as
+    :func:`tile_pyramid`: the point table is touched once (inside
+    kde_smooth), every later stage is sized by occupied cells × levels.
+
+    Returns (level:int, cell_id:long, kde_mass_256:long) —
+    integer-exact at every level, ids comparable only within a level.
+    """
+    base = kde_smooth(points, cell).select("cell_id", "kde_mass_256")
+    lvl_structs = F.array(
+        *[
+            F.struct(
+                F.lit(lvl).alias("level"),
+                F.expr(
+                    f"((cell_id div {X_SPAN}) div {1 << lvl}) * {X_SPAN}"
+                    f" + ((cell_id % {X_SPAN}) div {1 << lvl})"
+                ).alias("parent"),
+            )
+            for lvl in range(levels)
+        ]
+    )
+    return (
+        base.select(F.explode(lvl_structs).alias("l"), "kde_mass_256")
+        .groupBy(
+            F.col("l.level").alias("level"), F.col("l.parent").alias("cell_id")
+        )
+        .agg(F.sum("kde_mass_256").cast("bigint").alias("kde_mass_256"))
+    )
