@@ -838,6 +838,34 @@ def _q_way_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_way_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic polyline length per way, fully row-local: node coords
+    are a pure function of the node id (the synth id→coord scheme both
+    engines share), so the whole computation is one codegen'd
+    projection — no explode, no join, no shuffle (geo.polyline_length_m).
+    The reference walks each matched way's geometry through PostGIS;
+    at 10^8 ways this is a single scan."""
+    from osm_poi_matchmaker_spark.geo import polyline_length_m
+    from osm_poi_matchmaker_spark.synth import M_LAT, M_LON
+
+    lat_of = lambda nid: (  # noqa: E731
+        (F.lit(4575000) + (nid * F.lit(M_LAT)) % F.lit(280000)).cast("double")
+        / F.lit(100000.0)
+    )
+    lon_of = lambda nid: (  # noqa: E731
+        (F.lit(1615000) + (nid * F.lit(M_LON)) % F.lit(670000)).cast("double")
+        / F.lit(100000.0)
+    )
+    ways = synth.ways_df(spark, sf_dir)
+    return ways.select(
+        "way_id",
+        F.size("nodes").alias("n_nodes"),
+        F.round(polyline_length_m(F.col("nodes"), lat_of, lon_of), 2).alias(
+            "length_m"
+        ),
+    )
+
+
 _INT_SANITIZE_CASES = [
     "725.0", "725", "7.25", "abc", "", "   ", None, "725.", ".5",
     "1.2.3", "-5", "0042", "9 9", "1e3", "0", "00.00",
@@ -3143,6 +3171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordered_scan": _q_ordered_scan,
         "osm_timestamps": _q_osm_timestamps,
         "way_nodes": _q_way_nodes,
+        "way_lengths": _q_way_lengths,
         "int_sanitize": _q_int_sanitize,
         "fuzzy_city": _q_fuzzy_city,
         "agg_pricing_summary": _q_agg_pricing_summary,
@@ -3344,6 +3373,30 @@ def oracle_sql() -> dict[str, str]:
     base = synth_sql.base_ctes()
     match_base = base + "," + synth_sql.match_arms_sql()
     hav_px = synth_sql.HAV.replace("p.lat", "px.lat").replace("p.lon", "px.lon")
+
+    # way_lengths fragments: node coords as pure id functions, haversine
+    # inline over consecutive node pairs (i-1, i) — mirrors the row-local
+    # Spark fold exactly (same op order, left-to-right list_sum).
+    from osm_poi_matchmaker_spark.synth import M_LAT as _M_LAT, M_LON as _M_LON
+
+    def _nlat(nid: str) -> str:
+        return f"(CAST(4575000 + (({nid}) * {_M_LAT}) % 280000 AS DOUBLE) / 100000.0)"
+
+    def _nlon(nid: str) -> str:
+        return f"(CAST(1615000 + (({nid}) * {_M_LON}) % 670000 AS DOUBLE) / 100000.0)"
+
+    def _hav4(la1: str, lo1: str, la2: str, lo2: str) -> str:
+        return (
+            "(2.0 * 6371000.0 * ASIN(SQRT("
+            f"SIN(RADIANS({la2} - {la1}) / 2.0) * SIN(RADIANS({la2} - {la1}) / 2.0) "
+            f"+ COS(RADIANS({la1})) * COS(RADIANS({la2})) "
+            f"* SIN(RADIANS({lo2} - {lo1}) / 2.0) * SIN(RADIANS({lo2} - {lo1}) / 2.0))))"
+        )
+
+    _seg = _hav4(
+        _nlat("w * 10 + i - 1"), _nlon("w * 10 + i - 1"),
+        _nlat("w * 10 + i"), _nlon("w * 10 + i"),
+    )
 
     # poi_common brand-tag payload CTEs (single source of truth: the same
     # JSONL resource + bridge dict the Spark plan uses)
@@ -4930,6 +4983,13 @@ def oracle_sql() -> dict[str, str]:
             "  ON px.lat >= p.lat_min AND px.lat <= p.lat_min + 0.58"
             " AND px.lon >= p.lon_min AND px.lon <= p.lon_min + 1.36 "
             f"WHERE {_GEO_FILTER.replace('lat', 'px.lat').replace('lon', 'px.lon')}"
+        ),
+        "way_lengths": (
+            "WITH w AS (SELECT CAST(p_partkey AS BIGINT) AS w, "
+            "p_partkey % 4 + 2 AS n_nodes FROM part WHERE p_partkey % 3 = 1) "
+            "SELECT w AS way_id, CAST(n_nodes AS INT) AS n_nodes, "
+            "ROUND(COALESCE(list_sum(list_transform(range(1, n_nodes), "
+            f"i -> {_seg})), 0.0), 2) AS length_m FROM w"
         ),
         "way_nodes": (
             f"{match_base}, "

@@ -146,3 +146,30 @@ def wkt_point(lat: Column, lon: Column) -> Column:
         lat.isNotNull() & lon.isNotNull(),
         F.concat(F.lit("POINT("), lat.cast("string"), F.lit(" "), lon.cast("string"), F.lit(")")),
     )
+
+
+def polyline_length_m(nodes, lat_of, lon_of) -> Column:
+    """Geodesic length (meters) of a node-id polyline, fully ROW-LOCAL:
+    ``nodes`` is an ``array<bigint>`` column, ``lat_of``/``lon_of`` map a
+    node-id Column to coordinate Columns (a lookup-free id→coord scheme,
+    or pre-joined coords). Segment distances are summed left-to-right
+    with :func:`haversine_m` inside one ``aggregate`` fold — no explode,
+    no join, no shuffle: at 10^8 ways the plan is a single codegen'd
+    projection. (The reference walks way geometries per matched way
+    through PostGIS, online_poi_matching.py:213-223.)"""
+    n = F.size(nodes)
+    seg = lambda i: haversine_m(  # noqa: E731
+        lat_of(F.element_at(nodes, i)),
+        lon_of(F.element_at(nodes, i)),
+        lat_of(F.element_at(nodes, i + 1)),
+        lon_of(F.element_at(nodes, i + 1)),
+    )
+    # guard: sequence(1, 0) would DESCEND in Spark, not be empty
+    return F.when(
+        n >= 2,
+        F.aggregate(
+            F.sequence(F.lit(1), n - 1),
+            F.lit(0.0),
+            lambda acc, i: acc + seg(i),
+        ),
+    ).otherwise(F.lit(0.0))
