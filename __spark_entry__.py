@@ -866,6 +866,48 @@ def _q_way_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _way_walk_lat(nid):
+    """Walk-geometry node latitude: pseudorandom per-way anchor + a
+    ~122 m step per node index (segments stay short, so the ring-join
+    completeness bound r + max_seg/2 holds with room at mult=32)."""
+    way = F.floor(nid / F.lit(10)).cast("long")
+    base = (
+        (F.lit(4575000) + (way * F.lit(synth.M_LAT)) % F.lit(280000)).cast("double")
+        / F.lit(100000.0)
+    )
+    return base + (nid % 10).cast("double") * F.lit(0.0011)
+
+
+def _way_walk_lon(nid):
+    way = F.floor(nid / F.lit(10)).cast("long")
+    base = (
+        (F.lit(1615000) + (way * F.lit(synth.M_LON)) % F.lit(670000)).cast("double")
+        / F.lit(100000.0)
+    )
+    return base + ((nid % 10) % 2).cast("double") * F.lit(0.0013)
+
+
+def _q_nearest_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snap pages to the nearest way within 2 km (point-to-polyline
+    join): ring candidates over the ways' NODE cells (pitch covers
+    r + max_seg/2 at every data latitude → provably exhaustive),
+    exact clamped-projection segment distance computed row-local over
+    the candidate's whole node array, min-struct winner. The oracle is
+    the all-pairs form. max segment ≈ 159 m; mult=32 pitch ≥ 2.3 km at
+    48.55°N ≥ 2000 + 80."""
+    from osm_poi_matchmaker_spark.operators.ways import nearest_way
+
+    return nearest_way(
+        _pages_geo(spark, sf_dir),
+        synth.ways_df(spark, sf_dir),
+        _way_walk_lat,
+        _way_walk_lon,
+        radius_m=2000.0,
+        max_seg_m=160.0,
+        mult=32,
+    )
+
+
 _INT_SANITIZE_CASES = [
     "725.0", "725", "7.25", "abc", "", "   ", None, "725.", ".5",
     "1.2.3", "-5", "0042", "9 9", "1e3", "0", "00.00",
@@ -3172,6 +3214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_timestamps": _q_osm_timestamps,
         "way_nodes": _q_way_nodes,
         "way_lengths": _q_way_lengths,
+        "nearest_way": _q_nearest_way,
         "int_sanitize": _q_int_sanitize,
         "fuzzy_city": _q_fuzzy_city,
         "agg_pricing_summary": _q_agg_pricing_summary,
@@ -3397,6 +3440,39 @@ def oracle_sql() -> dict[str, str]:
         _nlat("w * 10 + i - 1"), _nlon("w * 10 + i - 1"),
         _nlat("w * 10 + i"), _nlon("w * 10 + i"),
     )
+
+    # nearest_way fragments: walk geometry + clamped-projection segment
+    # distance, op-order-identical to operators/ways.point_segment_dist_m
+    def _wlat(i: str) -> str:
+        return (
+            f"((CAST(4575000 + (w.way_id * {_M_LAT}) % 280000 AS DOUBLE) "
+            f"/ 100000.0) + CAST({i} AS DOUBLE) * 0.0011)"
+        )
+
+    def _wlon(i: str) -> str:
+        return (
+            f"((CAST(1615000 + (w.way_id * {_M_LON}) % 670000 AS DOUBLE) "
+            f"/ 100000.0) + CAST(({i}) % 2 AS DOUBLE) * 0.0013)"
+        )
+
+    def _segdist(ai: str, bi: str) -> str:
+        kx = "(111319.4908 * COS(RADIANS(px.lat)))"
+        ax = f"(({_wlon(ai)} - px.lon) * {kx})"
+        ay = f"(({_wlat(ai)} - px.lat) * 111194.9267)"
+        bx = f"(({_wlon(bi)} - px.lon) * {kx})"
+        by = f"(({_wlat(bi)} - px.lat) * 111194.9267)"
+        dx, dy = f"({bx} - {ax})", f"({by} - {ay})"
+        den = f"({dx} * {dx} + {dy} * {dy})"
+        t_raw = f"(-({ax} * {dx} + {ay} * {dy}) / {den})"
+        t = (
+            f"(CASE WHEN {den} > 0.0 THEN "
+            f"LEAST(GREATEST({t_raw}, 0.0), 1.0) ELSE 0.0 END)"
+        )
+        cx = f"({ax} + {t} * {dx})"
+        cy = f"({ay} + {t} * {dy})"
+        return f"SQRT({cx} * {cx} + {cy} * {cy})"
+
+    _wayseg = _segdist("i - 1", "i")
 
     # poi_common brand-tag payload CTEs (single source of truth: the same
     # JSONL resource + bridge dict the Spark plan uses)
@@ -4990,6 +5066,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w AS way_id, CAST(n_nodes AS INT) AS n_nodes, "
             "ROUND(COALESCE(list_sum(list_transform(range(1, n_nodes), "
             f"i -> {_seg})), 0.0), 2) AS length_m FROM w"
+        ),
+        "nearest_way": (
+            f"{base}, w AS (SELECT CAST(p_partkey AS BIGINT) AS way_id, "
+            "p_partkey % 4 + 2 AS n_nodes FROM part WHERE p_partkey % 3 = 1), "
+            "pw AS (SELECT px.page_id, w.way_id, "
+            f"list_min(list_transform(range(1, w.n_nodes), i -> {_wayseg})) AS d "
+            "FROM pages_x px, w "
+            f"WHERE {_GEO_FILTER.replace('lat', 'px.lat').replace('lon', 'px.lon')}) "
+            "SELECT page_id, way_id, ROUND(d, 2) AS distance_m FROM pw "
+            "WHERE d < 2000.0 "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY page_id ORDER BY d, way_id) = 1"
         ),
         "way_nodes": (
             f"{match_base}, "
