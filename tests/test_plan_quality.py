@@ -230,3 +230,12 @@ def test_dbscan_pairs_equi_join_probe_side_explode(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("Generate") == 1
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_nearest_way_broadcast_candidates_no_cartesian(spark):
+    """The point-to-polyline join must broadcast the (way, node-cell)
+    candidates into a cell equi-join — never a cartesian — and keep the
+    per-way segment scan row-local (no Generate after the join)."""
+    plan = plan_of(entry_mod._q_nearest_way(spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
