@@ -258,6 +258,15 @@ def _q_knn_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("page_id", "osm_id", F.round("distance", 2).alias("distance_m"))
 
 
+def _q_nearest_competitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest different-brand POI within 2 km of each POI (catchment /
+    cannibalization read-off): the kNN cell-ring self-join with a
+    null-safe brand-inequality filter and a min-struct winner."""
+    from osm_poi_matchmaker_spark.operators.knn import nearest_competitor
+
+    return nearest_competitor(synth.osm_pois(spark, sf_dir), radius_m=2000.0)
+
+
 def _q_poi_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN density clustering over the POI table (the grouping step a
     planet-scale conflation pipeline needs after pairwise matching; no
@@ -3172,6 +3181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_nearest": _q_knn_nearest,
         "poi_dbscan": _q_poi_dbscan,
         "poi_dbscan_probe": _q_poi_dbscan_probe,
+        "nearest_competitor": _q_nearest_competitor,
         "idw_field": _q_idw_field,
         "poi_cluster_footprints": _q_poi_cluster_footprints,
         "dedup_exact": _q_dedup_exact,
@@ -5066,6 +5076,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w AS way_id, CAST(n_nodes AS INT) AS n_nodes, "
             "ROUND(COALESCE(list_sum(list_transform(range(1, n_nodes), "
             f"i -> {_seg})), 0.0), 2) AS length_m FROM w"
+        ),
+        "nearest_competitor": (
+            f"{base} SELECT osm_id, competitor_id, competitor_name, "
+            "ROUND(d, 2) AS distance_m FROM ("
+            "  SELECT p.osm_id, o.osm_id AS competitor_id, "
+            f"  o.name AS competitor_name, {synth_sql.HAV} AS d "
+            "  FROM pois p JOIN pois o ON p.osm_id <> o.osm_id "
+            "  AND p.name IS DISTINCT FROM o.name "
+            f"  AND {synth_sql.HAV} < 2000.0 "
+            "  QUALIFY ROW_NUMBER() OVER (PARTITION BY p.osm_id "
+            "  ORDER BY d, o.osm_id) = 1)"
         ),
         "nearest_way": (
             f"{base}, w AS (SELECT CAST(p_partkey AS BIGINT) AS way_id, "

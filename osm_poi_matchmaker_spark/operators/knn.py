@@ -133,3 +133,44 @@ def nearest_poi_expanding(
             hits.select(point_key).distinct(), point_key, "left_anti"
         )
     return found
+
+
+def nearest_competitor(
+    pois: DataFrame, radius_m: float, key: str = "osm_id", name: str = "name"
+) -> DataFrame:
+    """Nearest DIFFERENT-brand POI within ``radius_m`` of each POI — the
+    competitor-distance read-off behind catchment/cannibalization
+    analyses (and the reference's avoid-name checks, inverted). Same
+    cell-ring self-join layout as :func:`nearest_poi` (probe-side ring,
+    candidates broadcast, min-struct winner with map-side combine);
+    the brand inequality is null-safe (NULL vs 'X' counts as a
+    competitor, NULL vs NULL does not). Returns
+    (key, competitor_id, competitor_name, distance_m), inner semantics.
+    """
+    mult = coarse_mult_for_radius(radius_m)
+    probe = explode_ring3x3(
+        pois.select(key, name, "lat", "lon"), "lat", "lon", mult, out="probe_cell"
+    )
+    cand = pois.select(
+        F.col(key).alias("b_id"),
+        F.col(name).alias("b_name"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+    ).withColumn("cand_cell", coarse_cell_id(F.col("b_lat"), F.col("b_lon"), mult))
+    dist = haversine_m(F.col("lat"), F.col("lon"), F.col("b_lat"), F.col("b_lon"))
+    return (
+        probe.join(F.broadcast(cand), F.col("probe_cell") == F.col("cand_cell"))
+        .where(
+            (F.col(key) != F.col("b_id"))
+            & ~F.col(name).eqNullSafe(F.col("b_name"))
+            & (dist < F.lit(float(radius_m)))
+        )
+        .groupBy(key)
+        .agg(F.min(F.struct(dist.alias("d"), F.col("b_id"), F.col("b_name"))).alias("b"))
+        .select(
+            key,
+            F.col("b.b_id").alias("competitor_id"),
+            F.col("b.b_name").alias("competitor_name"),
+            F.round("b.d", 2).alias("distance_m"),
+        )
+    )
