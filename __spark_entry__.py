@@ -258,6 +258,16 @@ def _q_knn_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("page_id", "osm_id", F.round("distance", 2).alias("distance_m"))
 
 
+def _q_brand_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand co-location matrix at 250 m (which brands cluster
+    together): ε-pairs from the cell-ring self-join, names via two
+    broadcast joins, unordered pair key canonicalized (least, greatest),
+    one partial-agg groupBy."""
+    from osm_poi_matchmaker_spark.operators.spatial_cluster import brand_colocation
+
+    return brand_colocation(synth.osm_pois(spark, sf_dir), eps_m=250.0)
+
+
 def _q_nearest_competitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest different-brand POI within 2 km of each POI (catchment /
     cannibalization read-off): the kNN cell-ring self-join with a
@@ -3182,6 +3192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poi_dbscan": _q_poi_dbscan,
         "poi_dbscan_probe": _q_poi_dbscan_probe,
         "nearest_competitor": _q_nearest_competitor,
+        "brand_colocation": _q_brand_colocation,
         "idw_field": _q_idw_field,
         "poi_cluster_footprints": _q_poi_cluster_footprints,
         "dedup_exact": _q_dedup_exact,
@@ -5076,6 +5087,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w AS way_id, CAST(n_nodes AS INT) AS n_nodes, "
             "ROUND(COALESCE(list_sum(list_transform(range(1, n_nodes), "
             f"i -> {_seg})), 0.0), 2) AS length_m FROM w"
+        ),
+        "brand_colocation": (
+            f"{base} SELECT LEAST(p.name, o.name) AS brand_a, "
+            "GREATEST(p.name, o.name) AS brand_b, "
+            "COUNT(*) AS n_pairs, "
+            f"ROUND(MIN({synth_sql.HAV}), 2) AS min_distance_m "
+            "FROM pois p JOIN pois o ON p.osm_id < o.osm_id "
+            f"AND {synth_sql.HAV} < 250.0 GROUP BY 1, 2"
         ),
         "nearest_competitor": (
             f"{base} SELECT osm_id, competitor_id, competitor_name, "

@@ -374,3 +374,46 @@ def dbscan_clusters(
         )
     )
     return out
+
+
+def brand_colocation(
+    points: DataFrame,
+    eps_m: float,
+    key: str = "osm_id",
+    name: str = "name",
+) -> DataFrame:
+    """Brand co-location matrix: for every unordered brand pair, how
+    many POI pairs sit within ``eps_m`` of each other (the market-
+    adjacency read-off: which brands cluster together). Pairs come from
+    the cell-ring ε self-join (:func:`distance_band_pairs` — never
+    all-pairs); names attach via two broadcast joins against the slim
+    (key, name) projection, and the pair key is canonicalized
+    (least, greatest) so A×B and B×A accumulate together. Same-brand
+    pairs are reported too (brand_a == brand_b row) — droppable by the
+    caller, and the densest real-world signal (chain self-spacing).
+    Returns (brand_a, brand_b, n_pairs, min_distance_m).
+    """
+    pairs = distance_band_pairs(points, eps_m, key=key)
+    names = points.select(F.col(key).alias("_k"), F.col(name).alias("_n"))
+    joined = (
+        pairs.join(
+            F.broadcast(names.select(F.col("_k").alias("a"), F.col("_n").alias("na"))),
+            "a",
+        )
+        .join(
+            F.broadcast(names.select(F.col("_k").alias("b"), F.col("_n").alias("nb"))),
+            "b",
+        )
+    )
+    return (
+        joined.select(
+            F.least("na", "nb").alias("brand_a"),
+            F.greatest("na", "nb").alias("brand_b"),
+            "distance",
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.min("distance"), 2).alias("min_distance_m"),
+        )
+    )
