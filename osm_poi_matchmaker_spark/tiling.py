@@ -116,7 +116,17 @@ MAX_LON_METERS_PER_DEG = 73616.0  # at the northern edge of the HU bbox
 
 
 def coarse_mult_for_radius(radius_m: float) -> int:
-    """Largest power-of-two cells-per-degree whose min pitch >= radius_m."""
+    """Largest power-of-two cells-per-degree whose min pitch >= radius_m.
+
+    CAVEAT: "min pitch" is evaluated at the EQUATOR; longitude pitch
+    shrinks by cos(lat), so ring completeness at latitude L needs
+    ``radius_m <= (MAX_LON_METERS_PER_DEG / mult) * cos(L)``. At the
+    synth extent (|lat| <= 48.6°, cos >= 0.66) that means radii within
+    ~2/3 of the selected pitch are always safe; radii that brush the
+    pitch (e.g. 300 m on the 434 m/256 grid → 287 m at 48.5°N) can MISS
+    near-pitch pairs. Callers at marginal radii must drop to the next
+    coarser grid or shrink the radius (see poi_dbscan @400/mult128 and
+    brand_colocation @250/mult256 for worked margins)."""
     mult = 512
     while mult > 1 and MAX_LON_METERS_PER_DEG / mult < radius_m:
         mult //= 2

@@ -225,6 +225,9 @@ def test_dbscan_pairs_equi_join_probe_side_explode(spark):
         distance_band_pairs,
     )
 
+    # a prior test's persisted twin of this exact plan would substitute
+    # an InMemoryTableScan whose string embeds a second Generate
+    spark.catalog.clearCache()
     pois = synth.osm_pois(spark, SF)
     plan = plan_of(distance_band_pairs(pois, 400.0), mode="simple")
     assert "CartesianProduct" not in plan
