@@ -161,3 +161,25 @@ def test_assign_probe_roles(spark):
     # 101 is within ε of POINT 3 but 3 is border, not core → unassigned.
     assert out == {100: ("assigned", 2), 101: ("unassigned", None),
                    102: ("unassigned", None)}
+
+
+def test_polyline_length_degenerate_and_basic(spark):
+    from osm_poi_matchmaker_spark.geo import polyline_length_m
+
+    lat_of = lambda nid: 47.0 + (nid % 10).cast("double") * 0.0011  # noqa: E731
+    lon_of = lambda nid: (19.0 + (nid * 0).cast("double"))  # noqa: E731
+    df = spark.createDataFrame(
+        [(1, [10, 11, 12]), (2, [20]), (3, [])],
+        "way_id long, nodes array<bigint>",
+    )
+    got = {
+        r["way_id"]: r["L"]
+        for r in df.select(
+            "way_id",
+            F.round(polyline_length_m(F.col("nodes"), lat_of, lon_of), 1).alias("L"),
+        ).collect()
+    }
+    # two 0.0011-deg meridian steps ≈ 2 × 122.3 m; <2 nodes → 0.0 (the
+    # sequence(1,0) guard — Spark would otherwise DESCEND, not be empty)
+    assert abs(got[1] - 244.6) < 1.0
+    assert got[2] == 0.0 and got[3] == 0.0
