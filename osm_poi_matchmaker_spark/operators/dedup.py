@@ -294,12 +294,22 @@ def connected_components(
     for executor-loss resilience; localCheckpoint is the fast path.
     Returns (node, component) where component = min node id reachable.
     """
-    edges = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+    # NULL endpoints carry no connectivity (SQL equi-joins would never
+    # match them either) — drop them up front so the driver fold's
+    # Python comparisons and the distributed min-label agree exactly.
+    edges = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst")).where(
+        F.col(left).isNotNull() & F.col(right).isNotNull()
+    )
     edges = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .persist()
     )
+    # NOTE: this count makes every connected_components call EAGER (the
+    # size read-off that routes small derived graphs to the driver
+    # union-find). The edge sets this engine feeds in are banded/
+    # contracted candidate graphs — materializing them once here is the
+    # same work their first downstream action would do.
     n_edges = edges.count()
     if n_edges <= driver_guard_edges:
         # Size-guarded fast path (the pip.py guard pattern): every pair

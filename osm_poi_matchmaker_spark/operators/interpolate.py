@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..geo import haversine_m
-from ..tiling import coarse_cell_id, coarse_mult_for_radius, explode_ring3x3
+from ..tiling import (
+    coarse_cell_id,
+    coarse_mult_for_radius,
+    explode_ring3x3,
+    explode_ring3x3_of_cell,
+)
 
 
 def idw_interpolate(
@@ -30,6 +35,7 @@ def idw_interpolate(
     value: str = "value",
     target_key: str = "page_id",
     scale_m: float = 100.0,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Estimate ``value`` at each target from in-radius sources.
 
@@ -37,22 +43,47 @@ def idw_interpolate(
     (value, lat, lon). Returns (target_key, n_sources, est) for targets
     with ≥1 source in range (inner semantics — callers left-join for
     the misses, as with kNN).
+
+    ``broadcast_candidates=False``: planet-scale path — shuffle
+    equi-join on the ring cell, 9× explode moved to the (smaller)
+    source side. The contributing (target, source) pair set is
+    identical by ring symmetry; ``est`` agrees up to floating-point
+    summation order (the shuffle path may fold partials in a different
+    order), so the parity test compares n_sources exactly and est to
+    1e-9 relative tolerance.
     """
     mult = coarse_mult_for_radius(radius_m)
-    probe = explode_ring3x3(
-        targets.select(target_key, "lat", "lon"), "lat", "lon", mult,
-        out="probe_cell",
-    )
     cand = sources.select(
         F.col(value).cast("double").alias("v"),
         F.col("lat").alias("s_lat"),
         F.col("lon").alias("s_lon"),
-    ).withColumn("cand_cell", coarse_cell_id(F.col("s_lat"), F.col("s_lon"), mult))
+    )
+    if broadcast_candidates:
+        probe = explode_ring3x3(
+            targets.select(target_key, "lat", "lon"), "lat", "lon", mult,
+            out="probe_cell",
+        )
+        cand = F.broadcast(
+            cand.withColumn(
+                "cand_cell", coarse_cell_id(F.col("s_lat"), F.col("s_lon"), mult)
+            )
+        )
+    else:
+        probe = targets.select(target_key, "lat", "lon").withColumn(
+            "probe_cell", coarse_cell_id(F.col("lat"), F.col("lon"), mult)
+        )
+        cand = explode_ring3x3_of_cell(
+            cand.withColumn(
+                "_c", coarse_cell_id(F.col("s_lat"), F.col("s_lon"), mult)
+            ),
+            "_c",
+            out="cand_cell",
+        ).drop("_c")
     d = haversine_m(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon"))
     ds = d / F.lit(float(scale_m))
     w = F.lit(1.0) / (F.lit(1.0) + ds * ds)
     return (
-        probe.join(F.broadcast(cand), F.col("probe_cell") == F.col("cand_cell"))
+        probe.join(cand, F.col("probe_cell") == F.col("cand_cell"))
         .where(d < F.lit(float(radius_m)))
         .groupBy(target_key)
         .agg(

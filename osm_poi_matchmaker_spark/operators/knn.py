@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..geo import haversine_m
-from ..tiling import coarse_cell_id, coarse_mult_for_radius, explode_ring3x3
+from ..tiling import (
+    coarse_cell_id,
+    coarse_mult_for_radius,
+    explode_ring3x3,
+    explode_ring3x3_of_cell,
+)
 
 
 def nearest_poi(
@@ -34,6 +39,7 @@ def nearest_poi(
     radius_m: float,
     k: int = 1,
     point_key: str = "page_id",
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Top-k nearest POIs within ``radius_m`` of each point.
 
@@ -41,27 +47,44 @@ def nearest_poi(
     Returns (point_key, osm_id, distance, knn_rank), only points with >=1
     candidate in range (inner semantics — callers left-join if they need
     the misses).
+
+    ``broadcast_candidates``: True (default) = the country-scale plan —
+    probe-side ring explode into a broadcast of the UNexploded candidate
+    table (pois ~10^6 rows broadcasts; the 9 probe rows per point are
+    generated and consumed inside the same task, no shuffle, and the
+    hash relation stays 9× smaller than a candidate-side explode would
+    make it — the measured-faster tradeoff, match.py stage 5 A/B).
+    False = the planet-scale degradation path (10^8-row POI tables blow
+    the broadcast limit): no hint — the optimizer picks sort-merge /
+    shuffled-hash on the ring cell — and the 9× ring explode moves to
+    the CANDIDATE side so the smaller table carries the fan-out through
+    the exchange (same side rule as match.py's shuffle path; winners
+    are identical by ring symmetry, tested in tests/test_knn.py).
     """
     mult = coarse_mult_for_radius(radius_m)
-    # Probe-side ring explode + broadcast of the UNexploded candidates:
-    # pois is the small side (country-level OSM extract, ~10^6 rows, a few
-    # hundred MB columnar) so it broadcasts; the 9 probe rows per point
-    # are generated and consumed inside the same task (no shuffle), and
-    # the hash relation stays 9× smaller than a candidate-side explode
-    # would make it — the measured-faster tradeoff (match.py stage 5 A/B).
-    # At planet scale (10^8 POIs) drop the hint AND move the explode to
-    # the candidate side: in the resulting co-located shuffle join the
-    # exploded side must be the small one.
-    probe = explode_ring3x3(
-        points.select(point_key, "lat", "lon"), "lat", "lon", mult, out="probe_cell"
-    )
-    cand = pois.select(
-        "osm_id", F.col("lat").alias("o_lat"), F.col("lon").alias("o_lon")
-    ).withColumn("cand_cell", coarse_cell_id(F.col("o_lat"), F.col("o_lon"), mult))
+    if broadcast_candidates:
+        probe = explode_ring3x3(
+            points.select(point_key, "lat", "lon"), "lat", "lon", mult, out="probe_cell"
+        )
+        cand = pois.select(
+            "osm_id", F.col("lat").alias("o_lat"), F.col("lon").alias("o_lon")
+        ).withColumn("cand_cell", coarse_cell_id(F.col("o_lat"), F.col("o_lon"), mult))
+        cand = F.broadcast(cand)
+    else:
+        probe = points.select(point_key, "lat", "lon").withColumn(
+            "probe_cell", coarse_cell_id(F.col("lat"), F.col("lon"), mult)
+        )
+        cand = explode_ring3x3_of_cell(
+            pois.select(
+                "osm_id", F.col("lat").alias("o_lat"), F.col("lon").alias("o_lon")
+            ).withColumn("_c", coarse_cell_id(F.col("o_lat"), F.col("o_lon"), mult)),
+            "_c",
+            out="cand_cell",
+        ).drop("_c")
 
     dist = haversine_m(F.col("lat"), F.col("lon"), F.col("o_lat"), F.col("o_lon"))
     joined = (
-        probe.join(F.broadcast(cand), F.col("probe_cell") == F.col("cand_cell"))
+        probe.join(cand, F.col("probe_cell") == F.col("cand_cell"))
         .withColumn("distance", dist)
         .where(F.col("distance") < F.lit(float(radius_m)))
     )
@@ -96,6 +119,7 @@ def nearest_poi_expanding(
     radii: tuple[float, ...] = (250.0, 2000.0),
     k: int = 1,
     point_key: str = "page_id",
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Ring-expansion kNN: escalate the search radius only for misses.
 
@@ -125,9 +149,14 @@ def nearest_poi_expanding(
     remaining = points
     found = None
     for r in sorted(radii):
-        hits = nearest_poi(remaining, pois, r, k=k, point_key=point_key).persist(
-            StorageLevel.MEMORY_ONLY
-        )
+        hits = nearest_poi(
+            remaining,
+            pois,
+            r,
+            k=k,
+            point_key=point_key,
+            broadcast_candidates=broadcast_candidates,
+        ).persist(StorageLevel.MEMORY_ONLY)
         found = hits if found is None else found.unionByName(hits)
         remaining = remaining.join(
             hits.select(point_key).distinct(), point_key, "left_anti"
@@ -136,7 +165,11 @@ def nearest_poi_expanding(
 
 
 def nearest_competitor(
-    pois: DataFrame, radius_m: float, key: str = "osm_id", name: str = "name"
+    pois: DataFrame,
+    radius_m: float,
+    key: str = "osm_id",
+    name: str = "name",
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Nearest DIFFERENT-brand POI within ``radius_m`` of each POI — the
     competitor-distance read-off behind catchment/cannibalization
@@ -146,20 +179,42 @@ def nearest_competitor(
     the brand inequality is null-safe (NULL vs 'X' counts as a
     competitor, NULL vs NULL does not). Returns
     (key, competitor_id, competitor_name, distance_m), inner semantics.
+
+    ``broadcast_candidates=False`` is the planet-scale self-join path:
+    no broadcast hint, ring explode on the candidate arm (a self-join
+    has no smaller side; moving the fan-out to the candidate arm keeps
+    the two paths winner-identical by ring symmetry — see nearest_poi).
     """
     mult = coarse_mult_for_radius(radius_m)
-    probe = explode_ring3x3(
-        pois.select(key, name, "lat", "lon"), "lat", "lon", mult, out="probe_cell"
-    )
     cand = pois.select(
         F.col(key).alias("b_id"),
         F.col(name).alias("b_name"),
         F.col("lat").alias("b_lat"),
         F.col("lon").alias("b_lon"),
-    ).withColumn("cand_cell", coarse_cell_id(F.col("b_lat"), F.col("b_lon"), mult))
+    )
+    if broadcast_candidates:
+        probe = explode_ring3x3(
+            pois.select(key, name, "lat", "lon"), "lat", "lon", mult, out="probe_cell"
+        )
+        cand = F.broadcast(
+            cand.withColumn(
+                "cand_cell", coarse_cell_id(F.col("b_lat"), F.col("b_lon"), mult)
+            )
+        )
+    else:
+        probe = pois.select(key, name, "lat", "lon").withColumn(
+            "probe_cell", coarse_cell_id(F.col("lat"), F.col("lon"), mult)
+        )
+        cand = explode_ring3x3_of_cell(
+            cand.withColumn(
+                "_c", coarse_cell_id(F.col("b_lat"), F.col("b_lon"), mult)
+            ),
+            "_c",
+            out="cand_cell",
+        ).drop("_c")
     dist = haversine_m(F.col("lat"), F.col("lon"), F.col("b_lat"), F.col("b_lon"))
     return (
-        probe.join(F.broadcast(cand), F.col("probe_cell") == F.col("cand_cell"))
+        probe.join(cand, F.col("probe_cell") == F.col("cand_cell"))
         .where(
             (F.col(key) != F.col("b_id"))
             & ~F.col(name).eqNullSafe(F.col("b_name"))

@@ -67,7 +67,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..geo import haversine_m
-from ..tiling import coarse_cell_id, coarse_mult_for_radius, explode_ring3x3
+from ..tiling import (
+    coarse_cell_id,
+    coarse_mult_for_radius,
+    coarse_ring_spec,
+    explode_ring3x3,
+    explode_ringk,
+)
 
 # Priorities exactly as the reference assigns them (dao/poi_base.py:254-683).
 PRIO_REF = 930
@@ -283,11 +289,16 @@ def match_cascade(
     # the candidate side broadcasts (9× smaller hash relation), candidate-
     # side on the shuffle path (9× of the SMALL side crosses the exchange).
     if name_arm_radius_m is not None:
-        mult_bound = coarse_mult_for_radius(name_arm_radius_m)
+        # the bound is a caller-chosen relaxation radius, legitimately
+        # settable beyond the mult=1 grid pitch — coarse_ring_spec widens
+        # the ring ((2k+1)² cells) instead of missing near-pitch pairs
+        mult_bound, k_bound = coarse_ring_spec(name_arm_radius_m)
 
         def bound_arm(probe: DataFrame, cand: DataFrame):
             if broadcast_candidates:
-                probe = explode_ring3x3(probe, "lat", "lon", mult_bound, out="nb_cell")
+                probe = explode_ringk(
+                    probe, "lat", "lon", mult_bound, k_bound, out="nb_cell"
+                )
                 cand = cand.withColumn(
                     "cand_nb_cell",
                     coarse_cell_id(F.col("o_lat"), F.col("o_lon"), mult_bound),
@@ -296,7 +307,9 @@ def match_cascade(
                 probe = probe.withColumn(
                     "nb_cell", coarse_cell_id(F.col("lat"), F.col("lon"), mult_bound)
                 )
-                cand = explode_ring3x3(cand, "o_lat", "o_lon", mult_bound, out="cand_nb_cell")
+                cand = explode_ringk(
+                    cand, "o_lat", "o_lon", mult_bound, k_bound, out="cand_nb_cell"
+                )
             return probe, cand, [F.col("nb_cell") == F.col("cand_nb_cell")]
     else:
 

@@ -45,7 +45,9 @@ def pack_sequences(
     d = docs.select(F.col(key), token_count(F.col(text)).alias("n_tokens"))
     b = d.withColumn("_gb", F.shiftright(F.col(key), bucket_shift))
     sums = b.groupBy("_gb").agg(F.sum("n_tokens").alias("_s"))
-    w_off = Window.orderBy("_gb")  # bucket rows only — thousands, not billions
+    # bucket rows only — thousands, not billions; the literal partition
+    # key declares the bound (not the unbounded partitionless antipattern)
+    w_off = Window.partitionBy(F.lit(0)).orderBy("_gb")
     offsets = sums.withColumn("_off", F.sum("_s").over(w_off) - F.col("_s")).drop(
         "_s"
     )

@@ -280,7 +280,10 @@ def vocab_topk(
         .orderBy(F.desc("freq"), F.asc("term"))
         .limit(k)
     )
-    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    # the window input is ≤ k rows by construction (limit above); the
+    # literal partition key declares that bound — this is NOT the
+    # unbounded partitionless-window antipattern WindowExec warns about
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("freq"), F.asc("term"))
     return uni.withColumn("rank", F.row_number().over(w).cast("long"))
 
 

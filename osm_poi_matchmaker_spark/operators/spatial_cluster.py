@@ -32,7 +32,7 @@ reproducible by the DuckDB oracle's recursive-CTE closure.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..geo import haversine_m
@@ -75,15 +75,39 @@ def distance_band_pairs(
 # real latitude, so "diagonal < eps" derived from it is always safe).
 _DIAG_M_PER_DEG = 157342.0
 
+# Fine cells use their OWN row-major stride, wide enough for the finest
+# legal grid: mult 2^18 → x < 360·2^18 ≈ 9.4e7 < 2^27, id < 2^45. The
+# coarse X_SPAN (2^18) stride would alias fine ids at any mult ≥ 1024
+# (x = (lon+180)·mult exceeds it), silently merging cells ~128° of
+# longitude apart. Fine ids never mix with coarse ring ids — separate
+# namespace, separate stride.
+FINE_X_SPAN = 1 << 27
+_FINE_MULT_CAP = 1 << 18  # diagonal 0.6 m — below that, fix your eps
+
 
 def fine_mult_for_eps(eps_m: float) -> int:
     """Smallest power-of-two cells-per-degree whose worst-case cell
     DIAGONAL is under ``eps_m`` — every two points sharing such a cell
-    are guaranteed ε-neighbors."""
+    are guaranteed ε-neighbors. Raises on eps ≤ 0 (the loop would never
+    terminate) and on eps < ~0.6 m (mult would overflow FINE_X_SPAN)."""
+    if eps_m <= 0:
+        raise ValueError(f"eps_m must be > 0, got {eps_m}")
     mult = 1
     while _DIAG_M_PER_DEG / mult >= eps_m:
         mult *= 2
+        if mult > _FINE_MULT_CAP:
+            raise ValueError(
+                f"eps_m {eps_m} needs a finer grid than the {_FINE_MULT_CAP} "
+                "cells/degree id space supports (cell diagonal 0.6 m)"
+            )
     return mult
+
+
+def fine_cell_id(lat: Column, lon: Column, mult: int) -> Column:
+    """Fine-grid cell id on the FINE_X_SPAN stride (see above)."""
+    y = F.floor((lat + F.lit(90.0)) * F.lit(float(mult))).cast("long")
+    x = F.floor((lon + F.lit(180.0)) * F.lit(float(mult))).cast("long")
+    return y * F.lit(FINE_X_SPAN) + x
 
 
 def dbscan_clusters_contracted(
@@ -119,7 +143,7 @@ def dbscan_clusters_contracted(
     fine = fine_mult_for_eps(eps_m)
     pts = points.select(
         F.col(key).alias("node"), "lat", "lon"
-    ).withColumn("fcell", coarse_cell_id(F.col("lat"), F.col("lon"), fine))
+    ).withColumn("fcell", fine_cell_id(F.col("lat"), F.col("lon"), fine))
     pts = pts.persist()
 
     cell_n = pts.groupBy("fcell").agg(

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..tiling import coarse_cell_id, explode_ring3x3
+from ..tiling import coarse_cell_id, explode_ring3x3, explode_ring3x3_of_cell
 
 _KY = 111194.9267  # meters per degree latitude (R=6371000)
 _KX0 = 111319.4908  # meters per degree longitude at the equator
@@ -82,6 +82,7 @@ def nearest_way(
     max_seg_m: float,
     mult: int,
     point_key: str = "page_id",
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Nearest way within ``radius_m`` of each point.
 
@@ -92,11 +93,14 @@ def nearest_way(
     asserts that once per scheme; the 3×3 ring is then exhaustive.
     Returns (point_key, way_id, distance_m) winners (ties → smaller
     way_id), inner semantics like kNN.
+
+    ``broadcast_candidates=False``: planet-scale path — no hint, ring
+    explode on the (way, node-cell) side (the way table is the smaller
+    side in rows AND the explode output is re-deduped per (way, ring
+    cell) before the exchange, so node arrays cross the shuffle at most
+    9× per occupied cell, vs 9× per PAGE on a probe-side explode).
+    Winner-identical by ring symmetry (tests/test_ways.py).
     """
-    probe = explode_ring3x3(
-        points.select(point_key, "lat", "lon"), "lat", "lon", mult,
-        out="probe_cell",
-    )
     # candidate (way, node-cell) pairs, deduped per cell
     cand = (
         ways.select("way_id", F.explode("nodes").alias("nid"), "nodes")
@@ -104,9 +108,24 @@ def nearest_way(
         .select("way_id", "cand_cell", "nodes")
         .dropDuplicates(["way_id", "cand_cell"])
     )
+    if broadcast_candidates:
+        probe = explode_ring3x3(
+            points.select(point_key, "lat", "lon"), "lat", "lon", mult,
+            out="probe_cell",
+        )
+        cand = F.broadcast(cand)
+    else:
+        probe = points.select(point_key, "lat", "lon").withColumn(
+            "probe_cell", coarse_cell_id(F.col("lat"), F.col("lon"), mult)
+        )
+        # a way reaches the same ring cell through several of its node
+        # cells — dedupe again so each (way, cell) ships once
+        cand = explode_ring3x3_of_cell(
+            cand.withColumnRenamed("cand_cell", "_c"), "_c", out="cand_cell"
+        ).drop("_c").dropDuplicates(["way_id", "cand_cell"])
     d = _min_segment_dist(F.col("nodes"), F.col("lat"), F.col("lon"), lat_of, lon_of)
     hits = (
-        probe.join(F.broadcast(cand), F.col("probe_cell") == F.col("cand_cell"))
+        probe.join(cand, F.col("probe_cell") == F.col("cand_cell"))
         .select(point_key, "way_id", d.alias("distance"))
         .where(F.col("distance") < F.lit(float(radius_m)))
         # a way can be found through several of its node cells — the

@@ -84,6 +84,48 @@ def global_row_number(
     )
 
 
+def global_rank_by(
+    df: DataFrame,
+    order_exprs: list,
+    out: str = "_rn",
+    num_ranges: int = 64,
+) -> DataFrame:
+    """1-based global row_number over an ARBITRARY total order — the
+    general form of :func:`global_row_number` for non-numeric sort keys
+    (string address columns, mixed null ordering).
+
+    ``Window.orderBy(...)`` alone funnels the whole table through one
+    task. Two-phase instead: ``repartitionByRange`` on the order
+    expressions (sampled range boundaries — order-preserving across
+    partitions, ties co-located), per-range counts aggregate to one row
+    per range, each range's starting offset comes from a triangular
+    self-join over those ≤``num_ranges`` count rows (≤ num_ranges²
+    pairs — no partitionless window anywhere in the plan), offsets
+    broadcast back and the in-range row_number runs one task per range.
+    Final ranks are positions in the total order, so they are invariant
+    to where the sampled range boundaries land. The order must be TOTAL
+    (include a tiebreaker column) for deterministic output.
+    """
+    b = df.repartitionByRange(num_ranges, *order_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = b.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    lower = counts.select(
+        F.col("_pid").alias("_bpid"), F.col("_n").alias("_bn")
+    )
+    offsets = (
+        counts.join(F.broadcast(lower), F.col("_bpid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_bn"), F.lit(0)).alias("_off"))
+    )
+    w_in = Window.partitionBy("_pid").orderBy(*order_exprs)
+    return (
+        b.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, F.col("_off") + F.row_number().over(w_in))
+        .drop("_pid", "_off")
+    )
+
+
 def xml_attr_escape(col: F.Column) -> F.Column:
     """XML attribute escaping (& < > ") — what the reference gets for free
     from lxml's serializer (libs/file_output.py add_osm_node tag attrs)."""

@@ -2599,6 +2599,11 @@ def kulcs_patika_stores(spark: SparkSession, json_path: str) -> DataFrame:
 
     from pyspark.sql import Window
 
+    # INTENTIONAL single-partition window: one provider feed = one small
+    # document whose DOCUMENT ORDER is the semantics (the reference's
+    # sequential loop truncates at the first null record). Never copy
+    # this shape to a corpus-scale plan — use plans/export.py
+    # global_row_number / global_rank_by there.
     cutoff = F.min(F.when(F.col("rec_null"), F.col("pos"))).over(
         Window.partitionBy()
     )
@@ -3116,6 +3121,9 @@ def nemzeti_dohanybolt_stores(spark: SparkSession, json_path: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # INTENTIONAL single-partition window: one provider feed, document
+    # order IS the semantics (sequential KeyError truncation). Not a
+    # corpus-scale pattern — see global_row_number / global_rank_by.
     cutoff = F.min(F.when(raises, F.col("pos"))).over(Window.partitionBy())
     recs = recs.withColumn("cutoff", cutoff).where(
         F.col("cutoff").isNull() | (F.col("pos") < F.col("cutoff"))
@@ -3453,6 +3461,9 @@ def mobil_petrol_stations(pages: DataFrame, html_col: str = "html") -> DataFrame
 
     from pyspark.sql import Window
 
+    # INTENTIONAL single-partition window: one provider feed, the
+    # carry-forward (elif-chain memory) follows document order. Not a
+    # corpus-scale pattern — see global_row_number / global_rank_by.
     w = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
     carry_o = F.last(
         F.when(~is_nonstop, matched_o), ignorenulls=True

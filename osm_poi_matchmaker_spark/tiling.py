@@ -115,21 +115,35 @@ def explode_kring(
 MAX_LON_METERS_PER_DEG = 73616.0  # at the northern edge of the HU bbox
 
 
-def coarse_mult_for_radius(radius_m: float) -> int:
+def coarse_mult_for_radius(radius_m: float, max_lat: float = 48.6) -> int:
     """Largest power-of-two cells-per-degree whose min pitch >= radius_m.
 
-    CAVEAT: "min pitch" is evaluated at the EQUATOR; longitude pitch
-    shrinks by cos(lat), so ring completeness at latitude L needs
-    ``radius_m <= (MAX_LON_METERS_PER_DEG / mult) * cos(L)``. At the
-    synth extent (|lat| <= 48.6°, cos >= 0.66) that means radii within
-    ~2/3 of the selected pitch are always safe; radii that brush the
-    pitch (e.g. 300 m on the 434 m/256 grid → 287 m at 48.5°N) can MISS
-    near-pitch pairs. Callers at marginal radii must drop to the next
+    Longitude pitch shrinks by cos(lat), so ring completeness at
+    latitude L needs ``radius_m <= (MAX_LON_METERS_PER_DEG / mult) *
+    cos(L) / cos(48.6°)`` (MAX_LON_METERS_PER_DEG is the pitch×mult at
+    the HU northern edge, 48.6°N). ``max_lat`` is the caller's promise
+    about the data extent: the selected grid is checked against the
+    pitch AT that latitude and a marginal radius fails LOUDLY instead
+    of silently dropping near-pitch pairs (radii that brush the pitch —
+    e.g. 300 m on the 434 m/256 grid → 287 m at 48.5°N — used to MISS
+    pairs with no runtime signal). Callers at higher latitudes pass
+    their own ``max_lat``; callers at marginal radii drop to the next
     coarser grid or shrink the radius (see poi_dbscan @400/mult128 and
     brand_colocation @250/mult256 for worked margins)."""
+    if radius_m <= 0:
+        raise ValueError(f"radius_m must be > 0, got {radius_m}")
     mult = 512
     while mult > 1 and MAX_LON_METERS_PER_DEG / mult < radius_m:
         mult //= 2
+    pitch_at_lat = (
+        MAX_LON_METERS_PER_DEG / mult
+    ) * math.cos(math.radians(max_lat)) / math.cos(math.radians(48.6))
+    if radius_m > pitch_at_lat:
+        raise ValueError(
+            f"radius {radius_m} m exceeds the {pitch_at_lat:.1f} m grid pitch "
+            f"at latitude {max_lat}° (mult {mult}); the 3x3 ring would miss "
+            "near-pitch pairs — shrink the radius or the latitude extent"
+        )
     return mult
 
 
@@ -152,6 +166,54 @@ def explode_ring3x3(
     cell = coarse_cell_id(F.col(lat), F.col(lon), mult)
     offsets = F.array(*[F.lit(dy * X_SPAN + dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
     return df.withColumn(out, F.explode(F.transform(offsets, lambda o: cell + o)))
+
+
+def coarse_ring_spec(radius_m: float, max_lat: float = 48.6) -> tuple[int, int]:
+    """(mult, k): grid + smallest Chebyshev ring radius covering
+    ``radius_m`` at ``max_lat``. k=1 (the 3×3 ring) whenever the radius
+    fits the pitch — the common case, identical to
+    :func:`coarse_mult_for_radius`; larger radii get a wider
+    (2k+1)×(2k+1) ring instead of a silent near-pitch miss (two points
+    at distance d span at most ``floor(d/pitch)+1`` cells per axis).
+    Use this for radius parameters a caller may legitimately set beyond
+    the mult=1 pitch (e.g. match_cascade's name-arm bound); use the
+    strict function when a marginal radius means the OPERATOR's grid
+    choice is wrong."""
+    if radius_m <= 0:
+        raise ValueError(f"radius_m must be > 0, got {radius_m}")
+    mult = 512
+    while mult > 1 and MAX_LON_METERS_PER_DEG / mult < radius_m:
+        mult //= 2
+    pitch_at_lat = (
+        MAX_LON_METERS_PER_DEG / mult
+    ) * math.cos(math.radians(max_lat)) / math.cos(math.radians(48.6))
+    return mult, int(radius_m // pitch_at_lat) + 1
+
+
+def explode_ringk(
+    df: DataFrame, lat: str, lon: str, mult: int, k: int, out: str = "probe_cell"
+) -> DataFrame:
+    """(2k+1)×(2k+1) ring around the row's coarse cell — the general
+    form of :func:`explode_ring3x3` for radii beyond the grid pitch."""
+    cell = coarse_cell_id(F.col(lat), F.col(lon), mult)
+    offsets = F.array(
+        *[
+            F.lit(dy * X_SPAN + dx)
+            for dy in range(-k, k + 1)
+            for dx in range(-k, k + 1)
+        ]
+    )
+    return df.withColumn(out, F.explode(F.transform(offsets, lambda o: cell + o)))
+
+
+def explode_ring3x3_of_cell(df: DataFrame, cell: str, out: str) -> DataFrame:
+    """3×3 ring around an ALREADY-COMPUTED cell id column — the
+    candidate side of the shuffle degradation path (ring adjacency is
+    symmetric: cand's ring covers probe's cell iff probe's ring covers
+    cand's, so moving the 9× explode to whichever side is smaller
+    preserves the join's hit set exactly)."""
+    offsets = F.array(*[F.lit(dy * X_SPAN + dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    return df.withColumn(out, F.explode(F.transform(offsets, lambda o: F.col(cell) + o)))
 
 
 def tile_pyramid(

@@ -115,3 +115,35 @@ def test_osm_xml_numbering_plan_is_bucketed(spark):
             assert "_gb" in line, line
             saw_bucketed = True
     assert saw_bucketed, "expected the bucketed numbering window in the plan"
+
+
+def test_global_rank_by_matches_single_window(spark):
+    """Two-phase global_rank_by == the partitionless-window rank, for
+    arbitrary (string, nulls-first) total orders."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from osm_poi_matchmaker_spark.plans.export import global_rank_by
+
+    rows = [
+        (i, c, s)
+        for i, (c, s) in enumerate(
+            [("b", "x"), (None, "y"), ("a", None), ("b", "a"), ("a", "z"),
+             ("c", "c"), (None, None), ("a", "z"), ("b", "x"), ("a", "a")] * 7
+        )
+    ]
+    df = spark.createDataFrame(rows, "id long, city string, street string")
+    order = [
+        F.col("city").asc_nulls_first(),
+        F.col("street").asc_nulls_first(),
+        F.col("id").asc(),
+    ]
+    got = {
+        r["id"]: r["rn"]
+        for r in global_rank_by(df, order, out="rn", num_ranges=8).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(Window.orderBy(*order))).collect()
+    }
+    assert got == want
