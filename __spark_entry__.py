@@ -790,7 +790,9 @@ def _q_ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
-    return similarity.lsh_topk(emb.where(F.col("vec_id") % 50 == 0), emb, dim=64, k=5, bits=8)
+    return similarity.lsh_topk(
+        emb.where(F.col("vec_id") % 50 == 0), emb, dim=64, k=5, bits=6, bands=16
+    )
 
 
 def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3969,7 +3971,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_rolling_fingerprint": oracles_docs.rolling_fingerprint_sql(),
         "ann_topk_exact": oracles_docs.ann_exact_sql(k=5, query_mod=50),
-        "ann_topk_lsh": oracles_docs.ann_lsh_sql(k=5, bits=8, query_mod=50),
+        "ann_topk_lsh": oracles_docs.ann_lsh_sql(k=5, bits=6, bands=16, query_mod=50),
         "ann_topk_ivf": oracles_docs.ann_ivf_sql(
             k=5, centroid_mod=100, nprobe=2, query_mod=50
         ),

@@ -183,27 +183,43 @@ SELECT query_id, match_id, ROUND(cs, 6) AS cosine_sim, rank FROM (
 WHERE rank <= {k}"""
 
 
-def _srp_sig(bits: int) -> str:
+def _srp_sig(bits: int, plane_offset: int = 0) -> str:
     # SRP signature; DuckDB lambda index i is 1-based == Spark's (i+1).
+    # Plane-weight hash mirrors similarity._SRP_MULT/_SRP_QUAD/_SRP_MOD:
+    # w(p, i) = +1 iff (i*M*(p+1) + Q*(p+1)^2) mod 2^32 < 2^31.
     bit_exprs = []
     for b in range(bits):
+        p1 = plane_offset + b + 1
         s = (
             f"list_sum(list_transform({{v}}, (x, i) -> CAST(x AS DOUBLE) * "
-            f"(CASE WHEN (i * {b + 3}) % 7 < 4 THEN 1.0 ELSE -1.0 END)))"
+            f"(CASE WHEN (i * {2654435761 * p1} + {40503 * p1 * p1}) % 4294967296 "
+            f"< 2147483648 THEN 1.0 ELSE -1.0 END)))"
         )
         bit_exprs.append(f"(CASE WHEN {s} >= 0 THEN '1' ELSE '0' END)")
     return "CONCAT(" + ", ".join(bit_exprs) + ")"
 
 
-def ann_lsh_sql(k: int = 5, bits: int = 8, query_mod: int = 50) -> str:
-    sig = _srp_sig(bits)
+def ann_lsh_sql(k: int = 5, bits: int = 6, bands: int = 16, query_mod: int = 50) -> str:
+    """Twin of similarity.lsh_topk's banded OR-construction: per-band
+    signatures UNION ALL into (vec_id, band, sig); candidates = DISTINCT
+    pairs sharing any band bucket; exact cosine ranks candidates."""
     cos = f"({_DOT.format(a='qe', b='ce')} / ({_NORM.format(a='qe')} * {_NORM.format(a='ce')}))"
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {g} AS band, "
+        f"{_srp_sig(bits, plane_offset=g * bits).format(v='embedding')} AS sig "
+        "FROM embeddings"
+        for g in range(bands)
+    )
     return f"""
-WITH base AS (SELECT vec_id, embedding, {sig.format(v='embedding')} AS sig FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS qe, sig FROM base WHERE vec_id % {query_mod} = 0),
-c AS (SELECT vec_id AS match_id, embedding AS ce, sig FROM base),
+WITH sigs AS ({band_selects}),
+q AS (SELECT vec_id AS query_id, band, sig FROM sigs WHERE vec_id % {query_mod} = 0),
+c AS (SELECT vec_id AS match_id, band, sig FROM sigs),
+pairs AS (SELECT DISTINCT query_id, match_id
+          FROM c JOIN q USING (band, sig) WHERE query_id <> match_id),
 s AS (SELECT query_id, match_id, {cos} AS cs
-      FROM c JOIN q USING (sig) WHERE query_id <> match_id)
+      FROM pairs
+      JOIN (SELECT vec_id, embedding AS qe FROM embeddings) eq ON eq.vec_id = query_id
+      JOIN (SELECT vec_id, embedding AS ce FROM embeddings) ec ON ec.vec_id = match_id)
 SELECT query_id, match_id, ROUND(cs, 6) AS cosine_sim, rank FROM (
   SELECT query_id, match_id, cs,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
@@ -662,7 +678,7 @@ LEFT JOIN ({approx_sql}) ap
 GROUP BY ex.query_id"""
 
     return (
-        leg("lsh", ann_lsh_sql(k=k, bits=8, query_mod=query_mod))
+        leg("lsh", ann_lsh_sql(k=k, bits=6, bands=16, query_mod=query_mod))
         + "\nUNION ALL\n"
         + leg("ivf", ann_ivf_sql(k=k, centroid_mod=100, nprobe=2, query_mod=query_mod))
         + "\nUNION ALL\n"
