@@ -2707,14 +2707,17 @@ def _q_osm_xml_name_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_asset_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL multimodal decode: deterministic PNG/WAV/OPMV payloads are
-    encoded in one mapInPandas stage, shipped through Arrow as binary,
-    decoded with the pure-Python codecs (zlib inflate + all-filter PNG
-    reader, stdlib wave, PNG-frame container) and featurized into
-    exact-dyadic 16-dim vectors (integer sums / powers of two — zero
-    float tolerance). The oracle recomputes every feature in closed form
-    from the same pixel/sample arithmetic, so a single wrong byte
-    anywhere in encode → decode → featurize breaks the hash."""
+    """REAL multimodal decode: deterministic PNG/JPEG/WAV/OPMV payloads
+    are encoded in one mapInPandas stage, shipped through Arrow as
+    binary, decoded with the pure-Python codecs (zlib inflate +
+    all-filter PNG reader, baseline-JPEG Huffman+DCT reader, stdlib
+    wave, PNG-frame container) and featurized into exact-dyadic 16-dim
+    vectors (integer sums / powers of two — zero float tolerance; the
+    JPEG fixtures are constant-block images whose baseline round trip
+    is bit-exact, keeping the feature closed-form despite the lossy
+    format). The oracle recomputes every feature in closed form from
+    the same pixel/sample arithmetic, so a single wrong byte anywhere
+    in encode → decode → featurize breaks the hash."""
     from osm_poi_matchmaker_spark.operators.multimodal import (
         decode_and_featurize_real,
         synth_media_assets,
@@ -5410,9 +5413,16 @@ def oracle_sql() -> dict[str, str]:
             "frs AS (SELECT unnest(range(4)) AS f), "
             "js AS (SELECT unnest(range(128)) AS j) "
             "SELECT asset_id, kind, k, feat FROM ("
+            # even image ids: PNG pixel-formula means; odd image ids: the
+            # JPEG leg — constant 8x8 blocks whose baseline round trip is
+            # bit-exact, so the 4x4-block mean IS the block constant
             "  SELECT p.page_id AS asset_id, 'image' AS kind, ks.k,"
-            "    SUM((p.page_id*31 + (4*(ks.k%4)+dxs.dx)*7"
-            "         + (4*(ks.k//4)+dys.dy)*13) % 256) / 16.0 AS feat"
+            "    CASE WHEN MIN(p.page_id % 2) = 0 THEN"
+            "      SUM((p.page_id*31 + (4*(ks.k%4)+dxs.dx)*7"
+            "           + (4*(ks.k//4)+dys.dy)*13) % 256) / 16.0"
+            "    ELSE MIN(CAST((p.page_id*31 + ((ks.k%4)//2)*7"
+            "           + ((ks.k//4)//2)*13) % 256 AS DOUBLE))"
+            "    END AS feat"
             "  FROM pages p, ks, dxs, dys WHERE p.page_id % 3 = 0"
             "  GROUP BY 1, 2, 3"
             "  UNION ALL"

@@ -264,6 +264,314 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return samples, rate
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81), grayscale, pure Python/numpy — encoder +
+# decoder. The round-3 gap-closer: PNG/WAV were already real; JPEG is
+# the remaining still-image format a crawl actually serves. Supported:
+# 8-bit baseline sequential, single (luma) component, no restart
+# markers, no progressive/arithmetic coding — those raise
+# NotImplementedError (honest boundary, like MP4/ffmpeg for video).
+# Huffman tables are read from the file (decoder is table-agnostic);
+# the encoder emits the spec's Annex K.3 typical luminance tables and a
+# flat quantization table (quality-max; constant 8x8 blocks round-trip
+# EXACTLY — the property the closed-form driver oracle uses).
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# JPEG spec (T.81) Annex K.3.1/K.3.2 typical luminance Huffman tables.
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical JPEG Huffman codes: value -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix() -> np.ndarray:
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16.0)
+    m = c * np.sqrt(2.0 / 8.0)
+    m[0, :] = np.sqrt(1.0 / 8.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write(0x7F, 8 - self.n)  # pad with 1s
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, value-bits) per T.81 F.1.2.1 (negatives one's-comp)."""
+    if v == 0:
+        return 0, 0
+    cat = int(v if v > 0 else -v).bit_length()
+    return cat, v if v >= 0 else v + (1 << cat) - 1
+
+
+def encode_jpeg(pixels: np.ndarray) -> bytes:
+    """Gray8 (H,W) array → baseline JPEG bytes, flat (all-ones) quant
+    table. H and W must be multiples of 8 (the fixture shapes are)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    if h % 8 or w % 8:
+        raise NotImplementedError("encode_jpeg: dimensions must be multiples of 8")
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    shifted = px.astype(np.float64) - 128.0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            block = shifted[by : by + 8, bx : bx + 8]
+            coef = _DCT_M @ block @ _DCT_M.T
+            q = np.rint(coef).astype(np.int64)  # flat quant table of 1s
+            zz = [int(q.flat[_ZIGZAG[i]]) for i in range(64)]
+            diff = zz[0] - pred
+            pred = zz[0]
+            cat, bits_v = _magnitude(diff)
+            code, ln = dc_codes[cat]
+            bw.write(code, ln)
+            if cat:
+                bw.write(bits_v, cat)
+            run = 0
+            for i in range(1, 64):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                cat, bits_v = _magnitude(zz[i])
+                code, ln = ac_codes[(run << 4) | cat]
+                bw.write(code, ln)
+                bw.write(bits_v, cat)
+                run = 0
+            if run:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.write(code, ln)
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qtab = bytes([0]) + bytes([1] * 64)  # Pq/Tq=0, flat table
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xFFDB, qtab)
+        + seg(0xFFC0, sof)
+        + seg(0xFFC4, dht_dc)
+        + seg(0xFFC4, dht_ac)
+        + seg(0xFFDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # unstuff
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in entropy data")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(v: int, cat: int) -> int:
+    """T.81 F.2.2.1 EXTEND: value bits → signed coefficient."""
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → uint8 gray array (H,W). Single-component
+    8-bit sequential only; progressive / multi-component / restart
+    markers raise NotImplementedError."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = None
+    comp_q = comp_dc = comp_ac = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                      0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline sequential JPEG (SOF0)")
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        body = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT (possibly several tables)
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qtables[tq] = np.frombuffer(
+                    body, dtype=np.uint8, count=64, offset=off + 1
+                ).astype(np.int64)
+                off += 65
+        elif marker == 0xC0:  # SOF0
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            if ncomp != 1:
+                raise NotImplementedError("only single-component (gray) JPEG")
+            if body[7] != 0x11:
+                raise NotImplementedError("subsampling on a 1-component scan")
+            comp_q = body[8]
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nvals])
+                huff[(tc, th)] = {
+                    (code, ln): v for v, (code, ln) in _huff_codes(bits, vals).items()
+                }
+                off += 17 + nvals
+        elif marker == 0xDD:
+            raise NotImplementedError("restart markers")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if body[0] != 1:
+                raise NotImplementedError("only single-component scans")
+            comp_dc, comp_ac = body[2] >> 4, body[2] & 0xF
+            entropy_start = pos
+            break
+    else:
+        raise ValueError("no SOS segment")
+
+    dc_lut = huff[(0, comp_dc)]
+    ac_lut = huff[(1, comp_ac)]
+    q = qtables[comp_q]
+    br = _BitReader(data[entropy_start:])
+
+    def read_symbol(lut: dict[tuple[int, int], int]) -> int:
+        code, ln = 0, 0
+        while ln <= 16:
+            code = (code << 1) | br.bit()
+            ln += 1
+            if (code, ln) in lut:
+                return lut[(code, ln)]
+        raise ValueError("invalid Huffman code")
+
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    out = np.zeros((bh * 8, bw_ * 8), dtype=np.uint8)
+    pred = 0
+    for byi in range(bh):
+        for bxi in range(bw_):
+            zz = np.zeros(64, dtype=np.int64)
+            cat = read_symbol(dc_lut)
+            diff = _extend(br.bits(cat), cat) if cat else 0
+            pred += diff
+            zz[0] = pred
+            i = 1
+            while i < 64:
+                sym = read_symbol(ac_lut)
+                if sym == 0x00:  # EOB
+                    break
+                run, cat = sym >> 4, sym & 0xF
+                if cat == 0:
+                    if run == 15:  # ZRL
+                        i += 16
+                        continue
+                    raise ValueError(f"bad AC symbol {sym:#x}")
+                i += run
+                zz[i] = _extend(br.bits(cat), cat)
+                i += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[_ZIGZAG] = (zz * q).astype(np.float64)
+            block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
+            px = np.clip(np.rint(block + 128.0), 0, 255).astype(np.uint8)
+            out[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = px
+    return out[:h, :w]
+
+
 _VIDEO_MAGIC = b"OPMV"
 
 
@@ -329,8 +637,22 @@ def _audio_samples(asset_id: int) -> np.ndarray:
     return (((asset_id * 13 + t * 17) % 256) - 128).astype(np.int16)
 
 
+def _jpeg_pixels(asset_id: int) -> np.ndarray:
+    """16×16 image of four CONSTANT 8×8 blocks — the shape whose baseline
+    JPEG round trip is bit-exact (DC-only blocks; AC coefficients are
+    analytically zero and the flat quant table keeps DC integral), so the
+    decoded features stay closed-form for the driver oracle."""
+    bx = np.arange(2, dtype=np.int64)
+    by = np.arange(2, dtype=np.int64)
+    blocks = (asset_id * 31 + bx[None, :] * 7 + by[:, None] * 13) % 256
+    return np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+
+
 def media_payload(asset_id: int, kind: str) -> bytes:
     if kind == "image":
+        # odd image ids exercise the JPEG leg, even ids the PNG leg
+        if asset_id % 2 == 1:
+            return encode_jpeg(_jpeg_pixels(asset_id))
         return encode_png(_image_pixels(asset_id))
     if kind == "audio":
         return encode_wav(_audio_samples(asset_id))
@@ -349,7 +671,11 @@ def _grid_means(gray: np.ndarray) -> np.ndarray:
 def featurize_media(kind: str, payload: bytes) -> tuple[np.ndarray, dict]:
     """Decode with the REAL codec and produce the 16-dim feature."""
     if kind == "image":
-        px = decode_png(payload)
+        # sniff the container: JPEG SOI vs PNG signature
+        if payload[:2] == b"\xff\xd8":
+            px = decode_jpeg(payload)
+        else:
+            px = decode_png(payload)
         if px.ndim == 3:
             px = px[:, :, 0]
         return _grid_means(px), {"width": px.shape[1], "height": px.shape[0]}

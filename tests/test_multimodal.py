@@ -71,7 +71,7 @@ def test_codec_roundtrips_and_png_filters():
         assert all((o == f).all() for o, f in zip(out, frames))
 
     # closed-form feature checks (exact dyadic, zero tolerance)
-    a, k = 12345, 5
+    a, k = 12346, 5  # even id: the PNG image leg (odd ids take the JPEG leg)
     bx, by = k % 4, k // 4
     f_img, _ = mm.featurize_media("image", mm.media_payload(a, "image"))
     exp = sum(
@@ -125,3 +125,71 @@ def test_codec_roundtrips_and_png_filters():
 
     with pytest.raises(NotImplementedError):
         mm.decode_video(b"\x00\x00\x00\x18ftypmp42fake-mp4-header")
+
+
+# --- round-3 JPEG leg --------------------------------------------------------
+
+
+def test_jpeg_constant_blocks_exact():
+    """Constant 8x8 blocks survive baseline JPEG bit-exactly (DC-only,
+    flat quant) — the property the asset_decode_real oracle relies on."""
+    import numpy as np
+
+    from osm_poi_matchmaker_spark.operators.multimodal import (
+        _jpeg_pixels,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for aid in (3, 9, 15, 21, 1001):
+        px = _jpeg_pixels(aid)
+        assert np.array_equal(decode_jpeg(encode_jpeg(px)), px)
+
+
+def test_jpeg_arbitrary_near_lossless():
+    import numpy as np
+
+    from osm_poi_matchmaker_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, (24, 40)).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(px))
+    assert back.shape == px.shape
+    err = np.abs(px.astype(int) - back.astype(int))
+    assert err.max() <= 1  # flat quant: rounding error only
+    assert encode_jpeg(px) == encode_jpeg(px)  # deterministic bytes
+
+
+def test_jpeg_unsupported_variants_raise():
+    import numpy as np
+    import pytest as _pytest
+
+    from osm_poi_matchmaker_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    data = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    # flip SOF0 (0xC0) to SOF2 (progressive, 0xC2)
+    i = bytes(data).find(b"\xff\xc0")
+    prog = bytes(data[:i + 1]) + b"\xc2" + bytes(data[i + 2:])
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_featurize_image_sniffs_jpeg_vs_png():
+    import numpy as np
+
+    from osm_poi_matchmaker_spark.operators.multimodal import (
+        _jpeg_pixels,
+        featurize_media,
+        media_payload,
+    )
+
+    # odd image id -> JPEG payload, feature = the four block constants
+    feat, meta = featurize_media("image", media_payload(3, "image"))
+    px = _jpeg_pixels(3)
+    want = px.reshape(4, 4, 4, 4).sum(axis=(1, 3)).reshape(16) / 16.0
+    assert np.allclose(feat, want) and meta == {"width": 16, "height": 16}
+    # even image id still decodes the PNG leg
+    feat2, meta2 = featurize_media("image", media_payload(6, "image"))
+    assert meta2 == {"width": 16, "height": 16} and len(feat2) == 16
