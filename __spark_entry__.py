@@ -2858,6 +2858,44 @@ def _q_raster_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage_join(pts, mask).select("page_id", "cell_id", "covered", "poly_id")
 
 
+def _q_zonal_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (the classic raster-GIS aggregation, and the
+    north_rule's raster↔vector read-back direction): the page cell
+    histogram aggregated per rasterized water zone — n_cells / total /
+    min / max / mean pages per covered cell. One cell equi-join + one
+    partial-agg groupBy; the raster side is the occupied-cell histogram,
+    never the page table."""
+    from osm_poi_matchmaker_spark.operators.raster import rasterize_rects, zonal_stats
+
+    water = synth.water_polygons_df(spark).select(
+        "poly_id", "lat_min", "lat_max", "lon_min", "lon_max"
+    )
+    mask = rasterize_rects(water, mult=640)  # base-grid namespace
+    hist = (
+        _pages_geo(spark, sf_dir)
+        .where(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    return zonal_stats(hist, mask, value="n_pages")
+
+
+def _q_compact_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal multi-resolution cover of the occupied page cells — the
+    H3 ``compact`` analogue (tiling.compact_cells): complete 2×2 sibling
+    groups collapse into their parent, 3 levels up. The compacted mask
+    is what a coverage layer ships as at scale (solid interiors become
+    a few coarse cells; only boundaries stay fine)."""
+    from osm_poi_matchmaker_spark.tiling import compact_cells
+
+    occ = (
+        _pages_geo(spark, sf_dir)
+        .where(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+        .select("cell_id")
+    )
+    return compact_cells(occ, levels=3)
+
+
 def _q_addr_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-match enrichment (online_poi_matching.py:64-199): matched
     pages' address fields overwritten with OSM truth — keyed join to the
@@ -3244,6 +3282,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotag_extract": _q_geotag_extract,
         "cell_assign": _q_cell_assign,
         "cell_histogram": _q_cell_histogram,
+        "zonal_page_stats": _q_zonal_page_stats,
+        "compact_cells": _q_compact_cells,
         "hotspot_cells": _q_hotspot_cells,
         "cell_kde": _q_cell_kde,
         "kde_pyramid": _q_kde_pyramid,
@@ -3603,6 +3643,29 @@ def oracle_sql() -> dict[str, str]:
             f"{base} SELECT {_CELL} AS cell_id, COUNT(*) AS n_pages "
             f"FROM pages_x WHERE {_GEO_FILTER} GROUP BY 1"
         ),
+        "zonal_page_stats": (
+            f"{base}, water AS (SELECT * FROM (VALUES"
+            " (0, 47.492995, 47.503005, 19.024995, 19.045005),"
+            " (1, 46.199995, 46.400005, 17.499995, 17.900005),"
+            " (2, 47.799995, 48.000005, 20.499995, 20.800005)"
+            ") AS t(poly_id, lat_min, lat_max, lon_min, lon_max)), "
+            "rows_y AS (SELECT poly_id, lon_min, lon_max,"
+            " unnest(range(CAST(ceil((lat_min + 90.0) * 640.0 - 0.5) AS BIGINT),"
+            " CAST(floor((lat_max + 90.0) * 640.0 - 0.5) AS BIGINT) + 1)) AS cy"
+            " FROM water), "
+            "mask AS (SELECT poly_id, cy * 262144 +"
+            " unnest(range(CAST(ceil((lon_min + 180.0) * 640.0 - 0.5) AS BIGINT),"
+            " CAST(floor((lon_max + 180.0) * 640.0 - 0.5) AS BIGINT) + 1)) AS cell_id"
+            " FROM rows_y), "
+            f"hist AS (SELECT {_CELL} AS cell_id, COUNT(*) AS n FROM pages_x"
+            f" WHERE {_GEO_FILTER} GROUP BY 1) "
+            "SELECT m.poly_id, COUNT(*) AS n_cells,"
+            " CAST(SUM(n) AS BIGINT) AS total,"
+            " CAST(MIN(n) AS BIGINT) AS v_min, CAST(MAX(n) AS BIGINT) AS v_max,"
+            " ROUND(SUM(n) * 1.0 / COUNT(*), 6) AS mean"
+            " FROM hist h JOIN mask m ON h.cell_id = m.cell_id GROUP BY 1"
+        ),
+        "compact_cells": _compact_cells_oracle_sql(),
         "cell_kde": (
             f"{base}, hc AS (SELECT (({_CELL} // 262144) // 32) * 262144 "
             f"+ (({_CELL} % 262144) // 32) AS cell_id, "
@@ -5488,6 +5551,41 @@ def oracle_sql() -> dict[str, str]:
             f"FROM pages_x WHERE {_GEO_FILTER}"
         ),
     }
+
+
+def _compact_cells_oracle_sql(levels: int = 3) -> str:
+    """Unrolled per-level twin of tiling.compact_cells: at each level,
+    parents with all 4 children present promote; unpromoted cells emit
+    at their level; survivors of the last round emit at ``levels``."""
+    base = synth_sql.base_ctes()
+    parts = [
+        f"{base}, c0 AS (SELECT DISTINCT {_CELL} AS cell_id FROM pages_x "
+        f"WHERE {_GEO_FILTER})"
+    ]
+
+    def parent(col: str) -> str:
+        return (
+            f"(({col} // 262144) // 2) * 262144 + (({col} % 262144) // 2)"
+        )
+
+    for lvl in range(levels):
+        parts.append(
+            f", p{lvl} AS (SELECT {parent('cell_id')} AS p, COUNT(*) AS n "
+            f"FROM c{lvl} GROUP BY 1)"
+        )
+        parts.append(
+            f", k{lvl} AS (SELECT c{lvl}.cell_id FROM c{lvl} "
+            f"LEFT JOIN (SELECT p FROM p{lvl} WHERE n = 4) pr{lvl} "
+            f"ON pr{lvl}.p = {parent(f'c{lvl}.cell_id')} "
+            f"WHERE pr{lvl}.p IS NULL)"
+        )
+        parts.append(
+            f", c{lvl + 1} AS (SELECT p AS cell_id FROM p{lvl} WHERE n = 4)"
+        )
+    selects = [
+        f"SELECT {lvl} AS level, cell_id FROM k{lvl}" for lvl in range(levels)
+    ] + [f"SELECT {levels} AS level, cell_id FROM c{levels}"]
+    return "".join(parts) + " " + " UNION ALL ".join(selects)
 
 
 def _building_relocation_oracle_sql() -> str:

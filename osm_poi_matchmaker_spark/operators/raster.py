@@ -117,6 +117,46 @@ def rasterize_polygons(
     )
 
 
+def zonal_stats(
+    cell_values: DataFrame,
+    mask: DataFrame,
+    value: str = "n_points",
+    cell_col: str = "cell_id",
+    key: str = "poly_id",
+) -> DataFrame:
+    """Zonal statistics — the aggregation twin of :func:`coverage_join`
+    (classic raster GIS: per-zone mean/sum of a raster layer, e.g.
+    population per admin polygon). ``cell_values`` is any cell-keyed
+    raster (the cell histogram, a KDE mass layer); ``mask`` is the
+    rasterized zone layer. One equi-join on the cell id + one partial-agg
+    groupBy per zone — the raster side never shuffles more than its
+    occupied cells, and at scale both sides share the cell-bucketed
+    layout (co-located join, same argument as coverage_join).
+
+    A cell covered by k overlapping zones contributes to all k (standard
+    zonal-stats semantics). Returns (key, n_cells, total, v_min, v_max,
+    mean) with mean rounded for cross-engine hash stability.
+    """
+    joined = cell_values.join(mask, cell_col)
+    return (
+        joined.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(value).cast("long").alias("total"),
+            F.min(value).cast("long").alias("v_min"),
+            F.max(value).cast("long").alias("v_max"),
+        )
+        .select(
+            key,
+            "n_cells",
+            "total",
+            "v_min",
+            "v_max",
+            F.round(F.col("total") / F.col("n_cells"), 6).alias("mean"),
+        )
+    )
+
+
 def coverage_join(
     points: DataFrame,
     mask: DataFrame,

@@ -262,6 +262,44 @@ def tile_pyramid(
     )
 
 
+def compact_cells(occupied: DataFrame, cell: str = "cell_id", levels: int = 3) -> DataFrame:
+    """Minimal multi-resolution cover of an occupied cell set — the
+    H3 ``compact`` analogue on the row-major grid: wherever all four
+    children of a half-resolution parent are present, the parent
+    replaces them, applied ``levels`` times bottom-up. Coverage masks
+    shrink by the density of their solid interiors (a country-scale
+    water/admin mask compacts its lake interiors to a handful of coarse
+    cells while coastlines stay fine) — smaller mask = smaller
+    broadcast/bucket table for coverage_join.
+
+    Shape per level: one groupBy(parent) over the CURRENT level's cells
+    (count == 4 → promote) + one anti-join to keep unpromoted cells —
+    everything is sized by occupied cells, shrinking per level; the
+    level count bounds the rounds. Deterministic (pure set algebra).
+    Returns (level:int, cell_id:long) — ids in each level's own
+    namespace, exactly invertible by uncompacting each parent to its
+    4^level descendants.
+    """
+    cur = occupied.select(F.col(cell).alias("cell_id")).distinct()
+    out = None
+    for lvl in range(levels):
+        parent = (
+            F.expr(f"(cell_id div {X_SPAN}) div 2") * F.lit(X_SPAN)
+            + F.expr(f"(cell_id % {X_SPAN}) div 2")
+        )
+        tagged = cur.withColumn("_p", parent)
+        promoted = (
+            tagged.groupBy("_p").agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") == 4)
+            .select(F.col("_p"))
+        )
+        kept = tagged.join(promoted, "_p", "left_anti").select("cell_id")
+        lvl_rows = kept.select(F.lit(lvl).alias("level"), "cell_id")
+        out = lvl_rows if out is None else out.unionByName(lvl_rows)
+        cur = promoted.select(F.col("_p").alias("cell_id"))
+    return out.unionByName(cur.select(F.lit(levels).alias("level"), "cell_id"))
+
+
 def hotspot_cells(
     points: DataFrame,
     cell: str = "cell_id",

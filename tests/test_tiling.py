@@ -101,3 +101,53 @@ def test_tile_pyramid_cascade_equals_direct(spark):
         want = direct.sort_values("cell_id").reset_index(drop=True)
         assert got["cell_id"].tolist() == want["cell_id"].tolist()
         assert got["n_pages"].tolist() == want["n_pages"].tolist()
+
+
+def test_compact_cells_invertible(spark):
+    """Compaction is lossless: uncompacting every (level, cell) back to
+    its 4^level base descendants reproduces the original set exactly,
+    and complete 2x2 blocks actually collapse."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_matchmaker_spark.tiling import X_SPAN, compact_cells
+
+    # an 8-ALIGNED 8x8 solid block (fully compactable for 3 levels) +
+    # scattered singles that must stay at level 0
+    solid = [(96 + dy) * X_SPAN + (200 + dx) for dy in range(8) for dx in range(8)]
+    single = [5 * X_SPAN + 7, 300 * X_SPAN + 9]
+    df = spark.createDataFrame([(c,) for c in solid + single], "cell_id long")
+    out = compact_cells(df, levels=3).collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r["level"], []).append(r["cell_id"])
+    # the solid aligned 8x8 block collapses to ONE level-3 cell
+    assert by_level.get(3) == [(96 // 8) * X_SPAN + (200 // 8)]
+    assert sorted(by_level.get(0, [])) == sorted(single)
+    assert 1 not in by_level and 2 not in by_level
+    # uncompact: expand each (level, cell) to its base descendants
+    expanded = set()
+    for r in out:
+        lvl, c = r["level"], r["cell_id"]
+        y, x = c // X_SPAN, c % X_SPAN
+        s = 1 << lvl
+        for dy in range(s):
+            for dx in range(s):
+                expanded.add((y * s + dy) * X_SPAN + (x * s + dx))
+    assert expanded == set(solid + single)
+
+
+def test_zonal_stats_basic(spark):
+    from pyspark.sql import functions as F
+
+    from osm_poi_matchmaker_spark.operators.raster import zonal_stats
+
+    cells = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 5), (4, 1)], "cell_id long, n_points long"
+    )
+    mask = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (9, "b")], "cell_id long, poly_id string"
+    )
+    got = {r["poly_id"]: r for r in zonal_stats(cells, mask).collect()}
+    assert got["a"]["n_cells"] == 2 and got["a"]["total"] == 30
+    assert got["a"]["mean"] == 15.0
+    assert got["b"]["n_cells"] == 1 and got["b"]["v_min"] == 5
