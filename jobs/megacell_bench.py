@@ -65,7 +65,8 @@ def main() -> None:
     from osm_poi_matchmaker_spark.operators.match import match_cascade
     from osm_poi_matchmaker_spark.session import get_spark
 
-    spark = get_spark("megacell-bench", cpus=cpus, shuffle_partitions=cpus * 8)
+    shuffle_parts = int(os.environ.get("MEGA_SHUFFLE_PARTS", cpus * 8))
+    spark = get_spark("megacell-bench", cpus=cpus, shuffle_partitions=shuffle_parts)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     # Sandbox-scaled skew thresholds (see module docstring): a partition
@@ -173,6 +174,7 @@ def main() -> None:
         + plan_split.count("ShuffledHashJoin"),
         "pages_per_sec": round(n_pages / wall_split, 1),
         "cpus": cpus,
+        "shuffle_partitions": shuffle_parts,
         "sf_dir": sf_dir,
         "amp_pois": amp_pois,
         "amp_pages": amp_pages,
