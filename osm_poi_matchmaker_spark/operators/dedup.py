@@ -364,6 +364,7 @@ def connected_components(
         .persist()
     )
     labels.count()
+    labels0 = labels  # initial persist — released after the loop
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels.withColumnRenamed("node", "src"), "src")
@@ -394,6 +395,8 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if labels is not labels0:
+        labels0.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
