@@ -849,6 +849,35 @@ def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (round 3): IVF-scheme centroid
+    clustering, then min-earlier-dominator within each cluster. The
+    0.3 threshold is tuned to the synthetic random embeddings (real
+    corpora would use ~0.95); 5 centroids / ~210 dups at sf0.01."""
+    return similarity.semantic_dedup(
+        _embeddings(spark, sf_dir), centroid_mod=100, threshold=0.3
+    )
+
+
+def _q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT token-set Jaccard join (AllPairs/PPJoin
+    candidate generation). The oracle is deliberately the naive
+    every-token join — a different algorithm — so a parity MATCH proves
+    the prefix filter lossless. 0.9 threshold keeps the dense synthetic
+    vocab's output at ~9k pairs with ~3-token prefixes."""
+    from osm_poi_matchmaker_spark.operators.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(_docs(spark, sf_dir), threshold=0.9)
+
+
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine retrieval twin of bm25_topk (same query set, same
+    order-stable float folding contract)."""
+    from osm_poi_matchmaker_spark.operators.retrieval import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir))
+
+
 def _q_pip_postcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: postcode lookup by point-in-polygon against broadcast boundary
     polygons (ray-cast mapInPandas; -1 = outside every polygon)."""
@@ -951,6 +980,19 @@ _INT_SANITIZE_CASES = [
     "725.0", "725", "7.25", "abc", "", "   ", None, "725.", ".5",
     "1.2.3", "-5", "0042", "9 9", "1e3", "0", "00.00",
 ]
+
+
+def _q_way_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker way simplification (round 3) over the walk
+    geometry, eps 65 m — the transition band where ~half the ways drop
+    all interior vertices and the rest split once, so both recursion
+    outcomes are exercised. The oracle is an independent DuckDB
+    recursive CTE of the same recursion."""
+    from osm_poi_matchmaker_spark.operators.ways import simplify_ways
+
+    return simplify_ways(
+        synth.ways_df(spark, sf_dir), _way_walk_lat, _way_walk_lon, eps_m=65.0
+    )
 
 
 def _q_int_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3332,12 +3374,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_sq8": _q_ann_topk_sq8,
         "ann_recall": _q_ann_recall,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "semantic_dedup": _q_semantic_dedup,
+        "dedup_prefix_jaccard": _q_dedup_prefix_jaccard,
+        "tfidf_topk": _q_tfidf_topk,
         "html_text_parity": _q_html_text_parity,
         "ordered_scan": _q_ordered_scan,
         "osm_timestamps": _q_osm_timestamps,
         "way_nodes": _q_way_nodes,
         "way_lengths": _q_way_lengths,
         "nearest_way": _q_nearest_way,
+        "way_simplify": _q_way_simplify,
         "int_sanitize": _q_int_sanitize,
         "fuzzy_city": _q_fuzzy_city,
         "agg_pricing_summary": _q_agg_pricing_summary,
@@ -3596,6 +3642,71 @@ def oracle_sql() -> dict[str, str]:
         return f"SQRT({cx} * {cx} + {cy} * {cy})"
 
     _wayseg = _segdist("i - 1", "i")
+
+    # way_simplify fragments: the Douglas-Peucker oracle runs the SAME
+    # recursion as operators/ways.simplify_ways but as a DuckDB recursive
+    # CTE over (wid, i, j) chords — argmax deviation per chord via
+    # list_max of [dev, -k] (max dev, ties to the smallest k, identical
+    # to the Spark struct array_max). Walk geometry + clamped-projection
+    # distance reuse the nearest_way arithmetic with the POINT being the
+    # interior vertex k (kx at ITS latitude), op-order-identical to the
+    # Spark side. NB: the kept-set dedup must be an explicit
+    # DISTINCT-over-UNION-ALL subquery — inside WITH RECURSIVE, DuckDB
+    # treats any CTE's top-level UNION as a base/recursive pair and skips
+    # the cross-branch dedup.
+    def _dp_wlat(i: str) -> str:
+        return (
+            f"((CAST(4575000 + (wid * {_M_LAT}) % 280000 AS DOUBLE) "
+            f"/ 100000.0) + CAST({i} AS DOUBLE) * 0.0011)"
+        )
+
+    def _dp_wlon(i: str) -> str:
+        return (
+            f"((CAST(1615000 + (wid * {_M_LON}) % 670000 AS DOUBLE) "
+            f"/ 100000.0) + CAST(({i}) % 2 AS DOUBLE) * 0.0013)"
+        )
+
+    def _dp_dev(k: str, ai: str, bi: str) -> str:
+        plat, plon = _dp_wlat(k), _dp_wlon(k)
+        kx = f"(111319.4908 * COS(RADIANS({plat})))"
+        ax = f"(({_dp_wlon(ai)} - {plon}) * {kx})"
+        ay = f"(({_dp_wlat(ai)} - {plat}) * 111194.9267)"
+        bx = f"(({_dp_wlon(bi)} - {plon}) * {kx})"
+        by = f"(({_dp_wlat(bi)} - {plat}) * 111194.9267)"
+        dx, dy = f"({bx} - {ax})", f"({by} - {ay})"
+        den = f"({dx} * {dx} + {dy} * {dy})"
+        t_raw = f"(-({ax} * {dx} + {ay} * {dy}) / {den})"
+        t = (
+            f"(CASE WHEN {den} > 0.0 THEN "
+            f"LEAST(GREATEST({t_raw}, 0.0), 1.0) ELSE 0.0 END)"
+        )
+        cx = f"({ax} + {t} * {dx})"
+        cy = f"({ay} + {t} * {dy})"
+        return f"SQRT({cx} * {cx} + {cy} * {cy})"
+
+    _dp_eps = 65.0
+    _way_simplify_sql = f"""
+WITH RECURSIVE w AS (
+  SELECT CAST(p_partkey AS BIGINT) AS wid, p_partkey % 4 + 2 AS n
+  FROM part WHERE p_partkey % 3 = 1),
+segs(wid, i, j) AS (
+  SELECT wid, 0, n - 1 FROM w
+  UNION ALL
+  SELECT s.wid, c.ci, c.cj FROM (
+    SELECT wid, i, j,
+           list_max(list_transform(range(i + 1, j),
+             k -> [{_dp_dev('k', 'i', 'j')}, -CAST(k AS DOUBLE)])) AS best
+    FROM segs WHERE j > i + 1) s,
+    UNNEST([{{'ci': s.i, 'cj': CAST(-s.best[2] AS INT)}},
+            {{'ci': CAST(-s.best[2] AS INT), 'cj': s.j}}]) AS u(c)
+  WHERE s.best[1] > {_dp_eps}),
+kept AS (
+  SELECT DISTINCT wid, pos FROM (
+    SELECT wid, i AS pos FROM segs
+    UNION ALL SELECT wid, j AS pos FROM segs))
+SELECT wid AS way_id, CAST(pos AS INT) AS pos,
+       wid * 10 + pos AS node_id
+FROM kept"""
 
     # poi_common brand-tag payload CTEs (single source of truth: the same
     # JSONL resource + bridge dict the Spark plan uses)
@@ -4064,6 +4175,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": oracles_docs.embedding_cosine_dup_sql(
             threshold=0.35, bits=4
         ),
+        "semantic_dedup": oracles_docs.semantic_dedup_sql(
+            centroid_mod=100, threshold=0.3
+        ),
+        "dedup_prefix_jaccard": oracles_docs.prefix_jaccard_sql(threshold=0.9),
+        "tfidf_topk": oracles_docs.tfidf_topk_sql(k=5),
         "html_text_parity": (
             # Invariant oracle: the engine-side extraction must reproduce
             # the stored text for every page (BASELINE.json byte parity).
@@ -5243,6 +5359,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE d < 2000.0 "
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY page_id ORDER BY d, way_id) = 1"
         ),
+        "way_simplify": _way_simplify_sql,
         "way_nodes": (
             f"{match_base}, "
             "ways AS (SELECT CAST(p_partkey AS BIGINT) AS way_id FROM part"

@@ -127,3 +127,98 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", F.round("score", 6).alias("bm25"), "rank")
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    queries: Sequence[tuple[int, str]] = DEFAULT_QUERIES,
+    k: int = 5,
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF cosine retrieval: (query_id, doc_id, tfidf_cosine,
+    rank). The vector-space twin of :func:`bm25_topk`.
+
+    idf = ln((N + 1) / (df + 1)) + 1 (the smoothed variant, public
+    sklearn formula); doc weight = tf * idf; query terms are distinct
+    with tf 1 so the query weight IS the idf. Cosine needs the doc norm
+    over ALL terms (not just query terms), so unlike BM25 this op pays
+    one full postings-shaped aggregation — the same shuffle an index
+    build pays, keyed (doc, term) then doc, partial-aggregated map-side.
+    Scoring itself stays on the broadcast-semi-filtered postings: only
+    query-term rows reach the (query, doc) shuffle.
+
+    Determinism contract (same as bm25_topk): every float sum — doc
+    norms, query norms, the dot product — folds IN TERM ORDER on both
+    engines, and the top-k cut orders by the 6-dp-rounded score with a
+    doc_id tie-break.
+    """
+    spark = docs.sparkSession
+    qt = spark.createDataFrame(_query_terms(queries), "query_id int, term string")
+
+    base = docs.select(F.col(key).alias("doc_id"), tokens(F.col(text)).alias("toks"))
+    stats = base.agg(F.count("*").alias("n_docs"))
+
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = (
+        F.log(
+            (F.col("n_docs") + F.lit(1.0))
+            / (F.coalesce(F.col("df"), F.lit(0)) + F.lit(1.0))
+        )
+        + F.lit(1.0)
+    )
+    weights = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", (F.col("tf") * idf).alias("w"))
+    )
+
+    def _ordered_fold(value_col: str):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", value_col))),
+            F.lit(0.0),
+            lambda acc, x: acc + x[value_col],
+        )
+
+    norms = weights.select(
+        "doc_id", "term", (F.col("w") * F.col("w")).alias("w2")
+    ).groupBy("doc_id").agg(F.sqrt(_ordered_fold("w2")).alias("dnorm"))
+
+    qw = (
+        qt.join(F.broadcast(dfq), "term", "left")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "term", idf.alias("qw"))
+    )
+    qnorms = qw.select(
+        "query_id", "term", (F.col("qw") * F.col("qw")).alias("w2")
+    ).groupBy("query_id").agg(F.sqrt(_ordered_fold("w2")).alias("qnorm"))
+
+    num = (
+        weights.join(F.broadcast(qw), "term")
+        .select("query_id", "doc_id", "term", (F.col("w") * F.col("qw")).alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(_ordered_fold("c").alias("dotp"))
+    )
+    scored = (
+        num.join(norms, "doc_id")
+        .join(F.broadcast(qnorms), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("dotp") / (F.col("dnorm") * F.col("qnorm"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", F.round("score", 6).alias("tfidf_cosine"), "rank")
+    )

@@ -382,3 +382,72 @@ def ann_recall(exact: DataFrame, approx: DataFrame, method: str) -> DataFrame:
             F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
         )
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroid_mod: int = 100,
+    threshold: float = 0.92,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    literature): cluster the embedding space, then drop items whose
+    cosine to an earlier item IN THE SAME CLUSTER clears ``threshold``.
+    The cluster assignment turns all-pairs cosine into per-cluster
+    self-joins — the same contraction the cell grid gives the spatial
+    eps-joins.
+
+    Determinism contract (oracle-reproducible, no trained k-means):
+    centroids are the ``vec_id % centroid_mod == 1`` vectors (the
+    ivf_topk scheme); assignment ties break on ascending centroid id;
+    the keep rule is "dominated by the MINIMUM earlier same-cluster id
+    with cosine >= threshold" — greedy-by-id, the arrival-ordered
+    LSH-dedup rule transplanted to embedding space.
+
+    At 100 TB: centroid count scales ~sqrt(N) (broadcast dim), the
+    corpus is written bucketed by ``centroid_id``, and the within-
+    cluster self-join is co-located with bounded cluster cardinality —
+    never all-pairs across clusters.
+
+    Returns (vec_id, centroid_id, dup_of, is_duplicate); dup_of NULL for
+    keepers.
+    """
+    cents = vectors.where(F.col(key) % centroid_mod == 1).select(
+        F.col(key).alias("centroid_id"), F.col(vec).alias("cent_vec")
+    )
+    c = vectors.select(F.col(key).alias("vid"), F.col(vec).alias("v"))
+    w_assign = Window.partitionBy("vid").orderBy(
+        F.desc("cent_sim"), F.asc("centroid_id")
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("cent_sim", cosine(F.col("v"), F.col("cent_vec")))
+        .withColumn("arank", F.row_number().over(w_assign))
+        .where(F.col("arank") == 1)
+        .select("vid", "v", "centroid_id")
+    )
+    a = assigned.select(
+        F.col("vid").alias("vid_a"), F.col("v").alias("va"), "centroid_id"
+    )
+    b = assigned.select(
+        F.col("vid").alias("vid_b"), F.col("v").alias("vb"), "centroid_id"
+    )
+    dominators = (
+        a.join(b, "centroid_id")
+        .where(F.col("vid_a") < F.col("vid_b"))
+        .withColumn("pair_sim", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("pair_sim") >= threshold)
+        .groupBy("vid_b")
+        .agg(F.min("vid_a").alias("dup_of"))
+    )
+    return (
+        assigned.select("vid", "centroid_id")
+        .join(dominators, assigned["vid"] == dominators["vid_b"], "left")
+        .select(
+            F.col("vid").alias(key),
+            "centroid_id",
+            "dup_of",
+            F.col("dup_of").isNotNull().alias("is_duplicate"),
+        )
+    )

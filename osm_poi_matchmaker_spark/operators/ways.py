@@ -139,3 +139,106 @@ def nearest_way(
         )
     )
     return hits
+
+
+def simplify_ways(
+    ways: DataFrame,
+    lat_of,
+    lon_of,
+    eps_m: float,
+    way_key: str = "way_id",
+    nodes_col: str = "nodes",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Douglas–Peucker polyline simplification as a DataFrame loop —
+    no Python UDFs anywhere (the classic 1973 algorithm, public
+    literature; the reference ships way geometries whole, so this is
+    the map-generalization op a tile-serving pipeline adds on top).
+
+    One row per OPEN chord (way, i, j) per round; the max-deviation
+    vertex is found ROW-LOCAL with an ``array_max`` over a
+    ``transform(sequence(i+1, j-1))`` of clamped-projection segment
+    distances (the ways-module metric, bit-reproducible in SQL).
+    Chords deviating more than ``eps_m`` split at that vertex; kept
+    vertices are exactly the chord endpoints ever materialized.
+
+    Scale shape: the working set is chords, not vertices — each round
+    is one narrow filter+union with row-local array math, and the loop
+    runs ``O(split depth)`` rounds GLOBALLY (all ways advance together;
+    depth ≤ log₂(max_nodes) for balanced splits, bounded by
+    ``max_rounds``). Node arrays stay row-local the whole way; nothing
+    explodes through a shuffle. Plans are lineage-truncated per round
+    (localCheckpoint) exactly like connected_components — without it
+    the self-referential union DOUBLES the plan every round.
+
+    Returns (way_id, pos, node_id): the kept vertices, ``pos`` 0-based.
+    """
+    if eps_m <= 0:
+        raise ValueError(f"eps_m must be positive, got {eps_m}")
+    base = ways.select(F.col(way_key), F.col(nodes_col).alias("_nodes"))
+
+    def node_lat(p: Column) -> Column:  # p is a 1-based array position
+        return lat_of(F.element_at("_nodes", p))
+
+    def node_lon(p: Column) -> Column:
+        return lon_of(F.element_at("_nodes", p))
+
+    # Open chords: 1-based inclusive endpoints (i, j), j > i + 1 can split.
+    segs = base.select(
+        way_key, F.lit(1).alias("i"), F.size("_nodes").alias("j"), "_nodes"
+    ).where(F.col("j") > F.col("i") + 1)
+    # The two-children union would DOUBLE the partition count every round
+    # (2^rounds tasks by round 10 — measured); pin it with a shuffle-free
+    # coalesce back to the input's width each round.
+    n_part = max(1, segs.rdd.getNumPartitions())
+
+    # Kept set starts as every chord endpoint (covers 1/2-node ways too).
+    kept = base.select(
+        way_key,
+        F.explode(
+            F.array_distinct(F.array(F.lit(1), F.size("_nodes")))
+        ).alias("p"),
+    )
+
+    for _ in range(max_rounds):
+        # Row-local argmax deviation over interior vertices: struct
+        # (dev, -k) under array_max = max dev, ties to the SMALLEST k.
+        dev_k = F.transform(
+            F.sequence(F.col("i") + 1, F.col("j") - 1),
+            lambda k: F.struct(
+                point_segment_dist_m(
+                    node_lat(k), node_lon(k),
+                    node_lat(F.col("i")), node_lon(F.col("i")),
+                    node_lat(F.col("j")), node_lon(F.col("j")),
+                ).alias("dev"),
+                (-k).alias("negk"),
+            ),
+        )
+        best = F.array_max(dev_k)
+        scored = segs.select(
+            way_key, "i", "j", "_nodes",
+            best["dev"].alias("dmax"), (-best["negk"]).alias("kmax")
+        )
+        # One driver action per round: the checkpoint materializes the
+        # split set and count() reads its size off the checkpointed RDD.
+        split = scored.where(F.col("dmax") > F.lit(eps_m)).localCheckpoint()
+        if split.count() == 0:
+            break
+        kept = kept.union(split.select(way_key, F.col("kmax").alias("p")))
+        left = split.select(way_key, "i", F.col("kmax").alias("j"), "_nodes")
+        right = split.select(way_key, F.col("kmax").alias("i"), "j", "_nodes")
+        segs = (
+            left.union(right).where(F.col("j") > F.col("i") + 1).coalesce(n_part)
+        )
+    else:
+        raise RuntimeError(f"simplify_ways did not converge in {max_rounds} rounds")
+
+    return (
+        kept.distinct()
+        .join(base, way_key)
+        .select(
+            way_key,
+            (F.col("p") - 1).alias("pos"),
+            F.element_at("_nodes", F.col("p")).alias("node_id"),
+        )
+    )

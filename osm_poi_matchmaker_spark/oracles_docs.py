@@ -821,3 +821,103 @@ c AS (SELECT doc_id, i - 1 AS chunk_idx, (i - 1) * {stride} AS start_tok,
       FROM (SELECT doc_id, toks, unnest(range(1, ({n_starts}) + 1)) AS i
             FROM t))
 SELECT doc_id, chunk_idx, start_tok, n_tokens, chunk_text FROM c"""
+
+
+def prefix_jaccard_sql(threshold: float = 0.9) -> str:
+    """Oracle for dedup.prefix_jaccard_pairs — deliberately the NAIVE
+    every-token join (a different algorithm): the prefix filter is
+    provably lossless, so both must produce identical pair sets."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> '')) AS toks
+  FROM documents),
+e AS (SELECT doc_id, len(toks) AS n_tok, unnest(toks) AS token
+      FROM t WHERE len(toks) > 0),
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n_tok AS na, b.n_tok AS nb, COUNT(*) AS common
+  FROM e a JOIN e b USING (token)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b,
+       ROUND(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
+         AS jaccard
+FROM pr
+WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= {threshold}"""
+
+
+def semantic_dedup_sql(centroid_mod: int = 100, threshold: float = 0.92) -> str:
+    """Oracle for similarity.semantic_dedup: same centroid scheme as
+    ann_ivf_sql, then min-earlier-dominator within each cluster."""
+    cent_cos = f"({_DOT.format(a='v', b='cv')} / ({_NORM.format(a='v')} * {_NORM.format(a='cv')}))"
+    pair_cos = f"({_DOT.format(a='va', b='vb')} / ({_NORM.format(a='va')} * {_NORM.format(a='vb')}))"
+    return f"""
+WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+               WHERE vec_id % {centroid_mod} = 1),
+assigned AS (
+  SELECT vid, v, centroid_id FROM (
+    SELECT c.vec_id AS vid, c.embedding AS v, cents.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+             ORDER BY ({cent_cos}) DESC, cents.centroid_id) AS arank
+    FROM (SELECT vec_id, embedding FROM embeddings) c, cents)
+  WHERE arank = 1),
+doms AS (
+  SELECT b.vid AS vid_b, MIN(a.vid) AS dup_of
+  FROM assigned a JOIN assigned b USING (centroid_id),
+       LATERAL (SELECT a.v AS va, b.v AS vb) x
+  WHERE a.vid < b.vid AND {pair_cos} >= {threshold}
+  GROUP BY b.vid)
+SELECT assigned.vid AS vec_id, centroid_id, doms.dup_of,
+       doms.dup_of IS NOT NULL AS is_duplicate
+FROM assigned LEFT JOIN doms ON assigned.vid = doms.vid_b"""
+
+
+def tfidf_topk_sql(queries=None, k: int = 5) -> str:
+    """Twin of operators/retrieval.tfidf_topk. Same determinism contract
+    as bm25_topk_sql: all float sums fold in term order; top-k cuts on
+    the rounded score + doc_id tie-break."""
+    from .operators.retrieval import DEFAULT_QUERIES, _query_terms
+
+    pairs = _query_terms(DEFAULT_QUERIES if queries is None else queries)
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in pairs)
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs FROM base),
+qt AS (SELECT * FROM (VALUES {values}) AS v(query_id, term)),
+tf AS (
+  SELECT b.doc_id, t.term, COUNT(*) AS tf
+  FROM base b, UNNEST(b.toks) AS t(term)
+  GROUP BY b.doc_id, t.term),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+weights AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (ln((s.n_docs + 1.0) / (d.df + 1.0)) + 1.0) AS w
+  FROM tf JOIN dfq d ON tf.term = d.term CROSS JOIN stats s),
+norms AS (
+  SELECT doc_id, sqrt(list_sum(list(w * w ORDER BY term))) AS dnorm
+  FROM weights GROUP BY doc_id),
+qw AS (
+  SELECT qt.query_id, qt.term,
+         ln((s.n_docs + 1.0) / (COALESCE(d.df, 0) + 1.0)) + 1.0 AS qw
+  FROM qt LEFT JOIN dfq d ON qt.term = d.term CROSS JOIN stats s),
+qnorms AS (
+  SELECT query_id, sqrt(list_sum(list(qw * qw ORDER BY term))) AS qnorm
+  FROM qw GROUP BY query_id),
+num AS (
+  SELECT q.query_id, w.doc_id, list_sum(list(w.w * q.qw ORDER BY w.term)) AS dotp
+  FROM weights w JOIN qw q ON w.term = q.term
+  GROUP BY q.query_id, w.doc_id),
+ranked AS (
+  SELECT n.query_id, n.doc_id,
+         ROUND(n.dotp / (norms.dnorm * qnorms.qnorm), 6) AS tfidf_cosine,
+         ROW_NUMBER() OVER (PARTITION BY n.query_id
+                            ORDER BY ROUND(n.dotp / (norms.dnorm * qnorms.qnorm), 6) DESC,
+                                     n.doc_id) AS rank
+  FROM num n JOIN norms ON n.doc_id = norms.doc_id
+  JOIN qnorms ON n.query_id = qnorms.query_id)
+SELECT query_id, doc_id, tfidf_cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}"""
