@@ -859,6 +859,18 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic-dedup ingest: vectors with vec_id % 7 == 0
+    play the incoming batch, the rest the settled clustered corpus
+    (the lsh_index_probe split transplanted to embedding space). The
+    zero-state streaming twin is exercised in
+    tests/test_streaming_semantic.py."""
+    e = _embeddings(spark, sf_dir)
+    return similarity.semantic_index_probe(
+        e.where(F.col("vec_id") % 7 != 0), e.where(F.col("vec_id") % 7 == 0)
+    )
+
+
 def _q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered EXACT token-set Jaccard join (AllPairs/PPJoin
     candidate generation). The oracle is deliberately the naive
@@ -3375,6 +3387,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "semantic_dedup": _q_semantic_dedup,
+        "semantic_probe": _q_semantic_probe,
         "dedup_prefix_jaccard": _q_dedup_prefix_jaccard,
         "tfidf_topk": _q_tfidf_topk,
         "html_text_parity": _q_html_text_parity,
@@ -4177,6 +4190,9 @@ FROM kept"""
         ),
         "semantic_dedup": oracles_docs.semantic_dedup_sql(
             centroid_mod=100, threshold=0.3
+        ),
+        "semantic_probe": oracles_docs.semantic_probe_sql(
+            batch_mod=7, centroid_mod=100, threshold=0.3
         ),
         "dedup_prefix_jaccard": oracles_docs.prefix_jaccard_sql(threshold=0.9),
         "tfidf_topk": oracles_docs.tfidf_topk_sql(k=5),

@@ -416,17 +416,7 @@ def semantic_dedup(
     cents = vectors.where(F.col(key) % centroid_mod == 1).select(
         F.col(key).alias("centroid_id"), F.col(vec).alias("cent_vec")
     )
-    c = vectors.select(F.col(key).alias("vid"), F.col(vec).alias("v"))
-    w_assign = Window.partitionBy("vid").orderBy(
-        F.desc("cent_sim"), F.asc("centroid_id")
-    )
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("cent_sim", cosine(F.col("v"), F.col("cent_vec")))
-        .withColumn("arank", F.row_number().over(w_assign))
-        .where(F.col("arank") == 1)
-        .select("vid", "v", "centroid_id")
-    )
+    assigned = _assign_to_centroids(vectors, cents, key, vec)
     a = assigned.select(
         F.col("vid").alias("vid_a"), F.col("v").alias("va"), "centroid_id"
     )
@@ -449,5 +439,70 @@ def semantic_dedup(
             "centroid_id",
             "dup_of",
             F.col("dup_of").isNotNull().alias("is_duplicate"),
+        )
+    )
+
+
+def _assign_to_centroids(
+    vectors: DataFrame, cents: DataFrame, key: str, vec: str
+) -> DataFrame:
+    """Nearest-centroid assignment (desc cosine, asc centroid_id ties):
+    (vid, v, centroid_id). ``cents`` must be (centroid_id, cent_vec)."""
+    c = vectors.select(F.col(key).alias("vid"), F.col(vec).alias("v"))
+    w_assign = Window.partitionBy("vid").orderBy(
+        F.desc("cent_sim"), F.asc("centroid_id")
+    )
+    return (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("cent_sim", cosine(F.col("v"), F.col("cent_vec")))
+        .withColumn("arank", F.row_number().over(w_assign))
+        .where(F.col("arank") == 1)
+        .select("vid", "v", "centroid_id")
+    )
+
+
+def semantic_index_probe(
+    corpus: DataFrame,
+    batch: DataFrame,
+    centroid_mod: int = 100,
+    threshold: float = 0.3,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Probe a SETTLED semantically-clustered corpus with a new embedding
+    batch: the incremental-ingest form of :func:`semantic_dedup`, shaped
+    like ``dedup.lsh_index_probe`` — ingest cost is proportional to the
+    BATCH, never the corpus.
+
+    Centroids come from the corpus (the ``vec_id % centroid_mod == 1``
+    scheme); a batch vector is a known near-dup iff ANY settled member
+    of its cluster clears ``threshold`` cosine, and ``matched_id`` is
+    the minimum such corpus id. At 100 TB the corpus side is written
+    bucketed by ``centroid_id`` so the probe join is a partition-pruned
+    lookup.
+
+    Returns (vec_id, centroid_id, is_known_dup, matched_id).
+    """
+    cents = corpus.where(F.col(key) % centroid_mod == 1).select(
+        F.col(key).alias("centroid_id"), F.col(vec).alias("cent_vec")
+    )
+    settled = _assign_to_centroids(corpus, cents, key, vec).select(
+        F.col("vid").alias("corpus_id"), F.col("v").alias("cv"), "centroid_id"
+    )
+    probes = _assign_to_centroids(batch, cents, key, vec)
+    hits = (
+        probes.join(settled, "centroid_id")
+        .where(cosine(F.col("v"), F.col("cv")) >= threshold)
+        .groupBy("vid")
+        .agg(F.min("corpus_id").alias("matched_id"))
+    )
+    return (
+        probes.select("vid", "centroid_id")
+        .join(hits, "vid", "left")
+        .select(
+            F.col("vid").alias(key),
+            "centroid_id",
+            F.col("matched_id").isNotNull().alias("is_known_dup"),
+            "matched_id",
         )
     )

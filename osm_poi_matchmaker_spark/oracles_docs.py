@@ -921,3 +921,42 @@ ranked AS (
   JOIN qnorms ON n.query_id = qnorms.query_id)
 SELECT query_id, doc_id, tfidf_cosine, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}"""
+
+
+def semantic_probe_sql(
+    batch_mod: int = 7, centroid_mod: int = 100, threshold: float = 0.3
+) -> str:
+    """Twin of similarity.semantic_index_probe over the corpus/batch
+    split vec_id % batch_mod: corpus-derived centroids, nearest-centroid
+    assignment on both sides, min matched corpus id per probe."""
+    cent_cos = f"({_DOT.format(a='v', b='cv')} / ({_NORM.format(a='v')} * {_NORM.format(a='cv')}))"
+    pair_cos = f"({_DOT.format(a='pv', b='sv')} / ({_NORM.format(a='pv')} * {_NORM.format(a='sv')}))"
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id % {batch_mod} <> 0),
+batch AS (SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id % {batch_mod} = 0),
+cents AS (SELECT vec_id AS centroid_id, embedding AS cv FROM corpus
+          WHERE vec_id % {centroid_mod} = 1),
+settled AS (
+  SELECT vid AS corpus_id, v AS sv, centroid_id FROM (
+    SELECT c.vec_id AS vid, c.embedding AS v, cents.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+             ORDER BY ({cent_cos}) DESC, cents.centroid_id) AS arank
+    FROM corpus c, cents)
+  WHERE arank = 1),
+probes AS (
+  SELECT vid, v AS pv, centroid_id FROM (
+    SELECT b.vec_id AS vid, b.embedding AS v, cents.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+             ORDER BY ({cent_cos}) DESC, cents.centroid_id) AS arank
+    FROM batch b, cents)
+  WHERE arank = 1),
+hits AS (
+  SELECT p.vid, MIN(s.corpus_id) AS matched_id
+  FROM probes p JOIN settled s USING (centroid_id)
+  WHERE {pair_cos} >= {threshold}
+  GROUP BY p.vid)
+SELECT probes.vid AS vec_id, centroid_id,
+       hits.matched_id IS NOT NULL AS is_known_dup, hits.matched_id
+FROM probes LEFT JOIN hits ON probes.vid = hits.vid"""
