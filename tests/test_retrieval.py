@@ -78,3 +78,52 @@ def test_bm25_k_cut_and_plan(spark):
     # corpus-side postings for non-query terms never shuffle
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tfidf_plan_query_side_broadcast(spark):
+    from osm_poi_matchmaker_spark.operators.retrieval import tfidf_topk
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    df = tfidf_topk(docs, QUERIES, k=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # scoring joins only query-term postings (broadcast the tiny query
+    # weights); the only wide shapes are the postings aggregations
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_matches_python_recompute(spark):
+    import math
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    from osm_poi_matchmaker_spark.operators.retrieval import tfidf_topk
+
+    got = {
+        (r.query_id, r.doc_id): r.tfidf_cosine
+        for r in tfidf_topk(docs, QUERIES, k=5).collect()
+    }
+    corpus = {d: t.split() for d, t in CORPUS}
+    n = len(corpus)
+    from collections import Counter
+    df_t = Counter()
+    for toks in corpus.values():
+        for t in set(toks):
+            df_t[t] += 1
+    def idf(t):
+        return math.log((n + 1.0) / (df_t.get(t, 0) + 1.0)) + 1.0
+    w = {
+        d: {t: c * idf(t) for t, c in Counter(toks).items()}
+        for d, toks in corpus.items()
+    }
+    dnorm = {d: math.sqrt(sum(x * x for _, x in sorted(ws.items()))) for d, ws in w.items()}
+    for (qid, qtext) in QUERIES:
+        qts = list(dict.fromkeys(qtext.split()))
+        qw = {t: idf(t) for t in qts}
+        qn = math.sqrt(sum(qw[t] * qw[t] for t in sorted(qw)))
+        for d, ws in w.items():
+            dot = sum(ws[t] * qw[t] for t in sorted(qw) if t in ws)
+            if dot == 0.0:
+                continue
+            expect = round(dot / (dnorm[d] * qn), 6)
+            if (qid, d) in got:
+                assert abs(got[(qid, d)] - expect) < 1e-6, (qid, d)

@@ -121,3 +121,14 @@ def test_semantic_dedup_plan_no_cartesian(spark):
         _emb(spark), centroid_mod=100, threshold=0.3
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_jaccard_plan_no_cartesian(spark):
+    """Candidate generation must be the prefix-token equi-join, never a
+    cartesian: at 100 TB a cartesian here is the difference between a
+    postings-bounded join and an impossible one."""
+    plan = prefix_jaccard_pairs(
+        _docs(spark), threshold=0.9
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
