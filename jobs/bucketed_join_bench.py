@@ -87,13 +87,6 @@ def main() -> None:
         )
         .withColumn("cell", coarse_cell_id(F.col("lat"), F.col("lon"), mult))
     )
-    # enrich side: per-osm_id payload (the tag/patch dimension shape)
-    enrich = big.select(
-        "osm_id",
-        F.xxhash64("osm_id").alias("tag_hash"),
-        (F.col("osm_id") % 97).alias("patch_code"),
-    )
-
     for t in ("pois_plain", "pois_bucketed", "enrich_plain", "enrich_bucketed"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     # Bucketed-write hygiene: WITHOUT a repartition on the bucket key,
@@ -103,6 +96,16 @@ def main() -> None:
     # Repartitioning by the key first gives exactly one file per bucket;
     # this is the layout discipline the 100 TB claim assumes.
     big.write.mode("overwrite").format("parquet").saveAsTable("pois_plain")
+    # Evaluate the crossJoin amplification ONCE (the write above); every
+    # derived write and the row count below read the stored table back
+    # instead of recomputing the synth expression per action (ADVICE r3).
+    big = spark.table("pois_plain")
+    # enrich side: per-osm_id payload (the tag/patch dimension shape)
+    enrich = big.select(
+        "osm_id",
+        F.xxhash64("osm_id").alias("tag_hash"),
+        (F.col("osm_id") % 97).alias("patch_code"),
+    )
     (
         big.repartition(buckets, F.col("osm_id"))
         .write.mode("overwrite").format("parquet")

@@ -572,6 +572,339 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     return out[:h, :w]
 
 
+# ---------------------------------------------------------------------------
+# Color JPEG (round-4 extension): 3-component baseline sequential,
+# YCbCr with 4:2:0 chroma subsampling — the dominant shape of real
+# crawled JPEGs. Same honest boundaries as the gray leg: no
+# progressive/arithmetic coding, no restart markers, and only the
+# 4:2:0 (2,2)/(1,1)/(1,1) sampling layout (others raise).
+#
+# The color transform is INTEGER fixed-point (16-bit coefficients,
+# libjpeg-style, bias-shifted so every numerator stays non-negative and
+# floor-division == arithmetic shift). That choice is what keeps the
+# driver oracle closed-form: encode → decode of an MCU-constant fixture
+# is exact integer arithmetic end to end (constant blocks are DC-only
+# under the flat quant table, and 2×2-constant chroma subsamples to
+# itself), so DuckDB reproduces every decoded byte with `//` — no
+# float-rounding hazard (numpy rint is half-even, SQL ROUND is
+# half-away; integer ops sidestep the mismatch entirely).
+# ---------------------------------------------------------------------------
+
+# T.81 Annex K.3.2 typical chrominance Huffman tables.
+_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_VALS_C = list(range(12))
+_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+assert sum(_AC_BITS_C) == len(_AC_VALS_C) == 162
+assert sum(_DC_BITS_C) == len(_DC_VALS_C) == 12
+
+# Fixed-point color-transform coefficients (×65536, rounded). The bias
+# constants fold in the +128 chroma offset / ×65536 luma term plus the
+# +32768 rounding term plus 2^25 (a multiple of 65536) so numerators
+# are provably non-negative for any uint8 inputs — floor division then
+# equals >> 16 and DuckDB's `//`, identical on both sides.
+_YCC_BIAS = 1 << 25  # 512 << 16
+
+
+def ycc_forward(rgb: np.ndarray) -> np.ndarray:
+    """uint8 (H,W,3) RGB → int64 (H,W,3) YCbCr, integer fixed-point."""
+    p = rgb.astype(np.int64)
+    r, g, b = p[..., 0], p[..., 1], p[..., 2]
+    y = (19595 * r + 38470 * g + 7471 * b + 32768) // 65536
+    cb = (8454144 - 11059 * r - 21709 * g + 32768 * b) // 65536
+    cr = (8454144 + 32768 * r - 27439 * g - 5329 * b) // 65536
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycc_inverse(ycc: np.ndarray) -> np.ndarray:
+    """int64 (H,W,3) YCbCr → uint8 (H,W,3) RGB (clamped), the exact
+    integer inverse the oracle mirrors in SQL."""
+    y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+    r = (65536 * y + 91881 * cr + (_YCC_BIAS - 91881 * 128 + 32768)) // 65536 - 512
+    g = (
+        65536 * y - 22554 * cb - 46802 * cr
+        + (_YCC_BIAS + (22554 + 46802) * 128 + 32768)
+    ) // 65536 - 512
+    b = (65536 * y + 116130 * cb + (_YCC_BIAS - 116130 * 128 + 32768)) // 65536 - 512
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _write_coeff_block(
+    bw: _BitWriter,
+    block_shifted: np.ndarray,
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """DCT + flat-quant + Huffman one 8×8 block; returns the new DC
+    predictor (same entropy path as the gray encoder)."""
+    coef = _DCT_M @ block_shifted @ _DCT_M.T
+    q = np.rint(coef).astype(np.int64)
+    zz = [int(q.flat[_ZIGZAG[i]]) for i in range(64)]
+    diff = zz[0] - pred
+    pred = zz[0]
+    cat, bits_v = _magnitude(diff)
+    code, ln = dc_codes[cat]
+    bw.write(code, ln)
+    if cat:
+        bw.write(bits_v, cat)
+    run = 0
+    for i in range(1, 64):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        cat, bits_v = _magnitude(zz[i])
+        code, ln = ac_codes[(run << 4) | cat]
+        bw.write(code, ln)
+        bw.write(bits_v, cat)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return pred
+
+
+def encode_jpeg_color(rgb: np.ndarray) -> bytes:
+    """uint8 (H,W,3) RGB → baseline JPEG, YCbCr 4:2:0, flat quant
+    tables, Annex K.3 luma+chroma Huffman tables. H and W must be
+    multiples of 16 (whole MCUs)."""
+    px = np.asarray(rgb, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_jpeg_color expects (H, W, 3)")
+    h, w = px.shape[:2]
+    if h % 16 or w % 16:
+        raise NotImplementedError(
+            "encode_jpeg_color: dimensions must be multiples of 16 (whole 4:2:0 MCUs)"
+        )
+    ycc = ycc_forward(px)
+    yp = ycc[..., 0]
+    # 2×2 box-mean chroma subsample (rounded, integer)
+    cb = (
+        ycc[0::2, 0::2, 1] + ycc[0::2, 1::2, 1] + ycc[1::2, 0::2, 1] + ycc[1::2, 1::2, 1] + 2
+    ) // 4
+    cr = (
+        ycc[0::2, 0::2, 2] + ycc[0::2, 1::2, 2] + ycc[1::2, 0::2, 2] + ycc[1::2, 1::2, 2] + 2
+    ) // 4
+    dc_y = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_y = _huff_codes(_AC_BITS, _AC_VALS)
+    dc_c = _huff_codes(_DC_BITS_C, _DC_VALS_C)
+    ac_c = _huff_codes(_AC_BITS_C, _AC_VALS_C)
+    bw = _BitWriter()
+    pred = [0, 0, 0]  # per-component DC predictors
+    yf = yp.astype(np.float64) - 128.0
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    for my in range(0, h, 16):
+        for mx in range(0, w, 16):
+            # MCU: 4 Y blocks raster order, then Cb, then Cr
+            for dy in (0, 8):
+                for dx in (0, 8):
+                    pred[0] = _write_coeff_block(
+                        bw, yf[my + dy : my + dy + 8, mx + dx : mx + dx + 8],
+                        pred[0], dc_y, ac_y,
+                    )
+            cy, cx = my // 2, mx // 2
+            pred[1] = _write_coeff_block(
+                bw, cbf[cy : cy + 8, cx : cx + 8], pred[1], dc_c, ac_c
+            )
+            pred[2] = _write_coeff_block(
+                bw, crf[cy : cy + 8, cx : cx + 8], pred[2], dc_c, ac_c
+            )
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qtab0 = bytes([0x00]) + bytes([1] * 64)
+    qtab1 = bytes([0x01]) + bytes([1] * 64)
+    sof = (
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0])  # Y: 2x2 sampling, quant table 0
+        + bytes([2, 0x11, 1])  # Cb: 1x1, quant table 1
+        + bytes([3, 0x11, 1])  # Cr
+    )
+    dht = (
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS),
+        bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS),
+        bytes([0x01]) + bytes(_DC_BITS_C) + bytes(_DC_VALS_C),
+        bytes([0x11]) + bytes(_AC_BITS_C) + bytes(_AC_VALS_C),
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xFFDB, qtab0)
+        + seg(0xFFDB, qtab1)
+        + seg(0xFFC0, sof)
+        + b"".join(seg(0xFFC4, t) for t in dht)
+        + seg(0xFFDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
+def decode_jpeg_color(data: bytes) -> np.ndarray:
+    """Baseline JPEG → uint8 RGB (H,W,3). 3-component YCbCr 4:2:0
+    ((2,2)/(1,1)/(1,1) sampling) interleaved scan only; other layouts,
+    progressive, arithmetic coding and restart markers raise. Chroma
+    upsampling is 2× pixel replication (exact for the constant-MCU
+    oracle fixtures; standard fast path otherwise)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = None
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, qtab)
+    scan_tabs: dict[int, tuple[int, int]] = {}
+    entropy_start = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                      0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline sequential JPEG (SOF0)")
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        body = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qtables[tq] = np.frombuffer(
+                    body, dtype=np.uint8, count=64, offset=off + 1
+                ).astype(np.int64)
+                off += 65
+        elif marker == 0xC0:
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            if ncomp != 3:
+                raise NotImplementedError(
+                    "decode_jpeg_color handles 3-component scans; use "
+                    "decode_jpeg for grayscale"
+                )
+            for ci in range(3):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, samp, tq))
+            if [c[1] for c in comps] != [0x22, 0x11, 0x11]:
+                raise NotImplementedError("only 4:2:0 (2,2)/(1,1)/(1,1) sampling")
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nvals])
+                huff[(tc, th)] = {
+                    (code, ln): v for v, (code, ln) in _huff_codes(bits, vals).items()
+                }
+                off += 17 + nvals
+        elif marker == 0xDD:
+            raise NotImplementedError("restart markers")
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != 3:
+                raise NotImplementedError("only 3-component interleaved scans")
+            for si in range(ns):
+                cid, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                scan_tabs[cid] = (tabs >> 4, tabs & 0xF)
+            entropy_start = pos
+            break
+    if entropy_start is None:
+        raise ValueError("no SOS segment")
+
+    br = _BitReader(data[entropy_start:])
+
+    def read_symbol(lut: dict[tuple[int, int], int]) -> int:
+        code, ln = 0, 0
+        while ln <= 16:
+            code = (code << 1) | br.bit()
+            ln += 1
+            if (code, ln) in lut:
+                return lut[(code, ln)]
+        raise ValueError("invalid Huffman code")
+
+    def read_block(dc_lut, ac_lut, q, pred: int) -> tuple[np.ndarray, int]:
+        zz = np.zeros(64, dtype=np.int64)
+        cat = read_symbol(dc_lut)
+        diff = _extend(br.bits(cat), cat) if cat else 0
+        pred += diff
+        zz[0] = pred
+        i = 1
+        while i < 64:
+            sym = read_symbol(ac_lut)
+            if sym == 0x00:
+                break
+            run, cat = sym >> 4, sym & 0xF
+            if cat == 0:
+                if run == 15:
+                    i += 16
+                    continue
+                raise ValueError(f"bad AC symbol {sym:#x}")
+            i += run
+            zz[i] = _extend(br.bits(cat), cat)
+            i += 1
+        coef = np.zeros(64, dtype=np.float64)
+        coef[_ZIGZAG] = (zz * q).astype(np.float64)
+        block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
+        return np.clip(np.rint(block + 128.0), 0, 255).astype(np.int64), pred
+
+    mh, mw = (h + 15) // 16, (w + 15) // 16
+    yp = np.zeros((mh * 16, mw * 16), dtype=np.int64)
+    cbp = np.zeros((mh * 8, mw * 8), dtype=np.int64)
+    crp = np.zeros((mh * 8, mw * 8), dtype=np.int64)
+    luts = []
+    for cid, _samp, tq in comps:
+        dsel, asel = scan_tabs[cid]
+        luts.append((huff[(0, dsel)], huff[(1, asel)], qtables[tq]))
+    pred = [0, 0, 0]
+    for myi in range(mh):
+        for mxi in range(mw):
+            for dy in (0, 8):
+                for dx in (0, 8):
+                    blk, pred[0] = read_block(*luts[0], pred[0])
+                    yp[
+                        myi * 16 + dy : myi * 16 + dy + 8,
+                        mxi * 16 + dx : mxi * 16 + dx + 8,
+                    ] = blk
+            blk, pred[1] = read_block(*luts[1], pred[1])
+            cbp[myi * 8 : myi * 8 + 8, mxi * 8 : mxi * 8 + 8] = blk
+            blk, pred[2] = read_block(*luts[2], pred[2])
+            crp[myi * 8 : myi * 8 + 8, mxi * 8 : mxi * 8 + 8] = blk
+    # 2× replication upsample, crop, inverse integer color transform
+    cb_up = np.repeat(np.repeat(cbp, 2, axis=0), 2, axis=1)
+    cr_up = np.repeat(np.repeat(crp, 2, axis=0), 2, axis=1)
+    ycc = np.stack([yp[:h, :w], cb_up[:h, :w], cr_up[:h, :w]], axis=-1)
+    return ycc_inverse(ycc)
+
+
 _VIDEO_MAGIC = b"OPMV"
 
 
@@ -646,6 +979,65 @@ def _jpeg_pixels(asset_id: int) -> np.ndarray:
     by = np.arange(2, dtype=np.int64)
     blocks = (asset_id * 31 + bx[None, :] * 7 + by[:, None] * 13) % 256
     return np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+
+
+COLOR_SIDE = 32  # 2x2 grid of 16x16 MCUs
+
+
+def _jpeg_color_pixels(asset_id: int) -> np.ndarray:
+    """32×32×3 RGB image, constant per 16×16 MCU per channel — the
+    shape whose 4:2:0 color round trip is integer-exact (DC-only
+    blocks + constant 2×2 chroma neighborhoods), so decoded bytes stay
+    closed-form for the driver oracle."""
+    mi = np.arange(2, dtype=np.int64)[:, None]
+    mj = np.arange(2, dtype=np.int64)[None, :]
+    chans = []
+    for c in range(3):
+        vals = (asset_id * 31 + mi * 13 + mj * 7 + c * 57) % 256
+        chans.append(np.kron(vals, np.ones((16, 16), dtype=np.int64)))
+    return np.stack(chans, axis=-1).astype(np.uint8)
+
+
+COLOR_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("mcu", T.IntegerType()),
+        T.StructField("val", T.IntegerType()),
+    ]
+)
+
+
+def color_decode_values(pages: DataFrame) -> DataFrame:
+    """The color-JPEG driver query: per page, encode the MCU-constant
+    RGB fixture with :func:`encode_jpeg_color`, ship the bytes through
+    Arrow, decode with :func:`decode_jpeg_color`, and emit one row per
+    (channel, MCU) with the decoded constant. The UDF verifies each
+    16×16 MCU really is constant after the round trip and emits -1
+    otherwise — a single wrong byte anywhere in the color pipeline
+    (forward transform, subsample, MCU interleave, chroma Huffman
+    tables, upsample, inverse transform) breaks the oracle hash
+    loudly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"asset_id": [], "channel": [], "mcu": [], "val": []}
+            for aid in pdf["page_id"].to_numpy("int64"):
+                payload = encode_jpeg_color(_jpeg_color_pixels(int(aid)))
+                dec = decode_jpeg_color(payload).astype(np.int64)
+                for mi in range(2):
+                    for mj in range(2):
+                        mcu = dec[mi * 16 : mi * 16 + 16, mj * 16 : mj * 16 + 16]
+                        for c in range(3):
+                            plane = mcu[:, :, c]
+                            v = int(plane[0, 0]) if (plane == plane[0, 0]).all() else -1
+                            rows["asset_id"].append(int(aid))
+                            rows["channel"].append(c)
+                            rows["mcu"].append(mi * 2 + mj)
+                            rows["val"].append(v)
+            yield pd.DataFrame(rows)
+
+    return pages.select("page_id").mapInPandas(run, COLOR_DECODE_SCHEMA)
 
 
 def media_payload(asset_id: int, kind: str) -> bytes:

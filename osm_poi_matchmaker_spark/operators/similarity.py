@@ -354,6 +354,116 @@ def sq8_topk(
     )
 
 
+def ivf_sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    centroid_mod: int = 100,
+    nprobe: int = 2,
+    query_key: str = "vec_id",
+    corpus_key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF × SQ8 composed (FAISS ``IVF,SQ8`` re-expressed relationally):
+    inverted lists PRUNE (only ``nprobe`` lists per query are scanned)
+    and the list payload is COMPRESSED (one int8 code per dimension, 4×
+    smaller than float32) — the production ANN recommendation, replacing
+    the either/or of :func:`ivf_topk` (prunes, full-precision payload)
+    and :func:`sq8_topk` (compresses, scans everything). VERDICT r3
+    "Next round" #2.
+
+    Composition order matches FAISS: list ASSIGNMENT uses the
+    full-precision vector against full-precision centroids (assignment
+    happens at add time, before quantization); list STORAGE is the SQ8
+    code; probe-time scoring is asymmetric — the query stays
+    full-precision, the stored vector is reconstructed
+    (``mn + code*(mx-mn)/255``) inside the scan. Codes use the same
+    floor-exact per-dimension global [min,max] as :func:`sq8_topk`, so
+    the DuckDB oracle reproduces them bit-identically.
+
+    Scale shape: centroids (~√N rows) and the per-dim [mn,mx] arrays
+    (2×dim doubles) broadcast; the corpus shuffles ONCE at write time
+    (bucketed by ``centroid_id``, int8 payload); a probe reads
+    nprobe/√N of a 4×-smaller table — both the scan-bytes and the
+    candidate count shrink, multiplicatively.
+
+    Returns (query_id, match_id, cosine_sim, rank); cosine is against
+    the reconstruction, as in any asymmetric-distance index.
+    """
+    # per-dim [mn, mx] — one aggregate pass, broadcast back (sq8_topk's)
+    ex = corpus.select(F.posexplode(F.col(vec)).alias("pos", "x"))
+    dims = (
+        ex.groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("_mns"),
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("_mxs"),
+        )
+        .select(
+            F.transform("_mns", lambda s: s.mn).alias("mn"),
+            F.transform("_mxs", lambda s: s.mx).alias("mx"),
+        )
+    )
+    cents = corpus.where(F.col(corpus_key) % centroid_mod == 1).select(
+        F.col(corpus_key).alias("centroid_id"), F.col(vec).alias("cent_vec")
+    )
+    # Inverted-list assignment at full precision; payload reconstructed
+    # through the SQ8 code (what a stored int8 list yields at probe time).
+    mn_i = lambda i: F.element_at(F.col("mn"), i + 1)  # noqa: E731
+    mx_i = lambda i: F.element_at(F.col("mx"), i + 1)  # noqa: E731
+    code = lambda x, i: F.floor(  # noqa: E731
+        (x.cast("double") - mn_i(i)) / (mx_i(i) - mn_i(i)) * F.lit(255.0)
+        + F.lit(0.5)
+    )
+    recon = F.transform(
+        F.col("c_vec"),
+        lambda x, i: F.when(
+            mx_i(i) > mn_i(i),
+            mn_i(i) + (code(x, i) * (mx_i(i) - mn_i(i))) / F.lit(255.0),
+        ).otherwise(mn_i(i)),
+    )
+    w_assign = Window.partitionBy("match_id").orderBy(
+        F.desc("cent_sim"), F.asc("centroid_id")
+    )
+    assigned = (
+        corpus.select(F.col(corpus_key).alias("match_id"), F.col(vec).alias("c_vec"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cent_sim", cosine(F.col("c_vec"), F.col("cent_vec")))
+        .withColumn("arank", F.row_number().over(w_assign))
+        .where(F.col("arank") == 1)
+        .crossJoin(F.broadcast(dims))
+        .select("match_id", recon.alias("r_vec"), "centroid_id")
+    )
+    q = queries.select(F.col(query_key).alias("query_id"), F.col(vec).alias("q_vec"))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_sim"), F.asc("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("cent_sim", cosine(F.col("q_vec"), F.col("cent_vec")))
+        .withColumn("prank", F.row_number().over(w_probe))
+        .where(F.col("prank") <= nprobe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("query_id") != F.col("match_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("r_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "match_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+        )
+    )
+
+
 def ann_recall(exact: DataFrame, approx: DataFrame, method: str) -> DataFrame:
     """Evaluation harness: per-query recall@k of an approximate top-k
     (LSH / IVF) against the exact brute-force top-k — the measured error

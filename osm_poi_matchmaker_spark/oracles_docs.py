@@ -960,3 +960,112 @@ hits AS (
 SELECT probes.vid AS vec_id, centroid_id,
        hits.matched_id IS NOT NULL AS is_known_dup, hits.matched_id
 FROM probes LEFT JOIN hits ON probes.vid = hits.vid"""
+
+
+# --- BPE pinned-golden oracles (VERDICT r3 "Next round" #1) ----------
+#
+# BPE induction is iterative, so no closed-form SQL exists; the synth
+# corpus at each scale factor is deterministic, so the learned merges
+# and per-doc tokenizations are fixed tables. tools/gen_bpe_oracle.py
+# pins them from an INDEPENDENT pure-Python Sennrich (ACL'16)
+# implementation (it never imports operators/bpe.py), keyed by a corpus
+# signature (sum(length(text))) so one static SQL string selects the
+# right pin at both the pytest scale (sf0.001) and the driver scale
+# (sf0.01). A signature miss yields zero rows — loud, not silently
+# green.
+
+def _bpe_pins() -> dict:
+    import json
+    import pathlib
+
+    p = pathlib.Path(__file__).parent / "resources" / "bpe_oracle.json"
+    return json.loads(p.read_text())
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bpe_signature_rows() -> list[tuple[int, dict]]:
+    return [(int(pin["signature"]), pin) for pin in _bpe_pins().values()]
+
+
+def bpe_merges_sql() -> str:
+    rows = []
+    for sig, pin in _bpe_signature_rows():
+        for rank, l, r, merged, n in pin["merges"]:
+            rows.append(
+                f"({sig}, {rank}, {_sql_str(l)}, {_sql_str(r)}, "
+                f"{_sql_str(merged)}, {n})"
+            )
+    values = ",\n".join(rows)
+    return f"""
+WITH sig AS (SELECT sum(length(text)) AS s FROM documents),
+pinned(psig, rank, lft, rgt, merged, pair_count) AS (VALUES
+{values})
+SELECT CAST(rank AS INT) AS rank, lft AS "left", rgt AS "right",
+       merged, CAST(pair_count AS BIGINT) AS pair_count
+FROM pinned, sig WHERE pinned.psig = sig.s"""
+
+
+def bpe_tokenize_sql() -> str:
+    rows = []
+    for sig, pin in _bpe_signature_rows():
+        for doc_id, n_tokens, md5hex in pin["docs"]:
+            rows.append(f"({sig}, {doc_id}, {n_tokens}, '{md5hex}')")
+    values = ",\n".join(rows)
+    return f"""
+WITH sig AS (SELECT sum(length(text)) AS s FROM documents),
+pinned(psig, doc_id, n_tokens, tokens_md5) AS (VALUES
+{values})
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       tokens_md5
+FROM pinned, sig WHERE pinned.psig = sig.s"""
+
+
+def ann_ivf_sq8_sql(
+    k: int = 5, centroid_mod: int = 100, nprobe: int = 2, query_mod: int = 50
+) -> str:
+    """Twin of similarity.ivf_sq8_topk (FAISS IVF,SQ8 composed):
+    full-precision list assignment + probes (ann_ivf_sql's shape),
+    SQ8-reconstructed list payload + asymmetric scoring
+    (ann_sq8_sql's recon)."""
+    recon = (
+        "list_transform(ce0, (x, i) -> CASE WHEN mx[i] > mn[i] "
+        "THEN mn[i] + (FLOOR((CAST(x AS DOUBLE) - mn[i]) / (mx[i] - mn[i]) "
+        "* 255.0 + 0.5) * (mx[i] - mn[i])) / 255.0 ELSE mn[i] END)"
+    )
+    cent_cos = f"({_DOT.format(a='v', b='cv')} / ({_NORM.format(a='v')} * {_NORM.format(a='cv')}))"
+    cos = f"({_DOT.format(a='qe', b='ce')} / ({_NORM.format(a='qe')} * {_NORM.format(a='ce')}))"
+    return f"""
+WITH d AS (SELECT i AS pos, MIN(CAST(x AS DOUBLE)) AS mn, MAX(CAST(x AS DOUBLE)) AS mx
+           FROM (SELECT unnest(embedding) AS x,
+                        generate_subscripts(embedding, 1) AS i FROM embeddings)
+           GROUP BY i),
+st AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx FROM d),
+cents AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+          WHERE vec_id % {centroid_mod} = 1),
+assigned0 AS (
+  SELECT match_id, ce0, centroid_id FROM (
+    SELECT c.vec_id AS match_id, c.embedding AS ce0, cents.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+             ORDER BY ({cent_cos}) DESC, cents.centroid_id) AS arank
+    FROM (SELECT vec_id, embedding, embedding AS v FROM embeddings) c, cents)
+  WHERE arank = 1),
+assigned AS (SELECT match_id, {recon} AS ce, centroid_id FROM assigned0, st),
+probes AS (
+  SELECT query_id, qe, centroid_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qe, cents.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ({cent_cos}) DESC, cents.centroid_id) AS prank
+    FROM (SELECT vec_id, embedding, embedding AS v FROM embeddings
+          WHERE vec_id % {query_mod} = 0) q, cents)
+  WHERE prank <= {nprobe}),
+s AS (SELECT query_id, match_id, {cos} AS cs
+      FROM assigned JOIN probes USING (centroid_id)
+      WHERE query_id <> match_id)
+SELECT query_id, match_id, ROUND(cs, 6) AS cosine_sim, rank FROM (
+  SELECT query_id, match_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
+  FROM s)
+WHERE rank <= {k}"""

@@ -46,6 +46,18 @@ def semantic_probe_stream(
     cents = corpus.where(F.col(key) % centroid_mod == 1).select(
         F.col(key).alias("centroid_id"), F.col(vec).alias("cent_vec")
     )
+    if not cents.limit(1).take(1):
+        # Empty-corpus contract (ADVICE r3): the batch twin
+        # (similarity.semantic_index_probe) returns zero rows when there
+        # are no centroids; letting the stream start would instead emit
+        # one NULL-centroid verdict per vector (array_max over an empty
+        # centroid array is NULL) — a silent batch/stream divergence.
+        # Refuse loudly: a probe stream against nothing is a wiring bug.
+        raise ValueError(
+            "semantic_probe_stream: corpus has no centroids "
+            f"({key} % {centroid_mod} == 1 selects none) — the stream "
+            "would diverge from the batch twin's empty result"
+        )
     clusters = (
         _assign_to_centroids(corpus, cents, key, vec)
         .groupBy("centroid_id")

@@ -136,10 +136,34 @@ def _materialize(spark: SparkSession, sf_dir: str, name: str, builder) -> DataFr
     path = os.path.join(_CACHE_ROOT, tag, f"{name}_v{_SCHEMA_VERSION}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
+        # Atomic write-then-rename (VERDICT r3 ask #7): concurrent
+        # suites sharing $OPM_SYNTH_CACHE must never see a half-written
+        # table or have parquet files yanked from under an open scan.
+        # Each writer builds into its own unique temp dir (same
+        # filesystem) and renames it into place; the rename either
+        # installs the table atomically or fails because a concurrent
+        # writer won — in which case the loser discards its copy and
+        # reads the winner's. The published dir is never mutated.
+        import shutil
+        import uuid
+
+        tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         # write enough files that downstream scans parallelize — a single
         # parquet file caps the whole extract stage at 1 task regardless
         # of cluster size (a real Iceberg table would be split-planned)
-        builder(spark, sf_dir).repartition(32).write.mode("overwrite").parquet(path)
+        builder(spark, sf_dir).repartition(32).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if not os.path.exists(marker):
+                # corpse from a crashed pre-atomic writer: clear and retry
+                shutil.rmtree(path, ignore_errors=True)
+                try:
+                    os.rename(tmp, path)
+                except OSError:
+                    pass  # lost a second race — a winner published meanwhile
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
 
 

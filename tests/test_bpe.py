@@ -107,3 +107,26 @@ def test_merge_fold_greedy_cases(spark):
         assert tokenize_word(w, [(l, r)]) == want
         got = apply_bpe(docs.where(F.col("doc_id") == i), [(l, r)]).collect()
         assert list(got[0]["tokens"]) == want
+
+
+def test_pinned_oracle_resource_matches_regeneration():
+    """Drift guard for the pinned-golden BPE oracle (VERDICT r3 ask #1):
+    regenerate the pins from the independent pure-Python Sennrich
+    implementation in tools/gen_bpe_oracle.py and compare with the
+    committed resource. If the driver testdata ever changes, this fails
+    with the fix ('python tools/gen_bpe_oracle.py') instead of letting
+    the VALUES oracle silently mismatch (signature keying already makes
+    a stale pin yield zero oracle rows, not a false green)."""
+    import json
+    import pathlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.gen_bpe_oracle import OUT, pin
+
+    committed = json.loads(pathlib.Path(OUT).read_text())
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        key = pathlib.Path(sf_dir).name
+        assert committed[key] == pin(sf_dir), (
+            f"{key}: pinned BPE oracle is stale — run python tools/gen_bpe_oracle.py"
+        )

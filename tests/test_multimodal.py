@@ -193,3 +193,101 @@ def test_featurize_image_sniffs_jpeg_vs_png():
     # even image id still decodes the PNG leg
     feat2, meta2 = featurize_media("image", media_payload(6, "image"))
     assert meta2 == {"width": 16, "height": 16} and len(feat2) == 16
+
+
+# --- round-4: 3-component 4:2:0 color JPEG ---------------------------
+
+def test_jpeg_color_constant_mcu_exact():
+    import numpy as np
+
+    from osm_poi_matchmaker_spark.operators.multimodal import (
+        _jpeg_color_pixels,
+        decode_jpeg_color,
+        encode_jpeg_color,
+        ycc_forward,
+        ycc_inverse,
+    )
+
+    for a in (0, 1, 7, 123, 250):
+        rgb = _jpeg_color_pixels(a)
+        dec = decode_jpeg_color(encode_jpeg_color(rgb))
+        # exact = the integer forward+inverse transform of the fixture
+        # (the lossy stages are all identities on MCU-constant content)
+        assert np.array_equal(dec, ycc_inverse(ycc_forward(rgb))), a
+        assert encode_jpeg_color(rgb) == encode_jpeg_color(rgb)
+
+
+def test_jpeg_color_luma_fidelity_and_chroma_subsampling():
+    import numpy as np
+
+    from osm_poi_matchmaker_spark.operators.multimodal import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+        ycc_forward,
+    )
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, (48, 64, 3)).astype(np.uint8)
+    dec = decode_jpeg_color(encode_jpeg_color(rgb))
+    assert dec.shape == rgb.shape
+    # luma survives flat quant on pure noise; per-pixel chroma does not
+    # (4:2:0 averages 2×2 neighborhoods) — that asymmetry IS 4:2:0
+    y_err = np.abs(ycc_forward(rgb)[..., 0] - ycc_forward(dec)[..., 0]).max()
+    assert y_err <= 16
+    # chroma-flat content (R=G=B) round-trips tightly despite subsampling
+    g = rng.randint(0, 256, (32, 32)).astype(np.uint8)
+    img = np.stack([g, g, g], axis=-1)
+    dec2 = decode_jpeg_color(encode_jpeg_color(img))
+    assert np.abs(dec2.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_jpeg_color_rejects_unsupported():
+    import numpy as np
+    import pytest as _pytest
+
+    from osm_poi_matchmaker_spark.operators.multimodal import (
+        decode_jpeg,
+        decode_jpeg_color,
+        encode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rgb = np.zeros((32, 32, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg_color(rgb))
+    # flip the Y sampling byte 0x22 -> 0x21 (4:2:2): unsupported layout
+    i = bytes(data).find(b"\xff\xc0")
+    assert data[i + 11] == 0x22  # SOF0 body: len(2) prec(1) h(2) w(2) n(1) id(1) samp
+    data[i + 11] = 0x21
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_color(bytes(data))
+    # gray stream into the color decoder and vice versa: loud, not wrong
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_color(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(encode_jpeg_color(rgb))
+    with _pytest.raises(NotImplementedError):
+        encode_jpeg_color(np.zeros((24, 24, 3), dtype=np.uint8))  # not /16
+
+
+def test_color_decode_values_spark(spark):
+    import numpy as np
+
+    from osm_poi_matchmaker_spark.operators.multimodal import (
+        _jpeg_color_pixels,
+        color_decode_values,
+        ycc_forward,
+        ycc_inverse,
+    )
+
+    pages = spark.createDataFrame([(i,) for i in range(6)], ["page_id"])
+    got = {
+        (r["asset_id"], r["channel"], r["mcu"]): r["val"]
+        for r in color_decode_values(pages).collect()
+    }
+    assert len(got) == 6 * 3 * 4
+    for a in range(6):
+        want = ycc_inverse(ycc_forward(_jpeg_color_pixels(a)))
+        for mi in range(2):
+            for mj in range(2):
+                for c in range(3):
+                    assert got[(a, c, mi * 2 + mj)] == int(want[mi * 16, mj * 16, c])
