@@ -487,6 +487,23 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontaminate(docs, bench, n=8)
 
 
+def _q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (round 4): same benchmark carve
+    (doc_id % 17 == 3), but instead of flagging whole docs, every token
+    inside an n-gram window that occurs in the benchmark is REMOVED and
+    the doc rewritten — the surgical GPT-3-appendix policy (n=13
+    there; n=4 here, scaled to the synth corpus so removal is
+    non-vacuous — 39 docs / 289 tokens cut at sf0.01). Benchmark
+    windows broadcast; the corpus never shuffles to find hits. Output
+    rows are the non-benchmark docs only (the training corpus)."""
+    docs = _docs(spark, sf_dir)
+    return dedup.decontaminate_spans(
+        docs.where(F.col("doc_id") % 17 != 3),
+        docs.where(F.col("doc_id") % 17 == 3),
+        n=4,
+    )
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(_docs(spark, sf_dir))
 
@@ -975,6 +992,80 @@ def _q_pip_postcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return located.join(
         F.broadcast(polys.select("poly_id", "postcode")), "poly_id", "left"
     ).select("page_id", "poly_id", "postcode")
+
+
+def _q_pip_district(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ray-cast PIP on NON-CONVEX polygons (round 4): the production
+    even-odd ray-cast UDF (operators/pip.py) against L-shaped district
+    polygons plus an overlapping 'metro' rectangle. The other PIP
+    oracles (postcode/city/water) test rectangles, which any bbox check
+    would also pass; here the DuckDB oracle runs the SAME even-odd
+    crossing arithmetic over the vertex lists, so concavity (points in
+    the notch are OUTSIDE the district though inside its bbox) and the
+    ORDER BY name first-hit rule on overlap (districts beat metro
+    wherever both contain; metro wins only in the notches) are both
+    value-verified. Rectilinear edges + 5e-6°-offset vertices vs
+    1e-5°-grid points make every crossing comparison exact — bit-equal
+    in both engines by construction."""
+    from osm_poi_matchmaker_spark.operators.pip import point_in_polygon
+
+    return point_in_polygon(
+        _pages_geo(spark, sf_dir).where(
+            F.col("lat").isNotNull() & F.col("lon").isNotNull()
+        ),
+        synth.district_polygons_df(spark, sf_dir),
+        order_by="name",
+    )
+
+
+def _q_district_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal polygon analytics (round 4): exact shoelace area +
+    centroid per district polygon (operators/pip.polygon_geometry —
+    BIGINT cross products over polygon-local integer-e6 coordinates, so
+    area2_e12 is an exact integer; centroid/area_km2 are
+    order-identical double folds), joined with the ray-cast PIP page
+    counts for a pages-per-km² density read-off — the per-zone summary
+    a tile server or coverage dashboard renders. The reference gets
+    these from PostGIS; here it is pure JVM column work over the WKT,
+    no Python, no shuffle beyond the count aggregation."""
+    from osm_poi_matchmaker_spark.operators.pip import (
+        point_in_polygon,
+        polygon_geometry,
+    )
+
+    polys = synth.district_polygons_df(spark, sf_dir)
+    geom = polygon_geometry(polys)
+    located = point_in_polygon(
+        _pages_geo(spark, sf_dir).where(
+            F.col("lat").isNotNull() & F.col("lon").isNotNull()
+        ),
+        polys,
+        order_by="name",
+    )
+    counts = (
+        located.where(F.col("poly_id") >= 0)
+        .groupBy("poly_id")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    return (
+        geom.join(F.broadcast(polys.select("poly_id", "name")), "poly_id")
+        .join(counts, "poly_id", "left")
+        .select(
+            "poly_id",
+            "name",
+            "n_vertices",
+            "area2_e12",
+            "area_km2",
+            "centroid_lon",
+            "centroid_lat",
+            F.coalesce(F.col("n_pages"), F.lit(0)).cast("long").alias("n_pages"),
+            F.round(
+                F.coalesce(F.col("n_pages"), F.lit(0)).cast("double")
+                / F.col("area_km2"),
+                4,
+            ).alias("pages_per_km2"),
+        )
+    )
 
 
 def _q_way_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3326,13 +3417,13 @@ _R4_WINDOW = [
     "bpe_merges", "bpe_tokenize",
     # round-4-new operators
     "ann_topk_ivf_sq8", "match_cascade_planet", "asset_decode_color",
+    "pip_district", "district_geometry", "decontaminate_spans",
     # re-verification spread: flagship cascade + geospatial core
     "match_cascade", "match_cascade_bounded", "knn_nearest",
     "geotag_extract", "cell_assign", "cell_histogram",
     "pip_postcode", "pip_city", "building_relocation",
     "fuzzy_street", "fuzzy_city", "match_lineage",
     # corpus-pipeline flagships
-    "dedup_exact", "dedup_minhash_lsh", "corpus_release",
     "bm25_topk", "ann_topk_ivf", "pack_sequences",
 ]
 
@@ -3370,6 +3461,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_cleaners": _q_scalar_cleaners,
         "pip_postcode": _q_pip_postcode,
         "pip_city": _q_pip_city,
+        "pip_district": _q_pip_district,
+        "district_geometry": _q_district_geometry,
         "qc_in_water": _q_qc_in_water,
         "provider_tesco": _q_provider_tesco,
         "provider_spar": _q_provider_spar,
@@ -3456,6 +3549,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_keep_best": _q_dedup_keep_best,
         "decontaminate": _q_decontaminate,
+        "decontaminate_spans": _q_decontaminate_spans,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_substring": _q_dedup_substring,
         "dedup_substring_rewrite": _q_dedup_substring_rewrite,
@@ -3529,6 +3623,43 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _CELL = synth_sql.CELL_SQL.format(lat="lat", lon="lon")
 _GEO_FILTER = "lat IS NOT NULL AND lon IS NOT NULL"
+
+
+def _district_ctes() -> str:
+    """dp/polys/cand CTE fragment shared by the pip_district and
+    district_geometry oracles: the district polygon vertex tables
+    (integer-e6, the same values synth.district_polygons_df builds its
+    WKT strings from), their double parse through identical decimal
+    strings, and the per-(point, polygon) even-odd ray-cast verdict."""
+    return (
+        "dp AS ("
+        "  SELECT CAST(n_nationkey AS BIGINT) AS poly_id,"
+        "         printf('d%02d', n_nationkey) AS name,"
+        "         [x0, x0+1360000, x0+1360000, x0+680000, x0+680000, x0, x0] AS xs_e6,"
+        "         [y0, y0, y0+290000, y0+290000, y0+580000, y0+580000, y0] AS ys_e6"
+        "  FROM (SELECT n_nationkey,"
+        "               16099995 + (n_nationkey % 5) * 1360000 AS x0,"
+        "               45699995 + (n_nationkey // 5) * 580000 AS y0"
+        "        FROM nation)"
+        "  UNION ALL"
+        "  SELECT 25, 'metro',"
+        "         [16099995, 22899995, 22899995, 16099995, 16099995],"
+        "         [45699995, 45699995, 48599995, 48599995, 45699995]"
+        "), polys AS (SELECT poly_id, name,"
+        "  list_transform(xs_e6, v -> CAST(concat(CAST(v // 1000000 AS VARCHAR), '.',"
+        "    lpad(CAST(v % 1000000 AS VARCHAR), 6, '0')) AS DOUBLE)) AS xs,"
+        "  list_transform(ys_e6, v -> CAST(concat(CAST(v // 1000000 AS VARCHAR), '.',"
+        "    lpad(CAST(v % 1000000 AS VARCHAR), 6, '0')) AS DOUBLE)) AS ys"
+        "  FROM dp), "
+        "cand AS ("
+        "  SELECT p.page_id, q.poly_id, q.name,"
+        "    (len(list_filter(range(1, len(q.xs)), i ->"
+        "        ((q.ys[i] > p.lat) <> (q.ys[i+1] > p.lat)) AND"
+        "        p.lon < q.xs[i] + (p.lat - q.ys[i]) * (q.xs[i+1] - q.xs[i])"
+        "                / (q.ys[i+1] - q.ys[i])"
+        "    )) % 2) = 1 AS inside"
+        f"  FROM (SELECT page_id, lat, lon FROM pages_x WHERE {_GEO_FILTER}) p, polys q)"
+    )
 
 
 def _addr_overwrite_oracle_sql(match_base: str) -> str:
@@ -4179,6 +4310,9 @@ FROM kept"""
         "dedup_components": oracles_docs.dedup_components_sql(num_perm=8, bands=4),
         "dedup_keep_best": oracles_docs.dedup_keep_best_sql(num_perm=8, bands=4),
         "decontaminate": oracles_docs.decontaminate_sql(n=8, modulus=17, residue=3),
+        "decontaminate_spans": oracles_docs.decontaminate_spans_sql(
+            n=4, modulus=17, residue=3
+        ),
         "dedup_simhash": oracles_docs.simhash_sql(),
         "dedup_substring": oracles_docs.substring_spans_sql(k=8),
         "dedup_substring_rewrite": oracles_docs.substring_rewrite_sql(k=8),
@@ -5458,6 +5592,58 @@ FROM kept"""
             "  ON px.lat >= p.lat_min AND px.lat <= p.lat_min + 0.58"
             " AND px.lon >= p.lon_min AND px.lon <= p.lon_min + 1.36 "
             f"WHERE {_GEO_FILTER.replace('lat', 'px.lat').replace('lon', 'px.lon')}"
+        ),
+        # Ray-cast PIP twin: the SAME even-odd crossing arithmetic as
+        # operators/pip._ray_cast ((ya>py)<>(yb>py) AND px < xa +
+        # (py-ya)*(xb-xa)/(yb-ya)), over vertex doubles parsed from the
+        # SAME integer-e6-built decimal strings as the Spark WKT —
+        # bit-equal by construction. Winner = first containing polygon
+        # in (name, poly_id) order; -1 when nothing contains.
+        "pip_district": (
+            f"{base}, {_district_ctes()} "
+            "SELECT page_id, CAST(COALESCE("
+            "  (list(poly_id ORDER BY name, poly_id) FILTER (WHERE inside))[1], -1) AS INT"
+            ") AS poly_id FROM cand GROUP BY page_id"
+        ),
+        # Shoelace twin: BIGINT cross products over the e6 vertex ints
+        # shifted to the polygon-local origin (exact), centroid/area_km2
+        # double folds in the same element order as F.aggregate.
+        "district_geometry": (
+            f"{base}, {_district_ctes()}, "
+            "counts AS (SELECT poly_id, COUNT(*) AS n_pages FROM ("
+            "  SELECT page_id, COALESCE((list(poly_id ORDER BY name, poly_id)"
+            "    FILTER (WHERE inside))[1], -1) AS poly_id FROM cand GROUP BY page_id)"
+            "  WHERE poly_id >= 0 GROUP BY poly_id), "
+            "sh AS (SELECT poly_id, name,"
+            "  list_transform(xs_e6, v -> CAST(v - list_min(xs_e6) AS BIGINT)) AS xs2,"
+            "  list_transform(ys_e6, v -> CAST(v - list_min(ys_e6) AS BIGINT)) AS ys2,"
+            "  CAST(list_min(xs_e6) AS DOUBLE) / 1e6 AS x0,"
+            "  CAST(list_min(ys_e6) AS DOUBLE) / 1e6 AS y0"
+            "  FROM dp), "
+            "geo AS (SELECT poly_id, name, len(xs2) - 1 AS n_vertices,"
+            "  list_sum(list_transform(range(1, len(xs2)),"
+            "    i -> xs2[i]*ys2[i+1] - xs2[i+1]*ys2[i])) AS a2,"
+            "  list_sum(list_transform(range(1, len(xs2)),"
+            "    i -> CAST(xs2[i] + xs2[i+1] AS DOUBLE)"
+            "       * CAST(xs2[i]*ys2[i+1] - xs2[i+1]*ys2[i] AS DOUBLE))) AS cxn,"
+            "  list_sum(list_transform(range(1, len(xs2)),"
+            "    i -> CAST(ys2[i] + ys2[i+1] AS DOUBLE)"
+            "       * CAST(xs2[i]*ys2[i+1] - xs2[i+1]*ys2[i] AS DOUBLE))) AS cyn,"
+            "  x0, y0 FROM sh), "
+            "g2 AS (SELECT poly_id, name, n_vertices, abs(a2) AS area2_e12,"
+            "  x0 + cxn / (3.0 * CAST(a2 AS DOUBLE)) / 1e6 AS clon,"
+            "  y0 + cyn / (3.0 * CAST(a2 AS DOUBLE)) / 1e6 AS clat FROM geo) "
+            "SELECT CAST(g2.poly_id AS BIGINT) AS poly_id, g2.name,"
+            "  CAST(n_vertices AS INT) AS n_vertices,"
+            "  CAST(area2_e12 AS BIGINT) AS area2_e12,"
+            "  ROUND((CAST(area2_e12 AS DOUBLE) / 2e12) * 110.574"
+            "        * (111.32 * cos(radians(clat))), 3) AS area_km2,"
+            "  ROUND(clon, 6) AS centroid_lon, ROUND(clat, 6) AS centroid_lat,"
+            "  CAST(COALESCE(c.n_pages, 0) AS BIGINT) AS n_pages,"
+            "  ROUND(CAST(COALESCE(c.n_pages, 0) AS DOUBLE)"
+            "    / ROUND((CAST(area2_e12 AS DOUBLE) / 2e12) * 110.574"
+            "            * (111.32 * cos(radians(clat))), 3), 4) AS pages_per_km2 "
+            "FROM g2 LEFT JOIN counts c ON g2.poly_id = c.poly_id"
         ),
         "way_lengths": (
             "WITH w AS (SELECT CAST(p_partkey AS BIGINT) AS w, "

@@ -88,19 +88,44 @@ def main() -> None:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_vec")
     ).persist()
     n_cents = cents.count()
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cent_sim"), F.asc("centroid_id")
-    )
     t0 = time.time()
-    assigned = (
-        corpus.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "cent_sim", similarity.cosine(F.col("embedding"), F.col("cent_vec"))
+    # argmax per vector via max_by on a (sim, -centroid_id) struct —
+    # partial aggregation combines the N×√N candidate rows map-side, so
+    # only one row per vector crosses the exchange (a row_number window
+    # here would shuffle all 10^9 scored pairs). Persisted: both list
+    # layouts below serialize the same assignment.
+    # Per-pair work is the whole build cost (N × √N = 10^9 pairs), so
+    # normalize BOTH sides once and score with a single dot per pair —
+    # cosine() would re-derive each side's norm per pair (3× the
+    # higher-order-function work, measured to dominate the build).
+    cnorm = (
+        corpus.select(
+            "vec_id", "embedding", similarity.norm(F.col("embedding")).alias("_n")
         )
-        .withColumn("arank", F.row_number().over(w_assign))
-        .where(F.col("arank") == 1)
-        .select("vec_id", "embedding", "centroid_id")
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: x.cast("double") / F.col("_n")
+            ).alias("u"),
+        )
+        .persist()
     )
+    cents_u = (
+        cnorm.where(F.col("vec_id") % centroid_mod == 1)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("u").alias("cu"))
+    )
+    best = (
+        cnorm.crossJoin(F.broadcast(cents_u))
+        .withColumn("cent_sim", similarity.dot(F.col("u"), F.col("cu")))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cent_sim"), (-F.col("centroid_id")).alias("negid"))
+            ).alias("best")
+        )
+        .select("vec_id", (-F.col("best.negid")).alias("centroid_id"))
+    )
+    assigned = corpus.join(best, "vec_id").persist()
 
     # per-dim stats for SQ8 codes
     ex = corpus.select(F.posexplode("embedding").alias("pos", "x"))

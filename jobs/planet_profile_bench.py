@@ -115,10 +115,28 @@ def main() -> None:
     row = res.collect()[0]
     wall_knn = time.time() - t1
 
+    # Plan evidence, same rule as jobs/degradation_bench.py: the ONLY
+    # BroadcastHashJoin allowed anywhere is the 12-row brand dimension
+    # (with_common, joining poi_name — it must broadcast at any scale);
+    # every candidate arm and every kNN ring must be a shuffle join.
+    # Each component's OWN executed plan is inspected — the composed
+    # frame's plan text re-embeds the cached cascade subtree once per
+    # kNN-round reference, which would multiply-count the same six
+    # brand-dim joins ~30×.
     plan_match = m._jdf.queryExecution().executedPlan().toString()
     plan_knn = res._jdf.queryExecution().executedPlan().toString()
-    n_bcast = plan_match.count("BroadcastExchange") + plan_knn.count(
-        "BroadcastExchange"
+    bhj_lines = [
+        ln for p in (plan_match, plan_knn) for ln in p.splitlines()
+        if "BroadcastHashJoin" in ln
+    ]
+    n_bhj_match = plan_match.count("BroadcastHashJoin")
+    n_bhj_knn = plan_knn.count("BroadcastHashJoin")
+    only_brand_dim = all("poi_name" in ln for ln in bhj_lines)
+    n_smj_match = plan_match.count("SortMergeJoin") + plan_match.count(
+        "ShuffledHashJoin"
+    )
+    n_smj_knn = plan_knn.count("SortMergeJoin") + plan_knn.count(
+        "ShuffledHashJoin"
     )
 
     wall = wall_match + wall_knn
@@ -137,7 +155,19 @@ def main() -> None:
         "new_pois": int(counts["n_new"]),
         "nn_suggestions": int(row["n_suggest"]),
         "nn_checksum": int(row["chk"]),
-        "broadcast_exchanges": n_bcast,
+        # n_bhj counts include textual re-embeddings of the cached
+        # cascade inside the kNN plan; the load-bearing assertion is
+        # broadcasts_only_brand_dim (every BroadcastHashJoin line in
+        # BOTH plans builds the 12-row poi_name dimension) and
+        # non_brand_broadcasts == 0.
+        "broadcast_hash_joins_match": n_bhj_match,
+        "broadcast_hash_joins_knn": n_bhj_knn,
+        "non_brand_broadcasts": sum(
+            1 for ln in bhj_lines if "poi_name" not in ln
+        ),
+        "broadcasts_only_brand_dim": bool(only_brand_dim),
+        "shuffle_joins_match": n_smj_match,
+        "shuffle_joins_knn": n_smj_knn,
         "name_arm_radius_m": 50_000.0,
     }
     print(json.dumps(out))

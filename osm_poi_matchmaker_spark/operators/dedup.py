@@ -523,6 +523,84 @@ def decontaminate(
     )
 
 
+def decontaminate_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    bench_text: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Span-level benchmark decontamination (round 4): REMOVE every
+    token that falls inside an ``n``-token window whose exact text
+    occurs in the benchmark set — the destructive companion to
+    :func:`decontaminate` (which only flags), and the cross-corpus
+    companion to :func:`substring_rewrite` (whose window set is
+    corpus-internal duplicates). This is the GPT-3 appendix-C policy
+    shape: instead of dropping whole training documents that graze an
+    eval n-gram, surgically cut the leaked spans and keep the rest —
+    at 10^12 docs, whole-doc dropping over popular quote fragments
+    costs real corpus mass.
+
+    Scale shape: the benchmark window set is tiny and BROADCAST; the
+    corpus probes it map-side (no corpus shuffle to find hits), covered
+    indices explode and distinct within the doc_id key, and reassembly
+    is the same one-groupBy collect as substring_rewrite. Tokens never
+    leave their doc_id shuffle key.
+
+    Returns (key, n_tokens, n_removed, text_rewritten).
+    """
+    from ..functions.textstats import tokens
+
+    def _wins(frame: DataFrame, k_col: str, t_col: str) -> DataFrame:
+        t = frame.select(F.col(k_col), tokens(F.lower(F.col(t_col))).alias("toks"))
+        n_w = F.greatest(F.size("toks") - F.lit(n - 1), F.lit(0))
+        wins = F.when(
+            n_w > 0,
+            F.transform(
+                F.sequence(F.lit(1), n_w),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return t, t.select(F.col(k_col), F.posexplode(wins).alias("pos", "win"))
+
+    t, w = _wins(docs, key, text)
+    _, bw = _wins(benchmark, key, bench_text)
+    bench_wins = bw.select("win").distinct()
+    covered = (
+        w.join(F.broadcast(bench_wins), "win")
+        .select(
+            F.col(key),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias(
+                "idx"
+            ),
+        )
+        .distinct()
+    )
+    toksidx = t.select(F.col(key), F.posexplode("toks").alias("idx", "tok"))
+    kept = (
+        toksidx.join(covered, [key, "idx"], "left_anti")
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("text_rewritten"),
+        )
+    )
+    n_tok = F.size("toks")
+    return t.join(kept, key, "left").select(
+        F.col(key),
+        n_tok.alias("n_tokens"),
+        (n_tok - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long").alias("n_removed"),
+        F.coalesce(F.col("text_rewritten"), F.lit("")).alias("text_rewritten"),
+    )
+
+
 def lsh_agreement(
     docs: DataFrame,
     key: str = "doc_id",

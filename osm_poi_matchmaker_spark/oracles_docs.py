@@ -1069,3 +1069,34 @@ SELECT query_id, match_id, ROUND(cs, 6) AS cosine_sim, rank FROM (
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
   FROM s)
 WHERE rank <= {k}"""
+
+
+def decontaminate_spans_sql(n: int = 8, modulus: int = 17, residue: int = 3) -> str:
+    """Twin of operators/dedup.decontaminate_spans with the benchmark
+    carved as doc_id % modulus = residue (the registry convention):
+    benchmark n-gram windows -> covered corpus token indices -> anti-join
+    -> ordered reassembly. Output rows are the NON-benchmark docs only."""
+    toks = _TOKS.format(t="lower(text)")
+    return f"""
+WITH t0 AS (SELECT doc_id, {toks} AS toks FROM documents),
+t AS (SELECT * FROM t0 WHERE doc_id % {modulus} <> {residue}),
+w AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+{n - 1}], ' ') AS win
+      FROM (SELECT doc_id, toks,
+                   unnest(range(1, greatest(len(toks) - {n - 1}, 0) + 1)) AS i
+            FROM t)),
+bw AS (SELECT DISTINCT array_to_string(toks[i:i+{n - 1}], ' ') AS win
+       FROM (SELECT toks,
+                    unnest(range(1, greatest(len(toks) - {n - 1}, 0) + 1)) AS i
+             FROM t0 WHERE doc_id % {modulus} = {residue})),
+cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + {n})) AS idx
+        FROM w JOIN bw USING (win)),
+ti AS (SELECT doc_id, i - 1 AS idx, toks[i] AS tok
+       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)),
+kept AS (SELECT ti.doc_id, count(*) AS n_kept,
+                string_agg(tok, ' ' ORDER BY idx) AS text_rewritten
+         FROM ti ANTI JOIN cov ON ti.doc_id = cov.doc_id AND ti.idx = cov.idx
+         GROUP BY 1)
+SELECT t.doc_id, len(toks) AS n_tokens,
+  (len(toks) - COALESCE(n_kept, 0))::BIGINT AS n_removed,
+  COALESCE(text_rewritten, '') AS text_rewritten
+FROM t LEFT JOIN kept USING (doc_id)"""

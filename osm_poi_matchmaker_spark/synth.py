@@ -359,6 +359,86 @@ def postcode_polygons_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# District polygons (round 4): NON-CONVEX shapes for the ray-cast PIP.
+# The postcode/admin/water sets above are axis-aligned rectangles, so
+# their oracles only ever prove bbox containment; these L-shaped
+# districts (NE quadrant notched out) + one 'metro' rectangle overlapping
+# all of them force the oracle through the SAME even-odd ray-cast
+# arithmetic the production UDF runs (operators/pip.py _ray_cast), and
+# the overlap exercises the ORDER BY name LIMIT 1 first-hit semantics
+# (district names 'dNN' sort before 'metro', so metro wins only inside
+# the notches). All edges are axis-parallel and every vertex coordinate
+# ends in 5e-6° while points sit on the 1e-5° grid — no point ever lies
+# on an edge, and the crossing intersection is exact (xint == vertex x),
+# so Spark and DuckDB agree bit-for-bit. Coordinate strings are built
+# from INTEGER micro*10 (e6) values in both engines — never by float
+# formatting — so the parsed doubles are identical by construction.
+# ---------------------------------------------------------------------------
+LAT0_E6 = 45_699_995  # == PC_LAT0 * 1e6
+LON0_E6 = 16_099_995  # == PC_LON0 * 1e6
+DLAT_E6 = 580_000  # == PC_DLAT * 1e6
+DLON_E6 = 1_360_000  # == PC_DLON * 1e6
+
+
+def _e6_str(c):
+    """Integer e6 coordinate -> decimal string, pure integer ops."""
+    return F.concat(
+        (c.cast("long") / F.lit(1_000_000)).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad((c.cast("long") % F.lit(1_000_000)).cast("string"), 6, "0"),
+    )
+
+
+def district_polygons_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(poly_id, name, way_wkt): 25 L-shaped districts on the 5×5 HU
+    grid + the overlapping 'metro' rectangle covering the whole grid."""
+    n = F.col("n_nationkey").cast("long")
+    row_i, col_i = (n / 5).cast("long"), n % 5
+    x0 = F.lit(LON0_E6) + col_i * F.lit(DLON_E6)
+    y0 = F.lit(LAT0_E6) + row_i * F.lit(DLAT_E6)
+    w, h = F.lit(DLON_E6), F.lit(DLAT_E6)
+    hw, hh = F.lit(DLON_E6 // 2), F.lit(DLAT_E6 // 2)
+
+    def vert(xe, ye):
+        return F.concat(_e6_str(xe), F.lit(" "), _e6_str(ye))
+
+    l_ring = F.concat(
+        F.lit("POLYGON(("),
+        vert(x0, y0), F.lit(","),
+        vert(x0 + w, y0), F.lit(","),
+        vert(x0 + w, y0 + hh), F.lit(","),
+        vert(x0 + hw, y0 + hh), F.lit(","),
+        vert(x0 + hw, y0 + h), F.lit(","),
+        vert(x0, y0 + h), F.lit(","),
+        vert(x0, y0),
+        F.lit("))"),
+    )
+    districts = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        n.alias("poly_id"),
+        F.format_string("d%02d", n.cast("int")).alias("name"),
+        l_ring.alias("way_wkt"),
+    )
+    mx0, my0 = F.lit(LON0_E6), F.lit(LAT0_E6)
+    mx1 = F.lit(LON0_E6 + 5 * DLON_E6)
+    my1 = F.lit(LAT0_E6 + 5 * DLAT_E6)
+    metro_ring = F.concat(
+        F.lit("POLYGON(("),
+        vert(mx0, my0), F.lit(","),
+        vert(mx1, my0), F.lit(","),
+        vert(mx1, my1), F.lit(","),
+        vert(mx0, my1), F.lit(","),
+        vert(mx0, my0),
+        F.lit("))"),
+    )
+    metro = spark.range(1).select(
+        F.lit(25).cast("long").alias("poly_id"),
+        F.lit("metro").alias("name"),
+        metro_ring.alias("way_wkt"),
+    )
+    return districts.unionAll(metro)
+
+
 def osm_pois(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OSM candidate table (materialized-once parquet scan)."""
     return _materialize(spark, sf_dir, "osm_pois", osm_pois_df)

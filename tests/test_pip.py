@@ -72,3 +72,59 @@ def test_point_in_polygon_shuffle_degradation_same_answers(spark):
     a = point_in_polygon(pts, polys, broadcast_polygons=True).collect()
     b = point_in_polygon(pts, polys, broadcast_polygons=False).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# --- round-4: non-convex ray-cast districts --------------------------
+
+def test_pip_district_notch_and_overlap_semantics(spark):
+    """The L-shape notch is inside the district's bbox but OUTSIDE the
+    district (a bbox check would misclassify it); the overlapping metro
+    polygon wins there and ONLY there (ORDER BY name first-hit)."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_matchmaker_spark import synth
+    from osm_poi_matchmaker_spark.operators.pip import point_in_polygon
+    from tests.conftest import SF_SMALL
+
+    polys = synth.district_polygons_df(spark, SF_SMALL)
+    # district 0 cell: x0=16.099995, y0=45.699995, w=1.36, h=0.58
+    pts = spark.createDataFrame(
+        [
+            # SW quadrant: inside the L
+            (0, 45.85, 16.4),
+            # NE quadrant center: inside bbox, inside the NOTCH -> metro
+            (1, 45.99, 17.1),
+            # exactly on the L's arm (NW quadrant): inside the L
+            (2, 46.2, 16.4),
+            # outside the whole grid
+            (3, 44.0, 10.0),
+        ],
+        ["page_id", "lat", "lon"],
+    )
+    got = {r["page_id"]: r["poly_id"]
+           for r in point_in_polygon(pts, polys, order_by="name").collect()}
+    assert got[0] == 0
+    assert got[1] == 25  # metro wins ONLY in the notch
+    assert got[2] == 0
+    assert got[3] == -1
+
+
+def test_district_polygons_are_nonconvex(spark):
+    import numpy as np
+
+    from osm_poi_matchmaker_spark import synth
+    from osm_poi_matchmaker_spark.operators.pip import parse_wkt_polygon
+    from tests.conftest import SF_SMALL
+
+    rows = synth.district_polygons_df(spark, SF_SMALL).collect()
+    assert len(rows) == 26
+    for r in rows:
+        ring = parse_wkt_polygon(r["way_wkt"])
+        if r["name"] == "metro":
+            assert len(ring) == 5
+            continue
+        assert len(ring) == 7  # 6 distinct vertices, closed
+        # cross products of consecutive edges change sign -> non-convex
+        e = np.diff(ring, axis=0)
+        cross = e[:-1, 0] * e[1:, 1] - e[:-1, 1] * e[1:, 0]
+        assert (cross > 0).any() and (cross < 0).any(), r["name"]

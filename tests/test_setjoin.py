@@ -132,3 +132,46 @@ def test_prefix_jaccard_plan_no_cartesian(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_spans_surgical(spark):
+    """Span removal cuts exactly the leaked window tokens, keeps the
+    rest, and never touches docs with no benchmark overlap."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_matchmaker_spark.operators.dedup import decontaminate_spans
+
+    docs = spark.createDataFrame(
+        [
+            # leaks 'alpha beta gamma delta' in the middle
+            (0, "keep one alpha beta gamma delta keep two"),
+            # clean
+            (1, "totally unrelated text with many words here"),
+            # leak at the very start
+            (2, "alpha beta gamma delta trailing words"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "eval question alpha beta gamma delta answer")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in decontaminate_spans(docs, bench, n=4).collect()
+    }
+    assert got[0]["text_rewritten"] == "keep one keep two"
+    assert got[0]["n_removed"] == 4
+    assert got[1]["n_removed"] == 0
+    assert got[1]["text_rewritten"] == "totally unrelated text with many words here"
+    assert got[2]["text_rewritten"] == "trailing words"
+    # overlapping leaked windows merge: 5-token leak with two 4-windows
+    docs2 = spark.createDataFrame(
+        [(7, "x alpha beta gamma delta epsilon y")], ["doc_id", "text"]
+    )
+    bench2 = spark.createDataFrame(
+        [(100, "alpha beta gamma delta"), (101, "beta gamma delta epsilon")],
+        ["doc_id", "text"],
+    )
+    r = decontaminate_spans(docs2, bench2, n=4).collect()[0]
+    assert r["text_rewritten"] == "x y" and r["n_removed"] == 5
