@@ -1018,6 +1018,26 @@ def _q_pip_district(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pip_enclave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-ring (hole-carrying) PIP (round 4): a donut 'county'
+    polygon whose hole is filled by a separate 'enclave' polygon — the
+    shape real admin boundaries have. The even-odd ray-cast crosses
+    BOTH rings for a hole point, so it resolves to the enclave, not the
+    county; a bbox or outer-ring-only test gets every hole point wrong.
+    The hole sits over the Budapest point cluster so the case is
+    non-vacuous at every scale factor. Oracle: per-ring crossing parity
+    XOR'd across rings, identical arithmetic."""
+    from osm_poi_matchmaker_spark.operators.pip import point_in_polygon
+
+    return point_in_polygon(
+        _pages_geo(spark, sf_dir).where(
+            F.col("lat").isNotNull() & F.col("lon").isNotNull()
+        ),
+        synth.enclave_polygons_df(spark),
+        order_by="name",
+    )
+
+
 def _q_district_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal polygon analytics (round 4): exact shoelace area +
     centroid per district polygon (operators/pip.polygon_geometry —
@@ -3417,14 +3437,15 @@ _R4_WINDOW = [
     "bpe_merges", "bpe_tokenize",
     # round-4-new operators
     "ann_topk_ivf_sq8", "match_cascade_planet", "asset_decode_color",
-    "pip_district", "district_geometry", "decontaminate_spans",
+    "pip_district", "pip_enclave", "district_geometry",
+    "decontaminate_spans",
     # re-verification spread: flagship cascade + geospatial core
     "match_cascade", "match_cascade_bounded", "knn_nearest",
     "geotag_extract", "cell_assign", "cell_histogram",
     "pip_postcode", "pip_city", "building_relocation",
     "fuzzy_street", "fuzzy_city", "match_lineage",
     # corpus-pipeline flagships
-    "bm25_topk", "ann_topk_ivf", "pack_sequences",
+    "bm25_topk", "ann_topk_ivf",
 ]
 
 
@@ -3462,6 +3483,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_postcode": _q_pip_postcode,
         "pip_city": _q_pip_city,
         "pip_district": _q_pip_district,
+        "pip_enclave": _q_pip_enclave,
         "district_geometry": _q_district_geometry,
         "qc_in_water": _q_qc_in_water,
         "provider_tesco": _q_provider_tesco,
@@ -3623,6 +3645,56 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _CELL = synth_sql.CELL_SQL.format(lat="lat", lon="lon")
 _GEO_FILTER = "lat IS NOT NULL AND lon IS NOT NULL"
+
+
+def _enclave_oracle_sql(base: str) -> str:
+    """pip_enclave twin: per-ring even-odd crossing parity XOR'd across
+    rings (a hole point is odd for BOTH the outer and the hole ring of
+    the donut → outside the county, inside the enclave). Ring vertex
+    tables carry the same integer-e6 values synth.enclave_polygons_df
+    builds its WKT from; doubles parse through identical decimal
+    strings."""
+    from osm_poi_matchmaker_spark.synth import DLAT_E6, DLON_E6, LAT0_E6, LON0_E6
+
+    x0o, x1o = LON0_E6 + DLON_E6, LON0_E6 + 3 * DLON_E6
+    y0o, y1o = LAT0_E6 + 2 * DLAT_E6, LAT0_E6 + 4 * DLAT_E6
+    x0h, x1h = LON0_E6 + 2 * DLON_E6, LON0_E6 + 2 * DLON_E6 + DLON_E6 // 2
+    y0h, y1h = LAT0_E6 + 3 * DLAT_E6, LAT0_E6 + 3 * DLAT_E6 + DLAT_E6 // 2
+
+    def rect(x0, y0, x1, y1):
+        xs = f"[{x0}, {x1}, {x1}, {x0}, {x0}]"
+        ys = f"[{y0}, {y0}, {y1}, {y1}, {y0}]"
+        return xs, ys
+
+    oxs, oys = rect(x0o, y0o, x1o, y1o)
+    hxs, hys = rect(x0h, y0h, x1h, y1h)
+    return (
+        f"{base}, ep AS (SELECT * FROM (VALUES "
+        f"  (0, 'county', 0, {oxs}, {oys}),"
+        f"  (0, 'county', 1, {hxs}, {hys}),"
+        f"  (1, 'enclave', 0, {hxs}, {hys})"
+        ") AS t(poly_id, name, ring, xs_e6, ys_e6)), "
+        "epolys AS (SELECT poly_id, name, ring,"
+        "  list_transform(xs_e6, v -> CAST(concat(CAST(v // 1000000 AS VARCHAR), '.',"
+        "    lpad(CAST(v % 1000000 AS VARCHAR), 6, '0')) AS DOUBLE)) AS xs,"
+        "  list_transform(ys_e6, v -> CAST(concat(CAST(v // 1000000 AS VARCHAR), '.',"
+        "    lpad(CAST(v % 1000000 AS VARCHAR), 6, '0')) AS DOUBLE)) AS ys"
+        "  FROM ep), "
+        "rp AS ("
+        "  SELECT p.page_id, q.poly_id, q.name,"
+        "    (len(list_filter(range(1, len(q.xs)), i ->"
+        "        ((q.ys[i] > p.lat) <> (q.ys[i+1] > p.lat)) AND"
+        "        p.lon < q.xs[i] + (p.lat - q.ys[i]) * (q.xs[i+1] - q.xs[i])"
+        "                / (q.ys[i+1] - q.ys[i])"
+        "    )) % 2) = 1 AS odd"
+        f"  FROM (SELECT page_id, lat, lon FROM pages_x WHERE {_GEO_FILTER}) p, epolys q), "
+        "inpoly AS (SELECT page_id, poly_id, name,"
+        "  (SUM(CASE WHEN odd THEN 1 ELSE 0 END) % 2) = 1 AS inside"
+        "  FROM rp GROUP BY 1, 2, 3) "
+        "SELECT page_id, CAST(COALESCE("
+        "  (list(poly_id ORDER BY name, poly_id) FILTER (WHERE inside))[1], -1) AS INT"
+        ") AS poly_id FROM inpoly GROUP BY page_id"
+    )
 
 
 def _district_ctes() -> str:
@@ -5605,6 +5677,7 @@ FROM kept"""
             "  (list(poly_id ORDER BY name, poly_id) FILTER (WHERE inside))[1], -1) AS INT"
             ") AS poly_id FROM cand GROUP BY page_id"
         ),
+        "pip_enclave": _enclave_oracle_sql(base),
         # Shoelace twin: BIGINT cross products over the e6 vertex ints
         # shifted to the polygon-local origin (exact), centroid/area_km2
         # double folds in the same element order as F.aggregate.

@@ -45,9 +45,21 @@ FRAG_MULT = 8.0
 
 def parse_wkt_polygon(wkt: str) -> np.ndarray:
     """'POLYGON((x y, x y, ...))' → (N,2) float array (outer ring only)."""
-    inner = wkt.strip()[len("POLYGON((") : -2]
-    pts = [p.strip().split() for p in inner.split(",")]
-    return np.array([[float(x), float(y)] for x, y in pts], dtype="float64")
+    return parse_wkt_rings(wkt)[0]
+
+
+def parse_wkt_rings(wkt: str) -> list[np.ndarray]:
+    """'POLYGON((outer),(hole),...)' → list of (N,2) float arrays.
+    Ring 0 is the outer boundary; later rings are holes (enclaves) —
+    the even-odd rule makes their role automatic in the ray-cast."""
+    body = wkt.strip()[len("POLYGON((") : -2]
+    rings = []
+    for ring_txt in body.split("),("):
+        pts = [p.strip().split() for p in ring_txt.split(",")]
+        rings.append(
+            np.array([[float(x), float(y)] for x, y in pts], dtype="float64")
+        )
+    return rings
 
 
 def _ray_cast(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
@@ -81,28 +93,39 @@ def _resolve_udf(cands: pd.Series, px: pd.Series, py: pd.Series) -> pd.Series:
         y = np.array([ys[i]])
         for c in clist:
             wkt = c["_wkt"]
-            ring = ring_cache.get(wkt)
-            if ring is None:
-                ring = ring_cache[wkt] = parse_wkt_polygon(wkt)
-            if _ray_cast(x, y, ring)[0]:
+            rings = ring_cache.get(wkt)
+            if rings is None:
+                rings = ring_cache[wkt] = parse_wkt_rings(wkt)
+            # even-odd across ALL rings: a point inside a hole crosses
+            # both boundaries an odd number of times each -> outside
+            inside = False
+            for ring in rings:
+                inside ^= bool(_ray_cast(x, y, ring)[0])
+            if inside:
                 out[i] = c["_pid"]
                 break
     return pd.Series(out)
 
 
+def _wkt_coords(wkt):
+    """All coordinate pairs of all rings — the '),(' ring separator
+    flattens to a plain ',' so hole vertices parse cleanly too (they
+    cannot widen the bbox: holes lie inside the outer ring)."""
+    inner = F.regexp_replace(wkt, r"^\s*POLYGON\(\(|\)\)\s*$", "")
+    return F.split(F.regexp_replace(inner, r"\),\(", ","), ",")
+
+
 def _wkt_xs(wkt):
     """Array of ring x (first) coordinates — JVM-side column expression."""
-    inner = F.regexp_replace(wkt, r"^\s*POLYGON\(\(|\)\)\s*$", "")
     return F.transform(
-        F.split(inner, ","),
+        _wkt_coords(wkt),
         lambda p: F.element_at(F.split(F.trim(p), " "), 1).cast("double"),
     )
 
 
 def _wkt_ys(wkt):
-    inner = F.regexp_replace(wkt, r"^\s*POLYGON\(\(|\)\)\s*$", "")
     return F.transform(
-        F.split(inner, ","),
+        _wkt_coords(wkt),
         lambda p: F.element_at(F.split(F.trim(p), " "), 2).cast("double"),
     )
 
@@ -218,6 +241,11 @@ def polygon_geometry(
     centroid_lat) — area_km2 via the equirectangular scale at the
     centroid latitude (111.32 km/° lon × cos, 110.574 km/° lat),
     rounded at the edge like every float output.
+
+    SINGLE-RING polygons only: multi-ring (hole-carrying) WKT would
+    fold hole vertices into the shoelace as if they were boundary —
+    use the PIP path (which handles holes even-odd) for containment,
+    and subtract per-ring areas explicitly if donut area is needed.
     """
     xs, ys = _wkt_xs(F.col(wkt_col)), _wkt_ys(F.col(wkt_col))
     to_e6 = lambda arr: F.transform(  # noqa: E731

@@ -439,6 +439,49 @@ def district_polygons_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return districts.unionAll(metro)
 
 
+def enclave_polygons_df(spark: SparkSession) -> DataFrame:
+    """(poly_id, name, way_wkt): a donut 'county' (outer rectangle over
+    the dense Budapest-area district cells WITH a rectangular hole) and
+    the 'enclave' polygon filling that hole — the multi-ring WKT shape
+    real admin boundaries have (enclaves/exclaves). Points inside the
+    hole must resolve to the enclave, NOT the county: the even-odd
+    ray-cast crosses both boundaries, so a bbox or outer-ring-only test
+    gives the wrong polygon there. Same integer-e6 string construction
+    as the district polygons."""
+    # outer: district-grid rows 2-3 × cols 1-2; hole: a half-cell rect
+    # containing the Budapest point cluster
+    x0o, x1o = LON0_E6 + DLON_E6, LON0_E6 + 3 * DLON_E6
+    y0o, y1o = LAT0_E6 + 2 * DLAT_E6, LAT0_E6 + 4 * DLAT_E6
+    x0h, x1h = LON0_E6 + 2 * DLON_E6, LON0_E6 + 2 * DLON_E6 + DLON_E6 // 2
+    y0h, y1h = LAT0_E6 + 3 * DLAT_E6, LAT0_E6 + 3 * DLAT_E6 + DLAT_E6 // 2
+
+    def ring(x0, y0, x1, y1):
+        def vert(xe, ye):
+            return F.concat(_e6_str(F.lit(xe)), F.lit(" "), _e6_str(F.lit(ye)))
+
+        return F.concat(
+            vert(x0, y0), F.lit(","), vert(x1, y0), F.lit(","),
+            vert(x1, y1), F.lit(","), vert(x0, y1), F.lit(","), vert(x0, y0),
+        )
+
+    county = F.concat(
+        F.lit("POLYGON(("), ring(x0o, y0o, x1o, y1o),
+        F.lit("),("), ring(x0h, y0h, x1h, y1h), F.lit("))"),
+    )
+    enclave = F.concat(F.lit("POLYGON(("), ring(x0h, y0h, x1h, y1h), F.lit("))"))
+    return spark.range(1).select(
+        F.lit(0).cast("long").alias("poly_id"),
+        F.lit("county").alias("name"),
+        county.alias("way_wkt"),
+    ).unionAll(
+        spark.range(1).select(
+            F.lit(1).cast("long").alias("poly_id"),
+            F.lit("enclave").alias("name"),
+            enclave.alias("way_wkt"),
+        )
+    )
+
+
 def osm_pois(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OSM candidate table (materialized-once parquet scan)."""
     return _materialize(spark, sf_dir, "osm_pois", osm_pois_df)

@@ -128,3 +128,33 @@ def test_district_polygons_are_nonconvex(spark):
         e = np.diff(ring, axis=0)
         cross = e[:-1, 0] * e[1:, 1] - e[:-1, 1] * e[1:, 0]
         assert (cross > 0).any() and (cross < 0).any(), r["name"]
+
+
+def test_pip_enclave_hole_semantics(spark):
+    """A point in the donut's hole crosses BOTH rings (even-odd →
+    outside the county) and resolves to the enclave polygon; ring
+    points stay county; an outer-ring-only test would get every hole
+    point wrong."""
+    from osm_poi_matchmaker_spark import synth
+    from osm_poi_matchmaker_spark.operators.pip import (
+        parse_wkt_rings,
+        point_in_polygon,
+    )
+
+    polys = synth.enclave_polygons_df(spark)
+    county_wkt = polys.where("name = 'county'").collect()[0]["way_wkt"]
+    assert len(parse_wkt_rings(county_wkt)) == 2  # outer + hole
+    pts = spark.createDataFrame(
+        [
+            (0, 47.5, 19.0),    # Budapest-ish: inside the hole
+            (1, 47.0, 17.6),    # county ring area
+            (2, 45.0, 10.0),    # outside everything
+            (3, 47.58, 19.15),  # another hole point
+        ],
+        ["page_id", "lat", "lon"],
+    )
+    got = {r["page_id"]: r["poly_id"]
+           for r in point_in_polygon(pts, polys, order_by="name").collect()}
+    assert got[0] == 1 and got[3] == 1  # enclave, NOT county
+    assert got[1] == 0
+    assert got[2] == -1
