@@ -1038,6 +1038,30 @@ def _q_pip_enclave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_enclave_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring-aware zonal geometry (round 4): the donut county's area is
+    outer MINUS hole (exact BIGINT shoelace per ring), its centroid the
+    area-weighted combination — numbers the single-ring shoelace gets
+    wrong on any hole-carrying admin polygon. The enclave row doubles
+    as the control: its area equals exactly the county's hole."""
+    from osm_poi_matchmaker_spark.operators.pip import polygon_geometry_rings
+
+    polys = synth.enclave_polygons_df(spark)
+    return (
+        polygon_geometry_rings(polys)
+        .join(F.broadcast(polys.select("poly_id", "name")), "poly_id")
+        .select(
+            "poly_id",
+            "name",
+            "n_rings",
+            "area2_e12",
+            "area_km2",
+            "centroid_lon",
+            "centroid_lat",
+        )
+    )
+
+
 def _q_district_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal polygon analytics (round 4): exact shoelace area +
     centroid per district polygon (operators/pip.polygon_geometry —
@@ -3438,14 +3462,14 @@ _R4_WINDOW = [
     # round-4-new operators
     "ann_topk_ivf_sq8", "match_cascade_planet", "asset_decode_color",
     "pip_district", "pip_enclave", "district_geometry",
-    "decontaminate_spans",
+    "enclave_geometry", "decontaminate_spans",
     # re-verification spread: flagship cascade + geospatial core
     "match_cascade", "match_cascade_bounded", "knn_nearest",
     "geotag_extract", "cell_assign", "cell_histogram",
     "pip_postcode", "pip_city", "building_relocation",
     "fuzzy_street", "fuzzy_city", "match_lineage",
     # corpus-pipeline flagships
-    "bm25_topk", "ann_topk_ivf",
+    "bm25_topk",
 ]
 
 
@@ -3484,6 +3508,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_city": _q_pip_city,
         "pip_district": _q_pip_district,
         "pip_enclave": _q_pip_enclave,
+        "enclave_geometry": _q_enclave_geometry,
         "district_geometry": _q_district_geometry,
         "qc_in_water": _q_qc_in_water,
         "provider_tesco": _q_provider_tesco,
@@ -3647,13 +3672,10 @@ _CELL = synth_sql.CELL_SQL.format(lat="lat", lon="lon")
 _GEO_FILTER = "lat IS NOT NULL AND lon IS NOT NULL"
 
 
-def _enclave_oracle_sql(base: str) -> str:
-    """pip_enclave twin: per-ring even-odd crossing parity XOR'd across
-    rings (a hole point is odd for BOTH the outer and the hole ring of
-    the donut → outside the county, inside the enclave). Ring vertex
-    tables carry the same integer-e6 values synth.enclave_polygons_df
-    builds its WKT from; doubles parse through identical decimal
-    strings."""
+def _enclave_ep_cte() -> str:
+    """The enclave/county ring vertex table (poly_id, name, ring,
+    xs_e6, ys_e6) — the same integer-e6 values
+    synth.enclave_polygons_df builds its WKT from."""
     from osm_poi_matchmaker_spark.synth import DLAT_E6, DLON_E6, LAT0_E6, LON0_E6
 
     x0o, x1o = LON0_E6 + DLON_E6, LON0_E6 + 3 * DLON_E6
@@ -3669,11 +3691,21 @@ def _enclave_oracle_sql(base: str) -> str:
     oxs, oys = rect(x0o, y0o, x1o, y1o)
     hxs, hys = rect(x0h, y0h, x1h, y1h)
     return (
-        f"{base}, ep AS (SELECT * FROM (VALUES "
+        "ep AS (SELECT * FROM (VALUES "
         f"  (0, 'county', 0, {oxs}, {oys}),"
         f"  (0, 'county', 1, {hxs}, {hys}),"
         f"  (1, 'enclave', 0, {hxs}, {hys})"
-        ") AS t(poly_id, name, ring, xs_e6, ys_e6)), "
+        ") AS t(poly_id, name, ring, xs_e6, ys_e6))"
+    )
+
+
+def _enclave_oracle_sql(base: str) -> str:
+    """pip_enclave twin: per-ring even-odd crossing parity XOR'd across
+    rings (a hole point is odd for BOTH the outer and the hole ring of
+    the donut → outside the county, inside the enclave). Doubles parse
+    through identical decimal strings."""
+    return (
+        f"{base}, {_enclave_ep_cte()}, "
         "epolys AS (SELECT poly_id, name, ring,"
         "  list_transform(xs_e6, v -> CAST(concat(CAST(v // 1000000 AS VARCHAR), '.',"
         "    lpad(CAST(v % 1000000 AS VARCHAR), 6, '0')) AS DOUBLE)) AS xs,"
@@ -3694,6 +3726,48 @@ def _enclave_oracle_sql(base: str) -> str:
         "SELECT page_id, CAST(COALESCE("
         "  (list(poly_id ORDER BY name, poly_id) FILTER (WHERE inside))[1], -1) AS INT"
         ") AS poly_id FROM inpoly GROUP BY page_id"
+    )
+
+
+def _enclave_geometry_oracle_sql() -> str:
+    """enclave_geometry twin: exact per-ring BIGINT shoelace over
+    ring-local shifted e6 ints, ring-ordered double combination
+    (outer +, holes −) — the same fold order as
+    polygon_geometry_rings' array_sort'd aggregate."""
+    cross = "xs2[i]*ys2[i+1] - xs2[i+1]*ys2[i]"
+    return (
+        f"WITH {_enclave_ep_cte()}, "
+        "er AS (SELECT poly_id, name, ring,"
+        "  list_transform(xs_e6, v -> CAST(v - list_min(xs_e6) AS BIGINT)) AS xs2,"
+        "  list_transform(ys_e6, v -> CAST(v - list_min(ys_e6) AS BIGINT)) AS ys2,"
+        "  CAST(list_min(xs_e6) AS DOUBLE) / 1e6 AS x0,"
+        "  CAST(list_min(ys_e6) AS DOUBLE) / 1e6 AS y0"
+        "  FROM ep), "
+        "eg AS (SELECT poly_id, name, ring,"
+        f"  list_sum(list_transform(range(1, len(xs2)), i -> {cross})) AS a2,"
+        "  list_sum(list_transform(range(1, len(xs2)),"
+        f"    i -> CAST(xs2[i] + xs2[i+1] AS DOUBLE) * CAST({cross} AS DOUBLE))) AS cxn,"
+        "  list_sum(list_transform(range(1, len(xs2)),"
+        f"    i -> CAST(ys2[i] + ys2[i+1] AS DOUBLE) * CAST({cross} AS DOUBLE))) AS cyn,"
+        "  x0, y0 FROM er), "
+        "eg2 AS (SELECT poly_id, name, ring, abs(a2) AS a2a,"
+        "  x0 + cxn / (3.0 * CAST(a2 AS DOUBLE)) / 1e6 AS cx,"
+        "  y0 + cyn / (3.0 * CAST(a2 AS DOUBLE)) / 1e6 AS cy FROM eg), "
+        "comb AS (SELECT poly_id, name, COUNT(*) AS n_rings,"
+        "  list_sum(list(CASE WHEN ring = 0 THEN a2a ELSE -a2a END ORDER BY ring))"
+        "    AS area2_e12,"
+        "  list_sum(list(CAST(CASE WHEN ring = 0 THEN a2a ELSE -a2a END AS DOUBLE)"
+        "    * cx ORDER BY ring)) AS nx,"
+        "  list_sum(list(CAST(CASE WHEN ring = 0 THEN a2a ELSE -a2a END AS DOUBLE)"
+        "    * cy ORDER BY ring)) AS ny"
+        "  FROM eg2 GROUP BY 1, 2) "
+        "SELECT CAST(poly_id AS BIGINT) AS poly_id, name,"
+        "  CAST(n_rings AS INT) AS n_rings, CAST(area2_e12 AS BIGINT) AS area2_e12,"
+        "  ROUND((CAST(area2_e12 AS DOUBLE) / 2e12) * 110.574"
+        "    * (111.32 * cos(radians(ny / CAST(area2_e12 AS DOUBLE)))), 3) AS area_km2,"
+        "  ROUND(nx / CAST(area2_e12 AS DOUBLE), 6) AS centroid_lon,"
+        "  ROUND(ny / CAST(area2_e12 AS DOUBLE), 6) AS centroid_lat "
+        "FROM comb"
     )
 
 
@@ -5678,6 +5752,7 @@ FROM kept"""
             ") AS poly_id FROM cand GROUP BY page_id"
         ),
         "pip_enclave": _enclave_oracle_sql(base),
+        "enclave_geometry": _enclave_geometry_oracle_sql(),
         # Shoelace twin: BIGINT cross products over the e6 vertex ints
         # shifted to the polygon-local origin (exact), centroid/area_km2
         # double folds in the same element order as F.aggregate.

@@ -158,3 +158,32 @@ def test_pip_enclave_hole_semantics(spark):
     assert got[0] == 1 and got[3] == 1  # enclave, NOT county
     assert got[1] == 0
     assert got[2] == -1
+
+
+def test_polygon_geometry_rings_donut_exact(spark):
+    """Donut area is EXACTLY outer minus hole (BIGINT shoelace), the
+    enclave's area is exactly the hole, and the donut centroid shifts
+    away from the removed mass."""
+    from osm_poi_matchmaker_spark import synth
+    from osm_poi_matchmaker_spark.operators.pip import (
+        polygon_geometry,
+        polygon_geometry_rings,
+    )
+
+    polys = synth.enclave_polygons_df(spark)
+    g = {r["poly_id"]: r for r in polygon_geometry_rings(polys).collect()}
+    outer_a2 = 2 * (2 * synth.DLON_E6) * (2 * synth.DLAT_E6)
+    hole_a2 = 2 * (synth.DLON_E6 // 2) * (synth.DLAT_E6 // 2)
+    assert g[0]["n_rings"] == 2 and g[0]["area2_e12"] == outer_a2 - hole_a2
+    assert g[1]["n_rings"] == 1 and g[1]["area2_e12"] == hole_a2
+    # hole is NE of the outer center -> county centroid moves SW of it
+    assert g[0]["centroid_lon"] < g[1]["centroid_lon"]
+    assert g[0]["centroid_lat"] < g[1]["centroid_lat"]
+    # single-ring polygons: ring-aware and single-ring forms agree
+    d = synth.district_polygons_df(spark, "/root/testdata/sf0.001")
+    a = {r["poly_id"]: r for r in polygon_geometry(d).collect()}
+    b = {r["poly_id"]: r for r in polygon_geometry_rings(d).collect()}
+    for pid in a:
+        assert a[pid]["area2_e12"] == b[pid]["area2_e12"]
+        assert abs(a[pid]["centroid_lon"] - b[pid]["centroid_lon"]) < 1e-5
+        assert abs(a[pid]["centroid_lat"] - b[pid]["centroid_lat"]) < 1e-5
