@@ -1038,6 +1038,24 @@ def _q_pip_enclave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_page_quadkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadkey tile addressing (round 4): per-page base-4 tile key at
+    zoom 12 over the equal-angle grid + the zoom-6 ancestor prefix and
+    the tile's bounds — the interop read-off an XYZ/quadkey tile server
+    consumes. Pure rational arithmetic end to end (no Mercator tan/ln
+    whose last-ulp JVM-vs-libm differences could flip a floor at a tile
+    edge), so the oracle is exact; tile sizes are dyadic (360/4096 =
+    0.087890625°), so even the bounds hash bit-identically."""
+    from osm_poi_matchmaker_spark.tiling import quadkey_tiles
+
+    pg = (
+        _pages_geo(spark, sf_dir)
+        .where(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+        .select("page_id", "lat", "lon")
+    )
+    return quadkey_tiles(pg, zoom=12, parent_zoom=6).drop("lat", "lon")
+
+
 def _q_enclave_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ring-aware zonal geometry (round 4): the donut county's area is
     outer MINUS hole (exact BIGINT shoelace per ring), its centroid the
@@ -3462,14 +3480,12 @@ _R4_WINDOW = [
     # round-4-new operators
     "ann_topk_ivf_sq8", "match_cascade_planet", "asset_decode_color",
     "pip_district", "pip_enclave", "district_geometry",
-    "enclave_geometry", "decontaminate_spans",
+    "enclave_geometry", "decontaminate_spans", "page_quadkeys",
     # re-verification spread: flagship cascade + geospatial core
     "match_cascade", "match_cascade_bounded", "knn_nearest",
     "geotag_extract", "cell_assign", "cell_histogram",
     "pip_postcode", "pip_city", "building_relocation",
     "fuzzy_street", "fuzzy_city", "match_lineage",
-    # corpus-pipeline flagships
-    "bm25_topk",
 ]
 
 
@@ -3510,6 +3526,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_enclave": _q_pip_enclave,
         "enclave_geometry": _q_enclave_geometry,
         "district_geometry": _q_district_geometry,
+        "page_quadkeys": _q_page_quadkeys,
         "qc_in_water": _q_qc_in_water,
         "provider_tesco": _q_provider_tesco,
         "provider_spar": _q_provider_spar,
@@ -3670,6 +3687,34 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _CELL = synth_sql.CELL_SQL.format(lat="lat", lon="lon")
 _GEO_FILTER = "lat IS NOT NULL AND lon IS NOT NULL"
+
+
+def _quadkey_oracle_sql(base: str, zoom: int = 12, parent_zoom: int = 6) -> str:
+    """page_quadkeys twin: the same rational tile arithmetic
+    (tx = floor((lon+180)/360·2^z) clamped, MSB-first base-4 digits,
+    dyadic tile bounds) — expression order identical to
+    tiling.quadkey_tiles so every double is bit-equal."""
+    n = 1 << zoom
+    digits = " || ".join(
+        f"CAST(((ty >> {i}) & 1) * 2 + ((tx >> {i}) & 1) AS VARCHAR)"
+        for i in range(zoom - 1, -1, -1)
+    )
+    w, h = 360.0 / n, 180.0 / n  # dyadic — exact double literals
+    return (
+        f"{base}, qt AS ("
+        "  SELECT page_id,"
+        f"    LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * {float(n)}) AS BIGINT), {n - 1}) AS tx,"
+        f"    LEAST(CAST(FLOOR((90.0 - lat) / 180.0 * {float(n)}) AS BIGINT), {n - 1}) AS ty"
+        f"  FROM pages_x WHERE {_GEO_FILTER}), "
+        f"qk AS (SELECT page_id, tx, ty, {digits} AS q FROM qt) "
+        "SELECT page_id, tx AS tile_x, ty AS tile_y, q AS quadkey,"
+        f"  substr(q, 1, {parent_zoom}) AS parent_quadkey,"
+        f"  ROUND(CAST(tx AS DOUBLE) * {w!r} - 180.0, 9) AS tile_lon_min,"
+        f"  ROUND(CAST(tx AS DOUBLE) * {w!r} - 180.0 + {w!r}, 9) AS tile_lon_max,"
+        f"  ROUND(90.0 - CAST(ty AS DOUBLE) * {h!r} - {h!r}, 9) AS tile_lat_min,"
+        f"  ROUND(90.0 - CAST(ty AS DOUBLE) * {h!r}, 9) AS tile_lat_max "
+        "FROM qk"
+    )
 
 
 def _enclave_ep_cte() -> str:
@@ -5753,6 +5798,7 @@ FROM kept"""
         ),
         "pip_enclave": _enclave_oracle_sql(base),
         "enclave_geometry": _enclave_geometry_oracle_sql(),
+        "page_quadkeys": _quadkey_oracle_sql(base, zoom=12, parent_zoom=6),
         # Shoelace twin: BIGINT cross products over the e6 vertex ints
         # shifted to the polygon-local origin (exact), centroid/area_km2
         # double folds in the same element order as F.aggregate.

@@ -478,3 +478,72 @@ def kde_pyramid(points: DataFrame, cell: str = "cell_id", levels: int = 4) -> Da
         )
         .agg(F.sum("kde_mass_256").cast("bigint").alias("kde_mass_256"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Quadkey tile addressing (round 4): Bing-style base-4 tile keys over the
+# engine's EQUAL-ANGLE grid (tx = floor((lon+180)/360 · 2^z),
+# ty = floor((90−lat)/180 · 2^z)) — the interop read-off an XYZ/quadkey
+# tile server consumes. Using the equal-angle grid (not Web-Mercator)
+# keeps every coordinate → tile mapping pure rational arithmetic: no
+# tan/ln whose last-ulp differences between the JVM and C libm could
+# flip a floor at a tile boundary, so the DuckDB oracle is exact — and
+# it is the same family of grids the rest of tiling.py (pyramids, KDE,
+# compact_cells) already uses. The quadkey string's defining property
+# holds regardless of projection: a tile's key is PREFIXED by every
+# ancestor's key, so zoom-out aggregation is substr().
+# ---------------------------------------------------------------------------
+
+
+def tile_xy(lat: Column, lon: Column, zoom: int) -> tuple[Column, Column]:
+    n = 1 << zoom
+    tx = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))).cast("long")
+    ty = F.floor((F.lit(90.0) - lat) / F.lit(180.0) * F.lit(float(n))).cast("long")
+    # clamp the poles/antimeridian edge (lat == -90 / lon == 180)
+    tx = F.least(tx, F.lit(n - 1))
+    ty = F.least(ty, F.lit(n - 1))
+    return tx, ty
+
+
+def quadkey(lat: Column, lon: Column, zoom: int) -> Column:
+    """Base-4 quadkey string of the zoom-``zoom`` tile containing the
+    point: digit i (MSB first) = 2·bit_i(ty) + bit_i(tx)."""
+    tx, ty = tile_xy(lat, lon, zoom)
+    digits = [
+        (
+            F.shiftright(ty, i).bitwiseAND(F.lit(1)) * F.lit(2)
+            + F.shiftright(tx, i).bitwiseAND(F.lit(1))
+        ).cast("string")
+        for i in range(zoom - 1, -1, -1)
+    ]
+    return F.concat(*digits)
+
+
+def quadkey_tiles(
+    df: DataFrame,
+    zoom: int = 12,
+    parent_zoom: int = 6,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Per-point tile addressing: (… input key columns …, tile_x,
+    tile_y, quadkey, parent_quadkey, tile bounds). ``parent_quadkey``
+    is a substr of ``quadkey`` (the ancestor-prefix property), so any
+    zoom-out rollup is a groupBy on a string prefix — no re-derivation
+    from coordinates."""
+    n = 1 << zoom
+    tx, ty = tile_xy(F.col(lat), F.col(lon), zoom)
+    qk = quadkey(F.col(lat), F.col(lon), zoom)
+    lon_min = tx.cast("double") * F.lit(360.0 / n) - F.lit(180.0)
+    lat_max = F.lit(90.0) - ty.cast("double") * F.lit(180.0 / n)
+    return df.select(
+        "*",
+        tx.alias("tile_x"),
+        ty.alias("tile_y"),
+        qk.alias("quadkey"),
+        F.substring(qk, 1, parent_zoom).alias("parent_quadkey"),
+        F.round(lon_min, 9).alias("tile_lon_min"),
+        F.round(lon_min + F.lit(360.0 / n), 9).alias("tile_lon_max"),
+        F.round(lat_max - F.lit(180.0 / n), 9).alias("tile_lat_min"),
+        F.round(lat_max, 9).alias("tile_lat_max"),
+    )

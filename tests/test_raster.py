@@ -82,3 +82,40 @@ def test_coverage_join_matches_direct_bbox(spark):
     for pid, (covered, poly) in got.items():
         assert covered == (direct[pid] is not None)
         assert poly == direct[pid]
+
+
+def test_quadkey_prefix_and_bounds(spark):
+    """Quadkey defining properties: every ancestor's key is a prefix,
+    the point lies inside its tile's bounds, and sibling digits follow
+    the (2·bit_y + bit_x) rule."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_matchmaker_spark.tiling import quadkey_tiles
+
+    pts = spark.createDataFrame(
+        [
+            (0, 47.4979, 19.0402),   # Budapest
+            (1, -89.9999, 179.9999), # clamp corner
+            (2, 89.9999, -179.9999),
+            (3, 0.0, 0.0),
+        ],
+        ["page_id", "lat", "lon"],
+    )
+    rows = {r["page_id"]: r for r in quadkey_tiles(pts, zoom=12).collect()}
+    for r in rows.values():
+        assert len(r["quadkey"]) == 12
+        assert r["quadkey"].startswith(r["parent_quadkey"])
+        assert 0 <= r["tile_x"] < 4096 and 0 <= r["tile_y"] < 4096
+    # point-in-own-tile (strict on the open edges by construction)
+    for pid, (lat, lon) in {0: (47.4979, 19.0402), 3: (0.0, 0.0)}.items():
+        r = rows[pid]
+        assert r["tile_lon_min"] <= lon < r["tile_lon_max"]
+        assert r["tile_lat_min"] < lat <= r["tile_lat_max"]
+    # zoom consistency: the zoom-11 key equals the zoom-12 key's prefix
+    r11 = {r["page_id"]: r["quadkey"]
+           for r in quadkey_tiles(pts, zoom=11).collect()}
+    for pid, r in rows.items():
+        assert r["quadkey"][:11] == r11[pid]
+    # corner clamps land in the last tile
+    assert rows[1]["tile_x"] == 4095 and rows[1]["tile_y"] == 4095
+    assert rows[2]["tile_x"] == 0 and rows[2]["tile_y"] == 0
