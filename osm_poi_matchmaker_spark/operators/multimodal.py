@@ -268,8 +268,9 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 # Baseline JPEG (ITU-T T.81), grayscale, pure Python/numpy — encoder +
 # decoder. The round-3 gap-closer: PNG/WAV were already real; JPEG is
 # the remaining still-image format a crawl actually serves. Supported:
-# 8-bit baseline sequential, single (luma) component, no restart
-# markers, no progressive/arithmetic coding — those raise
+# 8-bit baseline sequential, single (luma) component, restart markers
+# (DRI/RSTn — round 4; predictor reset + byte alignment per T.81
+# F.2.1.3.1), no progressive/arithmetic coding — those raise
 # NotImplementedError (honest boundary, like MP4/ffmpeg for video).
 # Huffman tables are read from the file (decoder is table-agnostic);
 # the encoder emits the spec's Annex K.3 typical luminance tables and a
@@ -351,6 +352,14 @@ class _BitWriter:
             self.write(0x7F, 8 - self.n)  # pad with 1s
         return bytes(self.out)
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-padding) and emit an RSTm marker — restart
+        markers are raw markers, never byte-stuffed."""
+        if self.n:
+            self.write(0x7F, 8 - self.n)
+        self.out.append(0xFF)
+        self.out.append(0xD0 + (m % 8))
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """(category, value-bits) per T.81 F.1.2.1 (negatives one's-comp)."""
@@ -360,9 +369,12 @@ def _magnitude(v: int) -> tuple[int, int]:
     return cat, v if v >= 0 else v + (1 << cat) - 1
 
 
-def encode_jpeg(pixels: np.ndarray) -> bytes:
+def encode_jpeg(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
     """Gray8 (H,W) array → baseline JPEG bytes, flat (all-ones) quant
-    table. H and W must be multiples of 8 (the fixture shapes are)."""
+    table. H and W must be multiples of 8 (the fixture shapes are).
+    ``restart_interval`` > 0 emits a DRI segment and an RSTm marker
+    every that many MCUs (DC predictor reset, byte-aligned) — the
+    error-resilience layout most real crawled JPEGs use."""
     px = np.asarray(pixels, dtype=np.uint8)
     h, w = px.shape
     if h % 8 or w % 8:
@@ -371,9 +383,15 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
     ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
     bw = _BitWriter()
     pred = 0
+    mcu = rst = 0
     shifted = px.astype(np.float64) - 128.0
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.restart(rst)
+                rst += 1
+                pred = 0
+            mcu += 1
             block = shifted[by : by + 8, bx : bx + 8]
             coef = _DCT_M @ block @ _DCT_M.T
             q = np.rint(coef).astype(np.int64)  # flat quant table of 1s
@@ -412,9 +430,15 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
     dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
     dht_ac = bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
     sos = bytes([1, 1, 0x00, 0, 63, 0])
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
         + seg(0xFFDB, qtab)
+        + dri
         + seg(0xFFC0, sof)
         + seg(0xFFC4, dht_dc)
         + seg(0xFFC4, dht_ac)
@@ -455,6 +479,19 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def expect_restart(self, m: int) -> None:
+        """Discard the padding bits of the current byte and consume the
+        expected RSTm marker (T.81 F.2.1.3.1: restart markers stand
+        byte-aligned in the entropy stream, never stuffed)."""
+        self.acc = 0
+        self.n = 0
+        b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+        if b0 != 0xFF or b1 != 0xD0 + (m % 8):
+            raise ValueError(
+                f"expected RST{m % 8} at offset {self.pos}, found {b0:02X}{b1:02X}"
+            )
+        self.pos += 2
+
 
 def _extend(v: int, cat: int) -> int:
     """T.81 F.2.2.1 EXTEND: value bits → signed coefficient."""
@@ -463,8 +500,8 @@ def _extend(v: int, cat: int) -> int:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG bytes → uint8 gray array (H,W). Single-component
-    8-bit sequential only; progressive / multi-component / restart
-    markers raise NotImplementedError."""
+    8-bit sequential, restart markers honored; progressive /
+    multi-component raise NotImplementedError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -472,6 +509,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = None
     comp_q = comp_dc = comp_ac = 0
+    restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -515,8 +553,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     (code, ln): v for v, (code, ln) in _huff_codes(bits, vals).items()
                 }
                 off += 17 + nvals
-        elif marker == 0xDD:
-            raise NotImplementedError("restart markers")
+        elif marker == 0xDD:  # DRI — restart interval in MCUs
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             if body[0] != 1:
                 raise NotImplementedError("only single-component scans")
@@ -543,8 +581,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     bh, bw_ = (h + 7) // 8, (w + 7) // 8
     out = np.zeros((bh * 8, bw_ * 8), dtype=np.uint8)
     pred = 0
+    mcu = rst = 0
     for byi in range(bh):
         for bxi in range(bw_):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.expect_restart(rst)
+                rst += 1
+                pred = 0
+            mcu += 1
             zz = np.zeros(64, dtype=np.int64)
             cat = read_symbol(dc_lut)
             diff = _extend(br.bits(cat), cat) if cat else 0
@@ -685,10 +729,12 @@ def _write_coeff_block(
     return pred
 
 
-def encode_jpeg_color(rgb: np.ndarray) -> bytes:
+def encode_jpeg_color(rgb: np.ndarray, restart_interval: int = 0) -> bytes:
     """uint8 (H,W,3) RGB → baseline JPEG, YCbCr 4:2:0, flat quant
     tables, Annex K.3 luma+chroma Huffman tables. H and W must be
-    multiples of 16 (whole MCUs)."""
+    multiples of 16 (whole MCUs). ``restart_interval`` > 0 emits a DRI
+    segment and an RSTm marker every that many MCUs (all three DC
+    predictors reset, byte-aligned)."""
     px = np.asarray(rgb, dtype=np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError("encode_jpeg_color expects (H, W, 3)")
@@ -712,11 +758,17 @@ def encode_jpeg_color(rgb: np.ndarray) -> bytes:
     ac_c = _huff_codes(_AC_BITS_C, _AC_VALS_C)
     bw = _BitWriter()
     pred = [0, 0, 0]  # per-component DC predictors
+    mcu = rst = 0
     yf = yp.astype(np.float64) - 128.0
     cbf = cb.astype(np.float64) - 128.0
     crf = cr.astype(np.float64) - 128.0
     for my in range(0, h, 16):
         for mx in range(0, w, 16):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.restart(rst)
+                rst += 1
+                pred = [0, 0, 0]
+            mcu += 1
             # MCU: 4 Y blocks raster order, then Cb, then Cr
             for dy in (0, 8):
                 for dx in (0, 8):
@@ -751,10 +803,16 @@ def encode_jpeg_color(rgb: np.ndarray) -> bytes:
         bytes([0x11]) + bytes(_AC_BITS_C) + bytes(_AC_VALS_C),
     )
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
         + seg(0xFFDB, qtab0)
         + seg(0xFFDB, qtab1)
+        + dri
         + seg(0xFFC0, sof)
         + b"".join(seg(0xFFC4, t) for t in dht)
         + seg(0xFFDA, sos)
@@ -766,7 +824,8 @@ def encode_jpeg_color(rgb: np.ndarray) -> bytes:
 def decode_jpeg_color(data: bytes) -> np.ndarray:
     """Baseline JPEG → uint8 RGB (H,W,3). 3-component YCbCr 4:2:0
     ((2,2)/(1,1)/(1,1) sampling) interleaved scan only; other layouts,
-    progressive, arithmetic coding and restart markers raise. Chroma
+    progressive and arithmetic coding raise; restart markers are
+    honored. Chroma
     upsampling is 2× pixel replication (exact for the constant-MCU
     oracle fixtures; standard fast path otherwise)."""
     if data[:2] != b"\xff\xd8":
@@ -778,6 +837,7 @@ def decode_jpeg_color(data: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int]] = []  # (id, sampling, qtab)
     scan_tabs: dict[int, tuple[int, int]] = {}
     entropy_start = None
+    restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -826,8 +886,8 @@ def decode_jpeg_color(data: bytes) -> np.ndarray:
                     (code, ln): v for v, (code, ln) in _huff_codes(bits, vals).items()
                 }
                 off += 17 + nvals
-        elif marker == 0xDD:
-            raise NotImplementedError("restart markers")
+        elif marker == 0xDD:  # DRI — restart interval in MCUs
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
             ns = body[0]
             if ns != 3:
@@ -885,8 +945,14 @@ def decode_jpeg_color(data: bytes) -> np.ndarray:
         dsel, asel = scan_tabs[cid]
         luts.append((huff[(0, dsel)], huff[(1, asel)], qtables[tq]))
     pred = [0, 0, 0]
+    mcu = rst = 0
     for myi in range(mh):
         for mxi in range(mw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.expect_restart(rst)
+                rst += 1
+                pred = [0, 0, 0]
+            mcu += 1
             for dy in (0, 8):
                 for dx in (0, 8):
                     blk, pred[0] = read_block(*luts[0], pred[0])
@@ -1023,7 +1089,14 @@ def color_decode_values(pages: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = {"asset_id": [], "channel": [], "mcu": [], "val": []}
             for aid in pdf["page_id"].to_numpy("int64"):
-                payload = encode_jpeg_color(_jpeg_color_pixels(int(aid)))
+                # odd ids exercise the DRI/RSTn leg (restart every MCU,
+                # predictors reset) — decoded bytes are identical, so
+                # the closed-form oracle is unchanged while the driver
+                # value-verifies the restart path too
+                payload = encode_jpeg_color(
+                    _jpeg_color_pixels(int(aid)),
+                    restart_interval=1 if aid % 2 else 0,
+                )
                 dec = decode_jpeg_color(payload).astype(np.int64)
                 for mi in range(2):
                     for mj in range(2):

@@ -291,3 +291,46 @@ def test_color_decode_values_spark(spark):
             for mj in range(2):
                 for c in range(3):
                     assert got[(a, c, mi * 2 + mj)] == int(want[mi * 16, mj * 16, c])
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn support (round 4): restart intervals produce identical
+    decoded pixels (predictor resets + byte alignment are lossless
+    bookkeeping), the markers really appear in the stream, and a
+    corrupted restart sequence fails loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from osm_poi_matchmaker_spark.operators.multimodal import (
+        decode_jpeg,
+        decode_jpeg_color,
+        encode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.RandomState(11)
+    g = rng.randint(0, 256, (24, 40)).astype(np.uint8)
+    ref = decode_jpeg(encode_jpeg(g))
+    for ri in (1, 2, 7):
+        data = encode_jpeg(g, restart_interval=ri)
+        assert b"\xff\xdd" in data  # DRI segment present
+        assert np.array_equal(decode_jpeg(data), ref)
+    rgb = rng.randint(0, 256, (32, 48, 3)).astype(np.uint8)
+    cref = decode_jpeg_color(encode_jpeg_color(rgb))
+    for ri in (1, 3):
+        assert np.array_equal(
+            decode_jpeg_color(encode_jpeg_color(rgb, restart_interval=ri)), cref
+        )
+    # RST indices cycle mod 8: force >8 restarts
+    tall = rng.randint(0, 256, (8, 8 * 20)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(tall, restart_interval=1)),
+        decode_jpeg(encode_jpeg(tall)),
+    )
+    # tamper with the first RST marker id -> loud failure
+    data = bytearray(encode_jpeg(g, restart_interval=1))
+    i = bytes(data).find(b"\xff\xd0")
+    assert i > 0
+    data[i + 1] = 0xD5  # wrong sequence number
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(data))
