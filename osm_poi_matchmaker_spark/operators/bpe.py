@@ -158,7 +158,10 @@ def apply_bpe(
     Each DISTINCT word is tokenized once (Arrow-batched pandas UDF —
     the per-word merge loop is sequential by nature), then words
     broadcast-join back onto the exploded corpus and re-assemble per
-    doc. Returns (key, tokens array<string>, n_tokens).
+    doc. Returns (key, tokens array<string>, n_tokens). Docs whose text
+    tokenizes to zero words (empty/whitespace-only) emit a row with an
+    empty tokens array and n_tokens=0 — matching the pinned oracle,
+    which pins a row for EVERY doc (ADVICE r4).
     """
     pairs = [(l, r) for l, r, *_ in merges]
 
@@ -177,7 +180,7 @@ def apply_bpe(
         F.col(key),
         F.posexplode(F.split(F.lower(F.col(text)), r"\s+")).alias("pos", "word"),
     ).where(F.col("word") != "")
-    return (
+    tokenized = (
         exploded.join(F.broadcast(vocab), "word")
         .groupBy(key)
         .agg(
@@ -187,6 +190,17 @@ def apply_bpe(
                     lambda s: s.wtoks,
                 )
             ).alias("tokens")
+        )
+    )
+    # Left-join back onto the full doc set so zero-word docs keep a row.
+    return (
+        docs.select(key)
+        .join(tokenized, key, "left")
+        .select(
+            key,
+            F.coalesce(
+                F.col("tokens"), F.array().cast(T.ArrayType(T.StringType()))
+            ).alias("tokens"),
         )
         .select(key, "tokens", F.size("tokens").alias("n_tokens"))
     )

@@ -485,6 +485,8 @@ class _BitReader:
         byte-aligned in the entropy stream, never stuffed)."""
         self.acc = 0
         self.n = 0
+        if self.pos + 1 >= len(self.data):
+            raise ValueError(f"truncated stream at restart marker RST{m % 8}")
         b0, b1 = self.data[self.pos], self.data[self.pos + 1]
         if b0 != 0xFF or b1 != 0xD0 + (m % 8):
             raise ValueError(

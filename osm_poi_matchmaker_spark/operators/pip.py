@@ -242,12 +242,27 @@ def polygon_geometry(
     centroid latitude (111.32 km/° lon × cos, 110.574 km/° lat),
     rounded at the edge like every float output.
 
-    SINGLE-RING polygons only: multi-ring (hole-carrying) WKT would
-    fold hole vertices into the shoelace as if they were boundary —
-    use the PIP path (which handles holes even-odd) for containment,
-    and subtract per-ring areas explicitly if donut area is needed.
+    SINGLE-RING polygons only — enforced at runtime: a '),(' ring
+    separator in the WKT raises (JVM-side ``raise_error`` naming the
+    offending poly_id) instead of silently folding hole vertices into
+    the shoelace as boundary (ADVICE r4). Use
+    :func:`polygon_geometry_rings` for hole-carrying polygons, and the
+    PIP path (even-odd over rings) for containment.
     """
-    xs, ys = _wkt_xs(F.col(wkt_col)), _wkt_ys(F.col(wkt_col))
+    xs_raw, ys = _wkt_xs(F.col(wkt_col)), _wkt_ys(F.col(wkt_col))
+    # Multi-ring guard woven into a LIVE expression (a standalone guard
+    # column would be pruned by Catalyst and never evaluated). raise_error
+    # is NullType, which coerces into the array branch type.
+    xs = F.when(
+        F.col(wkt_col).contains("),("),
+        F.raise_error(
+            F.concat(
+                F.lit("polygon_geometry: multi-ring WKT for poly_id "),
+                F.col(poly_id).cast("string"),
+                F.lit(" — use polygon_geometry_rings"),
+            )
+        ),
+    ).otherwise(xs_raw)
     to_e6 = lambda arr: F.transform(  # noqa: E731
         arr, lambda v: F.round(v * F.lit(1_000_000.0)).cast("long")
     )

@@ -111,6 +111,170 @@ def srp_signature(vec: Column, dim: int, bits: int = 8, plane_offset: int = 0) -
     return F.concat(*[bit(b) for b in range(bits)])
 
 
+def _to_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    dim: int,
+    centroid_mod: int = 100,
+    iters: int = 2,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    two_level: bool = False,
+    super_stride: int = 4,
+) -> DataFrame:
+    """Fixed-iteration distributed Lloyd refinement of the modulo-seeded
+    centroids (VERDICT r4 "Next round" #1): start from the deterministic
+    ``key % centroid_mod == 1`` seeds every IVF path already uses, then run
+    ``iters`` rounds of (assign to nearest centroid → per-cluster mean).
+    Trained centroids buy recall at equal ``nprobe`` — the FAISS training
+    step re-expressed as pure DataFrame work.
+
+    Oracle-reproducible by construction, which is the whole trick:
+
+    * fixed iteration count (no convergence test — no data-dependent
+      control flow for an engine to diverge on);
+    * assignment ties break (desc cosine, asc centroid_id) like every
+      other ANN path, and the cosine fold is element-ordered double
+      arithmetic both engines execute identically;
+    * the MEAN is the one step where naive float summation would be
+      aggregation-order-dependent (Spark partial aggregates sum in
+      shuffle order; DuckDB in scan order). Components are therefore
+      quantized to integer micro-units first — ``floor(x · 1e6)`` as
+      BIGINT — summed exactly (integer addition commutes), and divided
+      once: ``sum / (1e6 · n)``. Bit-identical on any engine, any
+      partitioning, any core count; the 1e-6 quantization is far below
+      any recall-relevant resolution.
+    * empty clusters keep their previous centroid (left join + coalesce).
+
+    Scale shape: centroids are ~√N rows and broadcast; each iteration is
+    one assignment pass (broadcast join, no corpus shuffle) plus one
+    groupBy(centroid_id) whose per-dim integer sums combine map-side, so
+    the shuffle carries ~K·dim longs per map partition, not data. Each
+    round's output (K rows) is persisted so round i+1 and the final
+    consumer don't recompute the chain.
+
+    With ``two_level=True`` the per-round assignment goes through
+    :func:`assign_two_level` (every ``super_stride``-th centroid becomes a
+    super-centroid; vectors route super-first) — the build-cost cut of
+    VERDICT r4 ask #2. Default off: the oracle pins the exact one-level
+    assignment, and the pytest equality check (test_ann_kmeans) is what
+    licenses flipping it on at scale.
+
+    Returns (centroid_id, cent_vec array<double>) — centroid ids remain
+    the seed vec_ids, so downstream list/bucket naming is stable across
+    retraining.
+    """
+    cents = corpus.where(F.col(key) % centroid_mod == 1).select(
+        F.col(key).alias("centroid_id"), _to_double(F.col(vec)).alias("cent_vec")
+    )
+    for _ in range(iters):
+        if two_level:
+            assigned = assign_two_level(
+                corpus, cents, key=key, vec=vec, super_stride=super_stride
+            )
+        else:
+            assigned = _assign_to_centroids(corpus, cents, key, vec)
+        sums = assigned.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    F.floor(
+                        F.element_at("v", i + 1).cast("double") * F.lit(1_000_000.0)
+                    ).cast("long")
+                ).alias(f"_s{i}")
+                for i in range(dim)
+            ],
+        )
+        means = sums.select(
+            "centroid_id",
+            F.array(
+                *[
+                    F.col(f"_s{i}").cast("double")
+                    / (F.lit(1_000_000.0) * F.col("n"))
+                    for i in range(dim)
+                ]
+            ).alias("new_vec"),
+        )
+        cents = (
+            cents.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("new_vec", "cent_vec").alias("cent_vec"),
+            )
+            .persist()
+        )
+    return cents
+
+
+def assign_two_level(
+    vectors: DataFrame,
+    cents: DataFrame,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    super_stride: int = 4,
+    nprobe_super: int = 2,
+) -> DataFrame:
+    """Two-level nearest-centroid assignment (VERDICT r4 ask #2): route
+    each vector to its ``nprobe_super`` nearest SUPER-centroids first
+    (every ``super_stride``-th centroid by rank order — ~K/stride rows),
+    then rank only the centroids grouped under those supers. Cuts the
+    N×K flat assignment to ~N×(K/stride + nprobe_super·stride) cosine
+    evaluations — at K=√N, stride=∜N this is the N×(∜N + √N/∜N) shape
+    the round-4 verdict asked for.
+
+    Approximate in general (the true nearest centroid may hang under an
+    unprobed super); ``nprobe_super=2`` recovers exactness on the synth
+    corpus (pinned by test_ann_kmeans's equality check), which is the
+    evidence that licenses the fast path at build time. Same output
+    schema as the flat assigner: (vid, v, centroid_id).
+    """
+    # Supers: every super_stride-th centroid in centroid_id rank order —
+    # deterministic, no new hyperparameter surface. INTENTIONAL
+    # single-partition window: it runs over the CENTROID table (~√N
+    # rows, broadcast-sized dim), never the corpus — do not copy this
+    # shape to a corpus-scale plan (see plans/export.global_rank_by).
+    w_rank = Window.orderBy(F.asc("centroid_id"))
+    ranked = cents.select(
+        "centroid_id", "cent_vec", F.row_number().over(w_rank).alias("_r")
+    )
+    supers = ranked.where((F.col("_r") % super_stride) == 1).select(
+        F.col("centroid_id").alias("super_id"), F.col("cent_vec").alias("super_vec")
+    )
+    # Each centroid hangs under its nearest super (K×(K/stride) work).
+    w_c = Window.partitionBy("centroid_id").orderBy(
+        F.desc("csim"), F.asc("super_id")
+    )
+    cent_map = (
+        cents.crossJoin(F.broadcast(supers))
+        .withColumn("csim", cosine(F.col("cent_vec"), F.col("super_vec")))
+        .withColumn("crank", F.row_number().over(w_c))
+        .where(F.col("crank") == 1)
+        .select("centroid_id", "cent_vec", "super_id")
+    )
+    # Vector → nprobe_super nearest supers (N×(K/stride) work) ...
+    v = vectors.select(F.col(key).alias("vid"), F.col(vec).alias("v"))
+    w_s = Window.partitionBy("vid").orderBy(F.desc("ssim"), F.asc("super_id"))
+    routed = (
+        v.crossJoin(F.broadcast(supers.select("super_id", "super_vec")))
+        .withColumn("ssim", cosine(F.col("v"), F.col("super_vec")))
+        .withColumn("srank", F.row_number().over(w_s))
+        .where(F.col("srank") <= nprobe_super)
+        .select("vid", "v", "super_id")
+    )
+    # ... then rank only the centroids under those supers.
+    w_a = Window.partitionBy("vid").orderBy(F.desc("cent_sim"), F.asc("centroid_id"))
+    return (
+        routed.join(F.broadcast(cent_map), "super_id")
+        .withColumn("cent_sim", cosine(F.col("v"), F.col("cent_vec")))
+        .withColumn("arank", F.row_number().over(w_a))
+        .where(F.col("arank") == 1)
+        .select("vid", "v", "centroid_id")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -120,6 +284,7 @@ def ivf_topk(
     query_key: str = "vec_id",
     corpus_key: str = "vec_id",
     vec: str = "embedding",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: the corpus is partitioned into inverted
     lists keyed by nearest centroid; a query probes only its ``nprobe``
@@ -133,11 +298,16 @@ def ivf_topk(
     and the corpus is written bucketed by ``centroid_id`` so probing is a
     partition-pruned scan, not a shuffle.
 
+    ``cents`` overrides the modulo-seeded centroids with a trained set
+    (:func:`kmeans_centroids`) — schema (centroid_id, cent_vec); the
+    probe structure is identical either way.
+
     Returns (query_id, match_id, cosine_sim, rank).
     """
-    cents = corpus.where(F.col(corpus_key) % centroid_mod == 1).select(
-        F.col(corpus_key).alias("centroid_id"), F.col(vec).alias("cent_vec")
-    )
+    if cents is None:
+        cents = corpus.where(F.col(corpus_key) % centroid_mod == 1).select(
+            F.col(corpus_key).alias("centroid_id"), F.col(vec).alias("cent_vec")
+        )
     c = corpus.select(F.col(corpus_key).alias("match_id"), F.col(vec).alias("c_vec"))
     # Inverted-list assignment: nearest centroid per corpus vector.
     w_assign = Window.partitionBy("match_id").orderBy(
@@ -363,6 +533,7 @@ def ivf_sq8_topk(
     query_key: str = "vec_id",
     corpus_key: str = "vec_id",
     vec: str = "embedding",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF × SQ8 composed (FAISS ``IVF,SQ8`` re-expressed relationally):
     inverted lists PRUNE (only ``nprobe`` lists per query are scanned)
@@ -408,9 +579,10 @@ def ivf_sq8_topk(
             F.transform("_mxs", lambda s: s.mx).alias("mx"),
         )
     )
-    cents = corpus.where(F.col(corpus_key) % centroid_mod == 1).select(
-        F.col(corpus_key).alias("centroid_id"), F.col(vec).alias("cent_vec")
-    )
+    if cents is None:
+        cents = corpus.where(F.col(corpus_key) % centroid_mod == 1).select(
+            F.col(corpus_key).alias("centroid_id"), F.col(vec).alias("cent_vec")
+        )
     # Inverted-list assignment at full precision; payload reconstructed
     # through the SQ8 code (what a stored int8 list yields at probe time).
     mn_i = lambda i: F.element_at(F.col("mn"), i + 1)  # noqa: E731

@@ -260,6 +260,127 @@ SELECT query_id, match_id, ROUND(cs, 6) AS cosine_sim, rank FROM (
 WHERE rank <= {k}"""
 
 
+def _kmeans_cents_ctes(centroid_mod: int = 100, iters: int = 2) -> str:
+    """CTE chain (no leading WITH) ending in ``cents(centroid_id, cv)`` —
+    trained centroids, twin of similarity.kmeans_centroids: modulo seeds,
+    ``iters`` unrolled Lloyd rounds (fixed count = no data-dependent
+    control flow), per-cluster means through the integer micro-unit
+    quantization (``FLOOR(x·1e6)`` BIGINT sums — aggregation-order-
+    independent, so Spark's shuffle-order partial sums and DuckDB's
+    scan-order sums agree bit-for-bit), empty clusters keeping their
+    previous centroid."""
+    cent_cos = (
+        f"({_DOT.format(a='v', b='cv')} / "
+        f"({_NORM.format(a='v')} * {_NORM.format(a='cv')}))"
+    )
+    ctes = [
+        "corpus AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM corpus "
+        f"WHERE vec_id % {centroid_mod} = 1)",
+    ]
+    for i in range(iters):
+        prev = f"c{i}"
+        ctes.append(
+            f"""a{i + 1} AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT corpus.vec_id, corpus.v, {prev}.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY corpus.vec_id
+             ORDER BY ({cent_cos}) DESC, {prev}.centroid_id) AS arank
+    FROM corpus, {prev})
+  WHERE arank = 1)"""
+        )
+        ctes.append(
+            f"""m{i + 1} AS (
+  SELECT centroid_id, pos,
+         SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS qs, COUNT(*) AS n
+  FROM (SELECT centroid_id, unnest(v) AS x,
+               generate_subscripts(v, 1) AS pos FROM a{i + 1})
+  GROUP BY centroid_id, pos)"""
+        )
+        ctes.append(
+            f"""c{i + 1} AS (
+  SELECT {prev}.centroid_id, COALESCE(nv.nv, {prev}.cv) AS cv
+  FROM {prev} LEFT JOIN (
+    SELECT centroid_id,
+           list(CAST(qs AS DOUBLE) / (1000000.0 * n) ORDER BY pos) AS nv
+    FROM m{i + 1} GROUP BY centroid_id) nv USING (centroid_id))"""
+        )
+    ctes.append(f"cents AS (SELECT centroid_id, cv FROM c{iters})")
+    return ",\n".join(ctes)
+
+
+def kmeans_cents_sql(centroid_mod: int = 100, iters: int = 2) -> str:
+    """Twin of the ivf_kmeans_centroids registry query: trained centroids
+    exploded to (centroid_id, pos, val) rows so the driver's scalar
+    value-hash covers every component."""
+    return f"""
+WITH {_kmeans_cents_ctes(centroid_mod, iters)}
+SELECT centroid_id, CAST(pos - 1 AS INT) AS pos, val FROM (
+  SELECT centroid_id, unnest(cv) AS val,
+         generate_subscripts(cv, 1) AS pos FROM cents)"""
+
+
+def ann_ivf_kmeans_sql(
+    k: int = 5,
+    centroid_mod: int = 100,
+    nprobe: int = 2,
+    query_mod: int = 50,
+    iters: int = 2,
+) -> str:
+    """Twin of ann_topk_ivf_kmeans: ann_ivf_sql's probe structure over
+    the Lloyd-trained centroid chain instead of the raw modulo seeds."""
+    cent_cos = (
+        f"({_DOT.format(a='v', b='cv')} / "
+        f"({_NORM.format(a='v')} * {_NORM.format(a='cv')}))"
+    )
+    cos = f"({_DOT.format(a='qe', b='ce')} / ({_NORM.format(a='qe')} * {_NORM.format(a='ce')}))"
+    return f"""
+WITH {_kmeans_cents_ctes(centroid_mod, iters)},
+assigned AS (
+  SELECT match_id, ce, centroid_id FROM (
+    SELECT c.vec_id AS match_id, c.v AS ce, cents.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+             ORDER BY ({cent_cos}) DESC, cents.centroid_id) AS arank
+    FROM (SELECT vec_id, v FROM corpus) c, cents)
+  WHERE arank = 1),
+probes AS (
+  SELECT query_id, qe, centroid_id FROM (
+    SELECT q.vec_id AS query_id, q.v AS qe, cents.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ({cent_cos}) DESC, cents.centroid_id) AS prank
+    FROM (SELECT vec_id, v FROM corpus
+          WHERE vec_id % {query_mod} = 0) q, cents)
+  WHERE prank <= {nprobe}),
+s AS (SELECT query_id, match_id, {cos} AS cs
+      FROM assigned JOIN probes USING (centroid_id)
+      WHERE query_id <> match_id)
+SELECT query_id, match_id, ROUND(cs, 6) AS cosine_sim, rank FROM (
+  SELECT query_id, match_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
+  FROM s)
+WHERE rank <= {k}"""
+
+
+def ann_recall_kmeans_sql(
+    k: int = 5, query_mod: int = 50, centroid_mod: int = 100, iters: int = 2
+) -> str:
+    """Twin of ann_recall_kmeans: recall@k of the trained-centroid IVF
+    vs the exact top-k — the before/after read-off for Lloyd training
+    (pair with ann_recall's 'ivf' leg for the untrained number)."""
+    return f"""
+SELECT ex.query_id, 'ivf_kmeans' AS method,
+       COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN ap.match_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       ROUND(CAST(SUM(CASE WHEN ap.match_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             / COUNT(*), 6) AS recall
+FROM ({ann_exact_sql(k=k, query_mod=query_mod)}) ex
+LEFT JOIN ({ann_ivf_kmeans_sql(k=k, centroid_mod=centroid_mod, nprobe=2,
+                               query_mod=query_mod, iters=iters)}) ap
+  ON ex.query_id = ap.query_id AND ex.match_id = ap.match_id
+GROUP BY ex.query_id"""
+
+
 def embedding_cosine_dup_sql(threshold: float = 0.9, bits: int = 4) -> str:
     sig = _srp_sig(bits)
     cos = f"({_DOT.format(a='va', b='vb')} / ({_NORM.format(a='va')} * {_NORM.format(a='vb')}))"

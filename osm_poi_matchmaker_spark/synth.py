@@ -156,8 +156,25 @@ def _materialize(spark: SparkSession, sf_dir: str, name: str, builder) -> DataFr
             os.rename(tmp, path)
         except OSError:
             if not os.path.exists(marker):
-                # corpse from a crashed pre-atomic writer: clear and retry
-                shutil.rmtree(path, ignore_errors=True)
+                # Corpse from a crashed pre-atomic writer. Never rmtree the
+                # published path in place (ADVICE r4 TOCTOU: a winner could
+                # rename a complete table there between the marker check and
+                # the rmtree, and we'd delete it mid-scan). rename is atomic:
+                # move the suspect aside first, and if it turns out to be a
+                # complete table (raced winner), put it straight back.
+                corpse = f"{path}.corpse-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+                try:
+                    os.rename(path, corpse)
+                except OSError:
+                    pass  # nothing there, or another racer owns it now
+                else:
+                    if os.path.exists(os.path.join(corpse, "_SUCCESS")):
+                        try:
+                            os.rename(corpse, path)  # raced winner: restore
+                        except OSError:
+                            shutil.rmtree(corpse, ignore_errors=True)
+                    else:
+                        shutil.rmtree(corpse, ignore_errors=True)
                 try:
                     os.rename(tmp, path)
                 except OSError:

@@ -1,0 +1,82 @@
+"""Lloyd-trained IVF centroids (VERDICT r4 asks #1 and #2): training
+buys recall at equal nprobe, the two-level assignment fast path is
+output-identical on the synth corpus, and empty clusters keep their
+previous centroid."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osm_poi_matchmaker_spark.operators import similarity as S
+from tests.conftest import SF_SMALL as SF
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def test_kmeans_recall_beats_modulo_seeds(spark):
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    exact = S.brute_force_topk(q, emb).persist()
+    base = S.ann_recall(exact, S.ivf_topk(q, emb, nprobe=2), "ivf")
+    cents = S.kmeans_centroids(emb, dim=64, centroid_mod=100, iters=3)
+    trained = S.ann_recall(
+        exact, S.ivf_topk(q, emb, nprobe=2, cents=cents), "ivf_kmeans"
+    )
+    r_base = base.agg(F.avg("recall")).collect()[0][0]
+    r_trained = trained.agg(F.avg("recall")).collect()[0][0]
+    assert r_trained > r_base, (r_trained, r_base)
+    exact.unpersist()
+
+
+def test_two_level_assignment_identical(spark):
+    """The build-cost fast path (super-first routing) must produce the
+    exact flat-assignment output on the synth corpus — the evidence that
+    licenses it at scale (oracle pins the flat path)."""
+    emb = _emb(spark)
+    cents = S.kmeans_centroids(emb, dim=64, centroid_mod=100, iters=3)
+    flat = S._assign_to_centroids(emb, cents, "vec_id", "embedding").select(
+        "vid", "centroid_id"
+    )
+    two = S.assign_two_level(emb, cents).select("vid", "centroid_id")
+    assert flat.exceptAll(two).count() == 0
+    assert two.exceptAll(flat).count() == 0
+
+
+def test_kmeans_two_level_training_identical(spark):
+    """kmeans_centroids(two_level=True) trains to the same centroids."""
+    emb = _emb(spark)
+    a = S.kmeans_centroids(emb, dim=64, centroid_mod=100, iters=3)
+    b = S.kmeans_centroids(
+        emb, dim=64, centroid_mod=100, iters=3, two_level=True
+    )
+    rows_a = {r["centroid_id"]: r["cent_vec"] for r in a.collect()}
+    rows_b = {r["centroid_id"]: r["cent_vec"] for r in b.collect()}
+    assert rows_a == rows_b
+
+
+def test_kmeans_empty_cluster_keeps_seed(spark):
+    """A centroid that attracts no vectors must survive unchanged (left
+    join + coalesce), not vanish or go NULL. Corpus: two tight clusters
+    on orthogonal directions (seeds 1 and 101) plus seed 201 pointing
+    the opposite way from everything — every vector has strictly
+    negative cosine to it, so its cluster is empty in every round."""
+    a = [1.0] * 16 + [0.0] * 48
+    b = [0.0] * 48 + [1.0] * 16
+    c = [-1.0] * 64
+    rows = (
+        [(1, a), (101, b), (201, c)]
+        + [(10 + i, [v * (1.0 + 0.1 * (i + 1)) for v in a]) for i in range(3)]
+        + [(110 + i, [v * (1.0 + 0.1 * (i + 1)) for v in b]) for i in range(3)]
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = S.kmeans_centroids(df, dim=64, centroid_mod=100, iters=3)
+    got = {r["centroid_id"]: r["cent_vec"] for r in cents.collect()}
+    assert set(got) == {1, 101, 201}
+    assert got[201] == c  # empty cluster: seed carried through
+    assert got[1] != a  # non-empty cluster: mean moved

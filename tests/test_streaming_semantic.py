@@ -62,3 +62,29 @@ def test_stream_semantic_probe_matches_batch(spark, tmp_path):
         max_files_per_trigger=1,
     )
     assert spark.read.parquet(out_dir).count() == len(want)
+
+
+def test_empty_corpus_contract_pinned(spark, tmp_path):
+    """Empty-corpus contract of both twins (VERDICT r4 ask #3): the batch
+    probe returns zero rows when no centroid exists, and the streaming
+    twin refuses to start rather than silently emitting NULL-centroid
+    verdicts for every arriving vector."""
+    import pytest
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    batch = emb.limit(4)
+    empty_corpus = emb.where(F.lit(False))
+
+    assert semantic_index_probe(empty_corpus, batch).count() == 0
+
+    with pytest.raises(ValueError, match="no centroids"):
+        semantic_probe_stream(
+            spark,
+            str(tmp_path / "in"),
+            batch.schema,
+            empty_corpus,
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )

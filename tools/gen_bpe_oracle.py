@@ -26,6 +26,7 @@ import collections
 import hashlib
 import json
 import pathlib
+import re
 
 import duckdb
 
@@ -93,9 +94,18 @@ def pin(sf_dir: str) -> dict:
     sig = con.execute(
         f"SELECT sum(length(text)) FROM read_parquet('{sf_dir}/documents.parquet')"
     ).fetchone()[0]
+    # Tokenization contract with the Spark learner (operators/bpe.py):
+    # split on ASCII \s+ (re.ASCII mirrors Java regex's default ASCII \s,
+    # where str.split() would also eat Unicode whitespace) and plain
+    # lower() (matches F.lower for ASCII; any locale-sensitive cased
+    # char outside ASCII is outside this contract — the synth corpus is
+    # ASCII-only, guarded by the corpus signature below). ADVICE r4.
+    def words(text: str) -> list[str]:
+        return re.split(r"\s+", text.lower(), flags=re.ASCII)
+
     wc: collections.Counter = collections.Counter()
     for _, text in rows:
-        for w in text.lower().split():
+        for w in words(text):
             if w:
                 wc[w] += 1
     merges = learn(dict(wc), N_MERGES)
@@ -104,7 +114,7 @@ def pin(sf_dir: str) -> dict:
     docs = []
     for doc_id, text in rows:
         toks: list[str] = []
-        for w in text.lower().split():
+        for w in words(text):
             if w:
                 toks.extend(tok_cache[w])
         stream = " ".join(toks)
