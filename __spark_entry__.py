@@ -3091,6 +3091,20 @@ def _q_asset_decode_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     return color_decode_values(synth.pages(spark, sf_dir))
 
 
+def _q_asset_decode_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color-JPEG sampling layouts (VERDICT r4 ask #5): the 4:2:0 round
+    trip of asset_decode_color re-run per layout — 4:2:2 (horizontal
+    chroma pairs, 16×8 MCUs, 2 Y blocks per MCU) and 4:4:4 (no
+    subsample, 8×8 MCUs) alongside 4:2:0 — on the same MCU-constant
+    fixtures. Decoded constants are layout-invariant (a constant patch
+    survives any box-mean subsample exactly), so the shared closed-form
+    integer oracle pins all three entropy-stream geometries; odd ids
+    carry DRI/RSTn restart markers in every layout."""
+    from osm_poi_matchmaker_spark.operators.multimodal import color_layout_values
+
+    return color_layout_values(synth.pages(spark, sf_dir))
+
+
 def _q_poi_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13: row-identity hash of the extracted address key (sha256 twin of
     the reference's sha512 — same canonicalization, oracle-checkable)."""
@@ -3546,6 +3560,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_tag_merge": _q_brand_tag_merge,
         "asset_decode_real": _q_asset_decode_real,
         "asset_decode_color": _q_asset_decode_color,
+        "asset_decode_layouts": _q_asset_decode_layouts,
         "osm_xml_name_flags": _q_osm_xml_name_flags,
         "match_cascade": _q_match_cascade,
         # round-2 corpus-pipeline flagships — kept inside the driver's
@@ -6229,6 +6244,34 @@ FROM kept"""
             "  (8454144 - 11059*r0 - 21709*g0 + 32768*b0) // 65536 AS cb, "
             "  (8454144 + 32768*r0 - 27439*g0 - 5329*b0) // 65536 AS cr FROM v1) "
             "SELECT asset_id, CAST(channel AS INT) AS channel, CAST(mcu AS INT) AS mcu, "
+            "CAST(LEAST(GREATEST(CASE channel "
+            "  WHEN 0 THEN (65536*y + 91881*cr + 21826432) // 65536 - 512 "
+            "  WHEN 1 THEN (65536*y - 22554*cb - 46802*cr + 42464768) // 65536 - 512 "
+            "  ELSE (65536*y + 116130*cb + 18722560) // 65536 - 512 END, "
+            "0), 255) AS INT) AS val "
+            "FROM v2"
+        ),
+        # Same closed-form integer pipeline × the three sampling
+        # layouts: decoded constants are layout-invariant (constant
+        # patches survive any box-mean subsample exactly), so the
+        # oracle is the 4:2:0 math cross-joined with the layout list —
+        # while the Spark side decodes three genuinely different
+        # entropy streams per asset.
+        "asset_decode_layouts": (
+            f"{base}, ms AS (SELECT unnest(range(4)) AS mcu), "
+            "chs AS (SELECT unnest(range(3)) AS channel), "
+            "ls AS (SELECT unnest(['420', '422', '444']) AS layout), "
+            "v0 AS (SELECT p.page_id AS asset_id, ls.layout, ms.mcu, chs.channel, "
+            "  (p.page_id*31 + (ms.mcu//2)*13 + (ms.mcu%2)*7) AS rb "
+            "  FROM pages p, ls, ms, chs), "
+            "v1 AS (SELECT asset_id, layout, mcu, channel, "
+            "  rb % 256 AS r0, (rb+57) % 256 AS g0, (rb+114) % 256 AS b0 FROM v0), "
+            "v2 AS (SELECT asset_id, layout, mcu, channel, "
+            "  (19595*r0 + 38470*g0 + 7471*b0 + 32768) // 65536 AS y, "
+            "  (8454144 - 11059*r0 - 21709*g0 + 32768*b0) // 65536 AS cb, "
+            "  (8454144 + 32768*r0 - 27439*g0 - 5329*b0) // 65536 AS cr FROM v1) "
+            "SELECT asset_id, layout, CAST(channel AS INT) AS channel, "
+            "CAST(mcu AS INT) AS mcu, "
             "CAST(LEAST(GREATEST(CASE channel "
             "  WHEN 0 THEN (65536*y + 91881*cr + 21826432) // 65536 - 512 "
             "  WHEN 1 THEN (65536*y - 22554*cb - 46802*cr + 42464768) // 65536 - 512 "

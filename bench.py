@@ -119,6 +119,17 @@ def main() -> None:
         pages_geo.unpersist(blocking=True)
         return timings, rows
 
+    # Window-quality stamp (VERDICT r4 ask #4): the same pure-CPU control
+    # scaling_bench.py runs around each leg, here run before and after the
+    # timed passes. This sandbox is a VM whose host speed drifts with
+    # neighbor load (measured up to ~50% between windows on identical
+    # code); control_drift carries that evidence INSIDE the bench JSON so
+    # a slow driver reading is distinguishable from a code regression
+    # without BENCH.md archaeology.
+    from scaling_bench import cpu_control
+
+    control_before = round(cpu_control(), 3)
+
     # Steady-state protocol (mirrors scaling_bench.py): one warmup pass pays
     # the per-JVM one-time costs — whole-stage-codegen compile + C2 JIT,
     # measured at ~8x the warm cost for the identical job — which amortize
@@ -135,6 +146,9 @@ def main() -> None:
                 timings[k] = v
         rows = r2
 
+    control_after = round(cpu_control(), 3)
+    drift = abs(control_after - control_before) / control_before
+
     total = round(sum(timings.values()), 3)
     match_sec = timings.get("match_cascade", total) or total
     result = {
@@ -147,6 +161,11 @@ def main() -> None:
         "pages": n_pages,
         "pages_per_sec_match": round(n_pages / match_sec, 1) if match_sec else None,
         "cpus": cpus,
+        "cpu_control_sec_per_worker": {
+            "before": control_before, "after": control_after
+        },
+        "control_drift": round(drift, 3),
+        "window_ok": drift < 0.10,
     }
     spark.stop()
     print(json.dumps(result))

@@ -731,29 +731,55 @@ def _write_coeff_block(
     return pred
 
 
-def encode_jpeg_color(rgb: np.ndarray, restart_interval: int = 0) -> bytes:
-    """uint8 (H,W,3) RGB → baseline JPEG, YCbCr 4:2:0, flat quant
-    tables, Annex K.3 luma+chroma Huffman tables. H and W must be
-    multiples of 16 (whole MCUs). ``restart_interval`` > 0 emits a DRI
-    segment and an RSTm marker every that many MCUs (all three DC
+_SAMPLING_LAYOUTS = {
+    # name -> (Y (h,v) factors, MCU pixel width, MCU pixel height)
+    "420": ((2, 2), 16, 16),
+    "422": ((2, 1), 16, 8),
+    "444": ((1, 1), 8, 8),
+}
+
+
+def encode_jpeg_color(
+    rgb: np.ndarray, restart_interval: int = 0, sampling: str = "420"
+) -> bytes:
+    """uint8 (H,W,3) RGB → baseline JPEG, YCbCr, flat quant tables,
+    Annex K.3 luma+chroma Huffman tables. ``sampling`` picks the chroma
+    layout — "420" (2×2 box-mean subsample, 16×16 MCU), "422"
+    (horizontal-pair mean, 16×8 MCU) or "444" (no subsample, 8×8 MCU)
+    — the three layouts real crawls contain (VERDICT r4 ask #5). H and
+    W must be multiples of the MCU size. ``restart_interval`` > 0 emits
+    a DRI segment and an RSTm marker every that many MCUs (all three DC
     predictors reset, byte-aligned)."""
     px = np.asarray(rgb, dtype=np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError("encode_jpeg_color expects (H, W, 3)")
+    if sampling not in _SAMPLING_LAYOUTS:
+        raise NotImplementedError(f"sampling layout {sampling!r}")
+    (yh, yv), mcu_w, mcu_h = _SAMPLING_LAYOUTS[sampling]
     h, w = px.shape[:2]
-    if h % 16 or w % 16:
+    if h % mcu_h or w % mcu_w:
         raise NotImplementedError(
-            "encode_jpeg_color: dimensions must be multiples of 16 (whole 4:2:0 MCUs)"
+            f"encode_jpeg_color: dimensions must be multiples of "
+            f"{mcu_w}x{mcu_h} (whole {sampling} MCUs)"
         )
     ycc = ycc_forward(px)
     yp = ycc[..., 0]
-    # 2×2 box-mean chroma subsample (rounded, integer)
-    cb = (
-        ycc[0::2, 0::2, 1] + ycc[0::2, 1::2, 1] + ycc[1::2, 0::2, 1] + ycc[1::2, 1::2, 1] + 2
-    ) // 4
-    cr = (
-        ycc[0::2, 0::2, 2] + ycc[0::2, 1::2, 2] + ycc[1::2, 0::2, 2] + ycc[1::2, 1::2, 2] + 2
-    ) // 4
+    # Chroma subsample (rounded integer box means along the subsampled
+    # axes; identity for 4:4:4).
+    if sampling == "420":
+        cb = (
+            ycc[0::2, 0::2, 1] + ycc[0::2, 1::2, 1]
+            + ycc[1::2, 0::2, 1] + ycc[1::2, 1::2, 1] + 2
+        ) // 4
+        cr = (
+            ycc[0::2, 0::2, 2] + ycc[0::2, 1::2, 2]
+            + ycc[1::2, 0::2, 2] + ycc[1::2, 1::2, 2] + 2
+        ) // 4
+    elif sampling == "422":
+        cb = (ycc[:, 0::2, 1] + ycc[:, 1::2, 1] + 1) // 2
+        cr = (ycc[:, 0::2, 2] + ycc[:, 1::2, 2] + 1) // 2
+    else:  # 444
+        cb, cr = ycc[..., 1], ycc[..., 2]
     dc_y = _huff_codes(_DC_BITS, _DC_VALS)
     ac_y = _huff_codes(_AC_BITS, _AC_VALS)
     dc_c = _huff_codes(_DC_BITS_C, _DC_VALS_C)
@@ -764,21 +790,22 @@ def encode_jpeg_color(rgb: np.ndarray, restart_interval: int = 0) -> bytes:
     yf = yp.astype(np.float64) - 128.0
     cbf = cb.astype(np.float64) - 128.0
     crf = cr.astype(np.float64) - 128.0
-    for my in range(0, h, 16):
-        for mx in range(0, w, 16):
+    for my in range(0, h, mcu_h):
+        for mx in range(0, w, mcu_w):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw.restart(rst)
                 rst += 1
                 pred = [0, 0, 0]
             mcu += 1
-            # MCU: 4 Y blocks raster order, then Cb, then Cr
-            for dy in (0, 8):
-                for dx in (0, 8):
+            # MCU: yv×yh Y blocks raster order, then Cb, then Cr
+            for by in range(yv):
+                for bx in range(yh):
+                    dy, dx = by * 8, bx * 8
                     pred[0] = _write_coeff_block(
                         bw, yf[my + dy : my + dy + 8, mx + dx : mx + dx + 8],
                         pred[0], dc_y, ac_y,
                     )
-            cy, cx = my // 2, mx // 2
+            cy, cx = my // yv, mx // yh
             pred[1] = _write_coeff_block(
                 bw, cbf[cy : cy + 8, cx : cx + 8], pred[1], dc_c, ac_c
             )
@@ -794,7 +821,7 @@ def encode_jpeg_color(rgb: np.ndarray, restart_interval: int = 0) -> bytes:
     qtab1 = bytes([0x01]) + bytes([1] * 64)
     sof = (
         struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x22, 0])  # Y: 2x2 sampling, quant table 0
+        + bytes([1, (yh << 4) | yv, 0])  # Y sampling, quant table 0
         + bytes([2, 0x11, 1])  # Cb: 1x1, quant table 1
         + bytes([3, 0x11, 1])  # Cr
     )
@@ -824,12 +851,13 @@ def encode_jpeg_color(rgb: np.ndarray, restart_interval: int = 0) -> bytes:
 
 
 def decode_jpeg_color(data: bytes) -> np.ndarray:
-    """Baseline JPEG → uint8 RGB (H,W,3). 3-component YCbCr 4:2:0
-    ((2,2)/(1,1)/(1,1) sampling) interleaved scan only; other layouts,
-    progressive and arithmetic coding raise; restart markers are
-    honored. Chroma
-    upsampling is 2× pixel replication (exact for the constant-MCU
-    oracle fixtures; standard fast path otherwise)."""
+    """Baseline JPEG → uint8 RGB (H,W,3). 3-component YCbCr interleaved
+    scans in the three layouts real crawls contain — 4:2:0
+    ((2,2)/(1,1)/(1,1)), 4:2:2 ((2,1)/(1,1)/(1,1)) and 4:4:4
+    ((1,1)/(1,1)/(1,1)); other layouts, progressive and arithmetic
+    coding raise; restart markers are honored. Chroma upsampling is
+    pixel replication along each subsampled axis (exact for the
+    constant-MCU oracle fixtures; standard fast path otherwise)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -875,8 +903,14 @@ def decode_jpeg_color(data: bytes) -> np.ndarray:
             for ci in range(3):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, samp, tq))
-            if [c[1] for c in comps] != [0x22, 0x11, 0x11]:
-                raise NotImplementedError("only 4:2:0 (2,2)/(1,1)/(1,1) sampling")
+            if [c[1] for c in comps] not in (
+                [0x22, 0x11, 0x11],  # 4:2:0
+                [0x21, 0x11, 0x11],  # 4:2:2
+                [0x11, 0x11, 0x11],  # 4:4:4
+            ):
+                raise NotImplementedError(
+                    "only 4:2:0 / 4:2:2 / 4:4:4 sampling layouts"
+                )
         elif marker == 0xC4:
             off = 0
             while off < len(body):
@@ -938,10 +972,18 @@ def decode_jpeg_color(data: bytes) -> np.ndarray:
         block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
         return np.clip(np.rint(block + 128.0), 0, 255).astype(np.int64), pred
 
-    mh, mw = (h + 15) // 16, (w + 15) // 16
-    yp = np.zeros((mh * 16, mw * 16), dtype=np.int64)
-    cbp = np.zeros((mh * 8, mw * 8), dtype=np.int64)
-    crp = np.zeros((mh * 8, mw * 8), dtype=np.int64)
+    # Generic MCU geometry from the per-component (h, v) factors
+    # (T.81 A.2.3): MCU covers 8·hmax × 8·vmax pixels; component i
+    # contributes vi×hi blocks per MCU in raster order.
+    samps = [((s >> 4) & 0xF, s & 0xF) for _, s, _ in comps]
+    hmax = max(hi for hi, _ in samps)
+    vmax = max(vi for _, vi in samps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mh, mw = (h + mcu_h - 1) // mcu_h, (w + mcu_w - 1) // mcu_w
+    planes = [
+        np.zeros((mh * 8 * vi, mw * 8 * hi), dtype=np.int64)
+        for hi, vi in samps
+    ]
     luts = []
     for cid, _samp, tq in comps:
         dsel, asel = scan_tabs[cid]
@@ -955,21 +997,23 @@ def decode_jpeg_color(data: bytes) -> np.ndarray:
                 rst += 1
                 pred = [0, 0, 0]
             mcu += 1
-            for dy in (0, 8):
-                for dx in (0, 8):
-                    blk, pred[0] = read_block(*luts[0], pred[0])
-                    yp[
-                        myi * 16 + dy : myi * 16 + dy + 8,
-                        mxi * 16 + dx : mxi * 16 + dx + 8,
-                    ] = blk
-            blk, pred[1] = read_block(*luts[1], pred[1])
-            cbp[myi * 8 : myi * 8 + 8, mxi * 8 : mxi * 8 + 8] = blk
-            blk, pred[2] = read_block(*luts[2], pred[2])
-            crp[myi * 8 : myi * 8 + 8, mxi * 8 : mxi * 8 + 8] = blk
-    # 2× replication upsample, crop, inverse integer color transform
-    cb_up = np.repeat(np.repeat(cbp, 2, axis=0), 2, axis=1)
-    cr_up = np.repeat(np.repeat(crp, 2, axis=0), 2, axis=1)
-    ycc = np.stack([yp[:h, :w], cb_up[:h, :w], cr_up[:h, :w]], axis=-1)
+            for ci, (hi, vi) in enumerate(samps):
+                for by in range(vi):
+                    for bx in range(hi):
+                        blk, pred[ci] = read_block(*luts[ci], pred[ci])
+                        y0 = (myi * vi + by) * 8
+                        x0 = (mxi * hi + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+    # Replication upsample along each subsampled axis, crop, inverse
+    # integer color transform.
+    ups = []
+    for (hi, vi), plane in zip(samps, planes):
+        if vmax // vi > 1:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        if hmax // hi > 1:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        ups.append(plane[:h, :w])
+    ycc = np.stack(ups, axis=-1)
     return ycc_inverse(ycc)
 
 
@@ -1113,6 +1157,64 @@ def color_decode_values(pages: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return pages.select("page_id").mapInPandas(run, COLOR_DECODE_SCHEMA)
+
+
+COLOR_LAYOUT_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("layout", T.StringType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("mcu", T.IntegerType()),
+        T.StructField("val", T.IntegerType()),
+    ]
+)
+
+
+def color_layout_values(pages: DataFrame) -> DataFrame:
+    """Sampling-layout driver query (VERDICT r4 ask #5): the
+    :func:`color_decode_values` round trip run per layout — 4:2:0,
+    4:2:2 and 4:4:4 — on the same MCU-constant fixture. A constant
+    16×16 patch is constant under every layout's chroma subsample, so
+    the decoded constants are LAYOUT-INVARIANT and the closed-form
+    integer oracle is shared; what differs per layout is the entire
+    entropy stream (MCU geometry, block interleave, subsample path),
+    so a wrong byte in any layout's codec path breaks exactly that
+    layout's rows. Odd ids exercise DRI/RSTn in every layout."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "asset_id": [], "layout": [], "channel": [], "mcu": [], "val": []
+            }
+            for aid in pdf["page_id"].to_numpy("int64"):
+                px = _jpeg_color_pixels(int(aid))
+                for layout in ("420", "422", "444"):
+                    payload = encode_jpeg_color(
+                        px,
+                        restart_interval=1 if aid % 2 else 0,
+                        sampling=layout,
+                    )
+                    dec = decode_jpeg_color(payload).astype(np.int64)
+                    for mi in range(2):
+                        for mj in range(2):
+                            patch = dec[
+                                mi * 16 : mi * 16 + 16, mj * 16 : mj * 16 + 16
+                            ]
+                            for c in range(3):
+                                plane = patch[:, :, c]
+                                v = (
+                                    int(plane[0, 0])
+                                    if (plane == plane[0, 0]).all()
+                                    else -1
+                                )
+                                rows["asset_id"].append(int(aid))
+                                rows["layout"].append(layout)
+                                rows["channel"].append(c)
+                                rows["mcu"].append(mi * 2 + mj)
+                                rows["val"].append(v)
+            yield pd.DataFrame(rows)
+
+    return pages.select("page_id").mapInPandas(run, COLOR_LAYOUT_SCHEMA)
 
 
 def media_payload(asset_id: int, kind: str) -> bytes:

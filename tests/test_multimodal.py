@@ -254,12 +254,15 @@ def test_jpeg_color_rejects_unsupported():
 
     rgb = np.zeros((32, 32, 3), dtype=np.uint8)
     data = bytearray(encode_jpeg_color(rgb))
-    # flip the Y sampling byte 0x22 -> 0x21 (4:2:2): unsupported layout
+    # flip the Y sampling byte 0x22 -> 0x12 ((1,2) vertical-only
+    # subsampling): a layout outside the supported 420/422/444 set
     i = bytes(data).find(b"\xff\xc0")
     assert data[i + 11] == 0x22  # SOF0 body: len(2) prec(1) h(2) w(2) n(1) id(1) samp
-    data[i + 11] = 0x21
+    data[i + 11] = 0x12
     with _pytest.raises(NotImplementedError):
         decode_jpeg_color(bytes(data))
+    with _pytest.raises(NotImplementedError):
+        encode_jpeg_color(rgb, sampling="411")
     # gray stream into the color decoder and vice versa: loud, not wrong
     with _pytest.raises(NotImplementedError):
         decode_jpeg_color(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
@@ -334,3 +337,79 @@ def test_jpeg_restart_markers_roundtrip():
     data[i + 1] = 0xD5  # wrong sequence number
     with _pytest.raises(ValueError):
         decode_jpeg(bytes(data))
+
+
+def test_jpeg_color_sampling_layouts():
+    """4:2:2 and 4:4:4 alongside 4:2:0 (round 5): MCU-constant fixtures
+    round-trip bit-exactly in every layout (with and without restart
+    markers), the SOF sampling byte matches the layout, and MCU-size
+    divisibility is enforced per layout."""
+    import numpy as np
+    import pytest as _pytest
+
+    from osm_poi_matchmaker_spark.operators.multimodal import (
+        _jpeg_color_pixels,
+        decode_jpeg_color,
+        encode_jpeg_color,
+        ycc_forward,
+        ycc_inverse,
+    )
+
+    px = _jpeg_color_pixels(9)
+    # The decode contract is exactness up to the fixed-point color
+    # transform round trip (±1 on some constants) — same comparison the
+    # asset_decode_color oracle makes.
+    want = ycc_inverse(ycc_forward(px))
+    sof_samp = {"420": 0x22, "422": 0x21, "444": 0x11}
+    for layout in ("420", "422", "444"):
+        for ri in (0, 1, 3):
+            data = encode_jpeg_color(px, restart_interval=ri, sampling=layout)
+            i = data.find(b"\xff\xc0")
+            assert data[i + 11] == sof_samp[layout]
+            out = decode_jpeg_color(data)
+            assert (out == want).all(), (layout, ri)
+    # streams genuinely differ per layout
+    streams = {
+        layout: encode_jpeg_color(px, sampling=layout)
+        for layout in ("420", "422", "444")
+    }
+    assert len(set(streams.values())) == 3
+    # 4:4:4 on non-constant content: only DCT rounding error remains
+    rng_img = (
+        np.arange(32 * 48 * 3, dtype=np.int64) * 2654435761 % 256
+    ).reshape(32, 48, 3).astype(np.uint8)
+    out = decode_jpeg_color(encode_jpeg_color(rng_img, sampling="444"))
+    assert np.abs(out.astype(int) - rng_img.astype(int)).max() <= 8
+    # divisibility per layout: 24x24 is whole 8x8 MCUs (444) but not 16x8
+    ok = np.zeros((24, 24, 3), dtype=np.uint8)
+    decode_jpeg_color(encode_jpeg_color(ok, sampling="444"))
+    with _pytest.raises(NotImplementedError):
+        encode_jpeg_color(ok, sampling="422")
+    with _pytest.raises(NotImplementedError):
+        encode_jpeg_color(ok, sampling="420")
+
+
+def test_color_layout_values_spark(spark):
+    from osm_poi_matchmaker_spark.operators.multimodal import (
+        _jpeg_color_pixels,
+        color_layout_values,
+        ycc_forward,
+        ycc_inverse,
+    )
+
+    pages = spark.createDataFrame([(i,) for i in range(4)], ["page_id"])
+    got = {
+        (r["asset_id"], r["layout"], r["channel"], r["mcu"]): r["val"]
+        for r in color_layout_values(pages).collect()
+    }
+    assert len(got) == 4 * 3 * 3 * 4
+    for a in range(4):
+        want = ycc_inverse(ycc_forward(_jpeg_color_pixels(a)))
+        for layout in ("420", "422", "444"):
+            for mi in range(2):
+                for mj in range(2):
+                    for c in range(3):
+                        assert (
+                            got[(a, layout, c, mi * 2 + mj)]
+                            == int(want[mi * 16, mj * 16, c])
+                        )
