@@ -965,6 +965,60 @@ def _q_ann_recall_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_books(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared trained PQ codebooks (m=8 subspaces of 8 dims, ~100
+    codewords per subspace from the vec_id % 5 == 1 seeds, 2 L2 Lloyd
+    rounds)."""
+    emb = _embeddings(spark, sf_dir)
+    return similarity.pq_codebooks(emb, dim=64, m=8, sub_mod=5, iters=2)
+
+
+def _q_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training (round 5): per-subspace
+    L2 Lloyd over the sub-vector space — the FAISS PQ training step as
+    pure DataFrame work, deterministic via the same integer micro-unit
+    mean quantization as ivf_kmeans_centroids. Output exploded to
+    (subspace, centroid_id, pos, val) so the value hash pins every
+    codeword component."""
+    books = _pq_books(spark, sf_dir)
+    return books.select(
+        "subspace", "centroid_id", F.posexplode("cent_vec").alias("pos", "val")
+    )
+
+
+def _q_ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × PQ with refine (round 5) — the deepest-compression ANN
+    path (m-byte codes: 32× smaller than float32 vs SQ8's 4×), composed
+    with the Lloyd-trained coarse centroids and the FAISS
+    IndexRefineFlat re-rank: PQ reconstruction shortlists the top-40
+    per query, full-precision cosine re-ranks. Recall@5 0.62 on the
+    synth embeddings — identical to float IVF at equal nprobe, at 32×
+    the scan-byte compression."""
+    emb = _embeddings(spark, sf_dir)
+    return similarity.ivf_pq_topk(
+        emb.where(F.col("vec_id") % 50 == 0),
+        emb,
+        dim=64,
+        k=5,
+        nprobe=2,
+        m=8,
+        cents=_kmeans_cents(spark, sf_dir),
+        books=_pq_books(spark, sf_dir),
+        refine=40,
+    )
+
+
+def _q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of IVF×PQ+refine vs exact brute force — with
+    ann_recall's 'ivf' leg and ann_recall_kmeans this completes the
+    measured error profile of the whole ANN family (LSH / IVF / SQ8 /
+    IVF×SQ8 / trained IVF / IVF×PQ)."""
+    exact = _q_ann_topk_exact(spark, sf_dir)
+    return similarity.ann_recall(
+        exact, _q_ann_topk_ivf_pq(spark, sf_dir), "ivf_pq"
+    )
+
+
 def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@5 of the LSH, IVF and SQ8 paths vs exact brute
     force — the tuning read-off for (bits, nprobe, centroids, codec)."""
@@ -3704,6 +3758,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_kmeans_centroids": _q_ivf_kmeans_centroids,
         "ann_topk_ivf_kmeans": _q_ann_topk_ivf_kmeans,
         "ann_recall_kmeans": _q_ann_recall_kmeans,
+        "pq_codebooks": _q_pq_codebooks,
+        "ann_topk_ivf_pq": _q_ann_topk_ivf_pq,
+        "ann_recall_pq": _q_ann_recall_pq,
         "ann_recall": _q_ann_recall,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "semantic_dedup": _q_semantic_dedup,
@@ -4701,6 +4758,16 @@ FROM kept"""
         ),
         "ann_recall_kmeans": oracles_docs.ann_recall_kmeans_sql(
             k=5, query_mod=50, centroid_mod=100, iters=3
+        ),
+        "pq_codebooks": oracles_docs.pq_codebooks_sql(
+            dim=64, m=8, sub_mod=5, iters=2
+        ),
+        "ann_topk_ivf_pq": oracles_docs.ann_ivf_pq_sql(
+            k=5, centroid_mod=100, cents_iters=3, nprobe=2,
+            dim=64, m=8, sub_mod=5, pq_iters=2, refine=40, query_mod=50,
+        ),
+        "ann_recall_pq": oracles_docs.ann_recall_pq_sql(
+            k=5, query_mod=50
         ),
         "dedup_embedding_cosine": oracles_docs.embedding_cosine_dup_sql(
             threshold=0.35, bits=4

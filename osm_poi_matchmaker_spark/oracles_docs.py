@@ -362,6 +362,179 @@ SELECT query_id, match_id, ROUND(cs, 6) AS cosine_sim, rank FROM (
 WHERE rank <= {k}"""
 
 
+_L2 = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "z -> (z[1] - z[2]) * (z[1] - z[2])))"
+)
+
+
+def _pq_books_ctes(dim: int, m: int, sub_mod: int, iters: int) -> str:
+    """CTE chain (no WITH; expects ``corpus(vec_id, v)``) ending in
+    ``books(subspace, centroid_id, cv)`` — per-subspace PQ codebooks,
+    twin of similarity.pq_codebooks: modulo-seeded sub-vectors, L2
+    Lloyd rounds with the integer micro-unit mean quantization, (asc
+    distance, asc centroid_id) assignment ties, empty codes keeping
+    their previous codeword."""
+    d0 = dim // m
+    sub = f"list_slice(c.v, b.subspace * {d0} + 1, b.subspace * {d0} + {d0})"
+    l2 = _L2.format(a=sub, b="b.cv")
+    ctes = [
+        f"""b0 AS (
+  SELECT s.s AS subspace, vec_id AS centroid_id,
+         list_slice(v, s.s * {d0} + 1, s.s * {d0} + {d0}) AS cv
+  FROM corpus, (SELECT unnest(range({m})) AS s) AS s
+  WHERE vec_id % {sub_mod} = 1)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""qa{i} AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT c.vec_id, b.subspace, b.centroid_id AS code,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id, b.subspace
+             ORDER BY ({l2}) ASC, b.centroid_id) AS r
+    FROM corpus c, b{i - 1} b)
+  WHERE r = 1)"""
+        )
+        ctes.append(
+            f"""qm{i} AS (
+  SELECT subspace, code, pos,
+         SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS qs, COUNT(*) AS n
+  FROM (SELECT a.subspace, a.code,
+               unnest(list_slice(c.v, a.subspace * {d0} + 1,
+                                 a.subspace * {d0} + {d0})) AS x,
+               generate_subscripts(list_slice(c.v, a.subspace * {d0} + 1,
+                                              a.subspace * {d0} + {d0}), 1) AS pos
+        FROM qa{i} a JOIN corpus c USING (vec_id))
+  GROUP BY 1, 2, 3)"""
+        )
+        ctes.append(
+            f"""b{i} AS (
+  SELECT b.subspace, b.centroid_id, COALESCE(nv.nv, b.cv) AS cv
+  FROM b{i - 1} b LEFT JOIN (
+    SELECT subspace, code AS centroid_id,
+           list(CAST(qs AS DOUBLE) / (1000000.0 * n) ORDER BY pos) AS nv
+    FROM qm{i} GROUP BY 1, 2) nv USING (subspace, centroid_id))"""
+        )
+    ctes.append(f"books AS (SELECT subspace, centroid_id, cv FROM b{iters})")
+    return ",\n".join(ctes)
+
+
+def pq_codebooks_sql(
+    dim: int = 64, m: int = 8, sub_mod: int = 5, iters: int = 2
+) -> str:
+    """Twin of the pq_codebooks registry query: trained per-subspace
+    codebooks exploded to (subspace, centroid_id, pos, val)."""
+    return f"""
+WITH corpus AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+{_pq_books_ctes(dim, m, sub_mod, iters)}
+SELECT CAST(subspace AS INT) AS subspace, centroid_id,
+       CAST(pos - 1 AS INT) AS pos, val FROM (
+  SELECT subspace, centroid_id, unnest(cv) AS val,
+         generate_subscripts(cv, 1) AS pos FROM books)"""
+
+
+def ann_ivf_pq_sql(
+    k: int = 5,
+    centroid_mod: int = 100,
+    cents_iters: int = 3,
+    nprobe: int = 2,
+    dim: int = 64,
+    m: int = 8,
+    sub_mod: int = 5,
+    pq_iters: int = 2,
+    refine: int = 40,
+    query_mod: int = 50,
+) -> str:
+    """Twin of ann_topk_ivf_pq — the full production composition:
+    Lloyd-trained coarse centroids (kmeans chain) × L2-Lloyd PQ
+    codebooks (books chain), PQ-code payload reconstructed as
+    concatenated sub-centroids for shortlist scoring, then the
+    IndexRefineFlat re-rank of the top-``refine`` with exact cosine."""
+    d0 = dim // m
+    sub = f"list_slice(c.v, b.subspace * {d0} + 1, b.subspace * {d0} + {d0})"
+    l2 = _L2.format(a=sub, b="b.cv")
+    cent_cos = (
+        f"({_DOT.format(a='v', b='cv')} / "
+        f"({_NORM.format(a='v')} * {_NORM.format(a='cv')}))"
+    )
+    recon_cos = (
+        f"({_DOT.format(a='qe', b='rv')} / "
+        f"({_NORM.format(a='qe')} * {_NORM.format(a='rv')}))"
+    )
+    exact_cos = (
+        f"({_DOT.format(a='qe', b='fv')} / "
+        f"({_NORM.format(a='qe')} * {_NORM.format(a='fv')}))"
+    )
+    return f"""
+WITH {_kmeans_cents_ctes(centroid_mod, cents_iters)},
+{_pq_books_ctes(dim, m, sub_mod, pq_iters)},
+pcode AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT c.vec_id, b.subspace, b.centroid_id AS code,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id, b.subspace
+             ORDER BY ({l2}) ASC, b.centroid_id) AS r
+    FROM corpus c, books b)
+  WHERE r = 1),
+precon AS (
+  SELECT p.vec_id, flatten(list(b.cv ORDER BY p.subspace)) AS rv
+  FROM pcode p JOIN books b
+    ON b.subspace = p.subspace AND b.centroid_id = p.code
+  GROUP BY p.vec_id),
+passigned AS (
+  SELECT a.match_id, a.centroid_id, precon.rv FROM (
+    SELECT match_id, centroid_id FROM (
+      SELECT c.vec_id AS match_id, cents.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id
+               ORDER BY ({cent_cos}) DESC, cents.centroid_id) AS arank
+      FROM (SELECT vec_id, v FROM corpus) c, cents)
+    WHERE arank = 1) a
+  JOIN precon ON precon.vec_id = a.match_id),
+pprobes AS (
+  SELECT query_id, qe, centroid_id FROM (
+    SELECT q.vec_id AS query_id, q.v AS qe, cents.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ({cent_cos}) DESC, cents.centroid_id) AS prank
+    FROM (SELECT vec_id, v FROM corpus
+          WHERE vec_id % {query_mod} = 0) q, cents)
+  WHERE prank <= {nprobe}),
+ps AS (SELECT query_id, match_id, qe, {recon_cos} AS cs
+       FROM passigned JOIN pprobes USING (centroid_id)
+       WHERE query_id <> match_id),
+shortlist AS (
+  SELECT query_id, match_id, qe FROM (
+    SELECT query_id, match_id, qe,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cs DESC, match_id) AS rr
+    FROM ps)
+  WHERE rr <= {refine}),
+rescored AS (
+  SELECT s.query_id, s.match_id, {exact_cos} AS cs
+  FROM (SELECT query_id, match_id, qe FROM shortlist) s
+  JOIN (SELECT vec_id, v AS fv FROM corpus) c ON c.vec_id = s.match_id)
+SELECT query_id, match_id, ROUND(cs, 6) AS cosine_sim, rank FROM (
+  SELECT query_id, match_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
+  FROM rescored)
+WHERE rank <= {k}"""
+
+
+def ann_recall_pq_sql(k: int = 5, query_mod: int = 50) -> str:
+    """Twin of ann_recall_pq: recall@k of IVF×PQ+refine vs the exact
+    top-k."""
+    return f"""
+SELECT ex.query_id, 'ivf_pq' AS method,
+       COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN ap.match_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       ROUND(CAST(SUM(CASE WHEN ap.match_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             / COUNT(*), 6) AS recall
+FROM ({ann_exact_sql(k=k, query_mod=query_mod)}) ex
+LEFT JOIN ({ann_ivf_pq_sql(k=k, query_mod=query_mod)}) ap
+  ON ex.query_id = ap.query_id AND ex.match_id = ap.match_id
+GROUP BY ex.query_id"""
+
+
 def ann_recall_kmeans_sql(
     k: int = 5, query_mod: int = 50, centroid_mod: int = 100, iters: int = 2
 ) -> str:

@@ -80,3 +80,53 @@ def test_kmeans_empty_cluster_keeps_seed(spark):
     assert set(got) == {1, 101, 201}
     assert got[201] == c  # empty cluster: seed carried through
     assert got[1] != a  # non-empty cluster: mean moved
+
+
+def test_pq_roundtrip_properties(spark):
+    """PQ structural properties: one codebook per subspace, codes are
+    valid codeword ids, empty codewords survive training, and the
+    refine step strictly improves (or matches) shortlist-only recall."""
+    emb = _emb(spark)
+    books = S.pq_codebooks(emb, dim=64, m=8, sub_mod=5, iters=2)
+    rows = books.collect()
+    subs = {r["subspace"] for r in rows}
+    assert subs == set(range(8))
+    per_sub = {s: {r["centroid_id"] for r in rows if r["subspace"] == s} for s in subs}
+    # every subspace keeps the full seed id set (empty codes survive)
+    seed_ids = {r["vec_id"] for r in emb.where("vec_id % 5 = 1").collect()}
+    for s in subs:
+        assert per_sub[s] == seed_ids
+    assert all(len(r["cent_vec"]) == 8 for r in rows)
+
+    coded = S.pq_encode(emb, books, dim=64, m=8)
+    crows = coded.select("vec_id", "codes").collect()
+    assert all(len(r["codes"]) == 8 for r in crows)
+    for r in crows[:50]:
+        assert all(c in seed_ids for c in r["codes"])
+
+
+def test_pq_refine_recovers_float_recall(spark):
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    exact = S.brute_force_topk(q, emb).persist()
+    cents = S.kmeans_centroids(emb, dim=64, centroid_mod=100, iters=3)
+    books = S.pq_codebooks(emb, dim=64, m=8, sub_mod=5, iters=2)
+
+    def recall(df):
+        return (
+            S.ann_recall(exact, df, "x").agg(F.avg("recall")).collect()[0][0]
+        )
+
+    r_short = recall(
+        S.ivf_pq_topk(q, emb, dim=64, nprobe=2, cents=cents, books=books)
+    )
+    r_refined = recall(
+        S.ivf_pq_topk(
+            q, emb, dim=64, nprobe=2, cents=cents, books=books, refine=40
+        )
+    )
+    r_float = recall(S.ivf_topk(q, emb, nprobe=2, cents=cents))
+    assert r_refined > r_short
+    # refine recovers the float-IVF ceiling at equal nprobe
+    assert abs(r_refined - r_float) < 1e-9, (r_refined, r_float)
+    exact.unpersist()
