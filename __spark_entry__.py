@@ -1019,6 +1019,31 @@ def _q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (round 5): each query only matches corpus
+    rows with its own ``label`` — the tenant/category predicate every
+    production vector store composes with ANN. The filter rides the
+    probe JOIN KEY (centroid_id, label) so non-matching candidates
+    never materialize (post-filtering an already-cut top-k under-fills
+    k); at 100 TB the corpus is bucketed by (label, centroid_id) and a
+    probe is a partition-pruned scan of one tenant's lists."""
+    emb = _embeddings(spark, sf_dir)
+    return similarity.ivf_topk_filtered(
+        emb.where(F.col("vec_id") % 50 == 0), emb, filter_col="label",
+        k=5, centroid_mod=100, nprobe=2,
+    )
+
+
+def _q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN self-join (round 5): top-5 neighbors for EVERY
+    vector through the IVF lists — N·nprobe·(N/K) scored pairs instead
+    of N², one shared nearest-list ranking feeding both join sides, a
+    single bucketed equi-join on centroid_id. The batch shape
+    semantic-dedup and recommendation backfills run at corpus scale."""
+    emb = _embeddings(spark, sf_dir)
+    return similarity.ivf_knn_join(emb, k=5, centroid_mod=100, nprobe=2)
+
+
 def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@5 of the LSH, IVF and SQ8 paths vs exact brute
     force — the tuning read-off for (bits, nprobe, centroids, codec)."""
@@ -3600,10 +3625,37 @@ _R4_WINDOW = [
     "fuzzy_street", "fuzzy_city", "match_lineage",
 ]
 
+# Round-5 window: the 9 new round-5 operators, every entry whose code
+# path was touched this round (BPE empty-doc left join, polygon_geometry
+# multi-ring guard, generalized color-JPEG decoder, cents-parameterized
+# IVF family), the flagship cascade + geospatial core, and a rotation of
+# entries last driver-checked in round 1.
+_R5_WINDOW = [
+    # round-5-new operators
+    "ivf_kmeans_centroids", "ann_topk_ivf_kmeans", "ann_recall_kmeans",
+    "pq_codebooks", "ann_topk_ivf_pq", "ann_recall_pq",
+    "asset_decode_layouts", "ann_topk_filtered", "ann_knn_join",
+    # code paths touched in round 5 — re-verify
+    "bpe_merges", "bpe_tokenize", "asset_decode_color",
+    "asset_decode_real", "district_geometry", "enclave_geometry",
+    "ann_topk_exact", "ann_topk_lsh", "ann_topk_ivf", "ann_topk_sq8",
+    "ann_topk_ivf_sq8", "ann_recall", "semantic_dedup", "semantic_probe",
+    "dedup_embedding_cosine",
+    # flagship cascade + geospatial core
+    "match_cascade", "match_cascade_bounded", "match_cascade_planet",
+    "knn_nearest", "geotag_extract", "cell_assign", "cell_histogram",
+    "pip_postcode", "pip_city", "pip_district", "pip_enclave",
+    "building_relocation", "fuzzy_street", "fuzzy_city", "match_lineage",
+    # rotation: last driver-checked in round 1
+    "way_nodes", "relation_members", "osm_xml_render", "geojson_render",
+    "opening_hours_compile", "hu_address_extract", "hu_address_parse",
+    "scalar_cleaners", "poi_hash", "osm_timestamps", "export_slices",
+]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
-    ordered = {k: q[k] for k in _R4_WINDOW}
+    ordered = {k: q[k] for k in _R5_WINDOW}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
 
@@ -3761,6 +3813,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codebooks": _q_pq_codebooks,
         "ann_topk_ivf_pq": _q_ann_topk_ivf_pq,
         "ann_recall_pq": _q_ann_recall_pq,
+        "ann_topk_filtered": _q_ann_topk_filtered,
+        "ann_knn_join": _q_ann_knn_join,
         "ann_recall": _q_ann_recall,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "semantic_dedup": _q_semantic_dedup,
@@ -4768,6 +4822,12 @@ FROM kept"""
         ),
         "ann_recall_pq": oracles_docs.ann_recall_pq_sql(
             k=5, query_mod=50
+        ),
+        "ann_topk_filtered": oracles_docs.ann_ivf_filtered_sql(
+            k=5, centroid_mod=100, nprobe=2, query_mod=50
+        ),
+        "ann_knn_join": oracles_docs.ann_knn_join_sql(
+            k=5, centroid_mod=100, nprobe=2
         ),
         "dedup_embedding_cosine": oracles_docs.embedding_cosine_dup_sql(
             threshold=0.35, bits=4

@@ -692,6 +692,139 @@ def ivf_sq8_topk(
     )
 
 
+def ivf_topk_filtered(
+    queries: DataFrame,
+    corpus: DataFrame,
+    filter_col: str = "label",
+    k: int = 5,
+    centroid_mod: int = 100,
+    nprobe: int = 2,
+    query_key: str = "vec_id",
+    corpus_key: str = "vec_id",
+    vec: str = "embedding",
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """FILTERED vector search (round 5): :func:`ivf_topk` with a
+    metadata equality predicate — each query only matches corpus rows
+    sharing its ``filter_col`` value (the tenant/language/category
+    filter every production vector store bolts onto ANN). The filter
+    rides the probe JOIN KEY — (centroid_id, filter value) — so
+    non-matching candidates never materialize, rather than being
+    post-filtered out of an already-scored top-k (post-filtering
+    under-fills k whenever the filter is selective).
+
+    Centroids stay global (the standard single-index design); at
+    100 TB the corpus is written bucketed by (filter_col, centroid_id)
+    and a filtered probe is a partition-pruned scan of one tenant's
+    lists. Returns (query_id, match_id, cosine_sim, rank) — per-query
+    rows can be fewer than k when the filtered list slice is small,
+    which is the correct semantics.
+    """
+    if cents is None:
+        cents = corpus.where(F.col(corpus_key) % centroid_mod == 1).select(
+            F.col(corpus_key).alias("centroid_id"), F.col(vec).alias("cent_vec")
+        )
+    c = corpus.select(
+        F.col(corpus_key).alias("match_id"),
+        F.col(vec).alias("c_vec"),
+        F.col(filter_col).alias("_fv"),
+    )
+    w_assign = Window.partitionBy("match_id").orderBy(
+        F.desc("cent_sim"), F.asc("centroid_id")
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("cent_sim", cosine(F.col("c_vec"), F.col("cent_vec")))
+        .withColumn("arank", F.row_number().over(w_assign))
+        .where(F.col("arank") == 1)
+        .select("match_id", "c_vec", "_fv", "centroid_id")
+    )
+    q = queries.select(
+        F.col(query_key).alias("query_id"),
+        F.col(vec).alias("q_vec"),
+        F.col(filter_col).alias("_fv"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_sim"), F.asc("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("cent_sim", cosine(F.col("q_vec"), F.col("cent_vec")))
+        .withColumn("prank", F.row_number().over(w_probe))
+        .where(F.col("prank") <= nprobe)
+        .select("query_id", "q_vec", "_fv", "centroid_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), ["centroid_id", "_fv"])
+        .where(F.col("query_id") != F.col("match_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "match_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+        )
+    )
+
+
+def ivf_knn_join(
+    vectors: DataFrame,
+    k: int = 5,
+    centroid_mod: int = 100,
+    nprobe: int = 2,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate kNN SELF-JOIN: top-k neighbors for EVERY vector, with
+    candidate generation through the IVF lists instead of all-pairs —
+    the batch shape semantic-dedup/recommendation backfills need (N×k
+    output from ~N·nprobe·(N/K) scored pairs instead of N²).
+
+    Both sides share ONE assignment pass; the probe side takes each
+    vector's ``nprobe`` nearest lists and the join is a bucketed
+    equi-join on ``centroid_id``. At 100 TB both sides read the same
+    (centroid_id)-bucketed table — co-located, no shuffle beyond the
+    ranking. Returns (query_id, match_id, cosine_sim, rank).
+    """
+    if cents is None:
+        cents = vectors.where(F.col(key) % centroid_mod == 1).select(
+            F.col(key).alias("centroid_id"), F.col(vec).alias("cent_vec")
+        )
+    v = vectors.select(F.col(key).alias("vid"), F.col(vec).alias("v"))
+    w_rank = Window.partitionBy("vid").orderBy(
+        F.desc("cent_sim"), F.asc("centroid_id")
+    )
+    ranked = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("cent_sim", cosine(F.col("v"), F.col("cent_vec")))
+        .withColumn("crank", F.row_number().over(w_rank))
+        .where(F.col("crank") <= nprobe)
+        .select("vid", "v", "centroid_id", "crank")
+    )
+    assigned = ranked.where(F.col("crank") == 1).select(
+        F.col("vid").alias("match_id"), F.col("v").alias("c_vec"), "centroid_id"
+    )
+    probes = ranked.select(
+        F.col("vid").alias("query_id"), F.col("v").alias("q_vec"), "centroid_id"
+    )
+    scored = (
+        assigned.join(probes, "centroid_id")
+        .where(F.col("query_id") != F.col("match_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "match_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+        )
+    )
+
+
 def _l2(a: Column, b: Column) -> Column:
     """Squared euclidean distance, element-ordered double fold (the PQ
     sub-assignment metric — FAISS PQ trains/assigns in L2)."""

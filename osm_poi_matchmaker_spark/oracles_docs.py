@@ -260,6 +260,74 @@ SELECT query_id, match_id, ROUND(cs, 6) AS cosine_sim, rank FROM (
 WHERE rank <= {k}"""
 
 
+def ann_ivf_filtered_sql(
+    k: int = 5, centroid_mod: int = 100, nprobe: int = 2, query_mod: int = 50
+) -> str:
+    """Twin of ann_topk_filtered: ann_ivf_sql with the label equality
+    predicate riding the probe join key."""
+    cent_cos = f"({_DOT.format(a='v', b='cv')} / ({_NORM.format(a='v')} * {_NORM.format(a='cv')}))"
+    cos = f"({_DOT.format(a='qe', b='ce')} / ({_NORM.format(a='qe')} * {_NORM.format(a='ce')}))"
+    return f"""
+WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+               WHERE vec_id % {centroid_mod} = 1),
+assigned AS (
+  SELECT match_id, ce, fv, centroid_id FROM (
+    SELECT c.vec_id AS match_id, c.embedding AS ce, c.label AS fv,
+           cents.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+             ORDER BY ({cent_cos}) DESC, cents.centroid_id) AS arank
+    FROM (SELECT vec_id, embedding, label, embedding AS v FROM embeddings) c, cents)
+  WHERE arank = 1),
+probes AS (
+  SELECT query_id, qe, fv, centroid_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qe, q.label AS fv,
+           cents.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ({cent_cos}) DESC, cents.centroid_id) AS prank
+    FROM (SELECT vec_id, embedding, label, embedding AS v FROM embeddings
+          WHERE vec_id % {query_mod} = 0) q, cents)
+  WHERE prank <= {nprobe}),
+s AS (SELECT query_id, match_id, {cos} AS cs
+      FROM assigned JOIN probes USING (centroid_id, fv)
+      WHERE query_id <> match_id)
+SELECT query_id, match_id, ROUND(cs, 6) AS cosine_sim, rank FROM (
+  SELECT query_id, match_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
+  FROM s)
+WHERE rank <= {k}"""
+
+
+def ann_knn_join_sql(
+    k: int = 5, centroid_mod: int = 100, nprobe: int = 2
+) -> str:
+    """Twin of ann_knn_join: every vector is a query; one shared
+    nearest-list ranking feeds both the assignment (rank 1) and the
+    probe side (rank ≤ nprobe)."""
+    cent_cos = f"({_DOT.format(a='v', b='cv')} / ({_NORM.format(a='v')} * {_NORM.format(a='cv')}))"
+    cos = f"({_DOT.format(a='qe', b='ce')} / ({_NORM.format(a='qe')} * {_NORM.format(a='ce')}))"
+    return f"""
+WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+               WHERE vec_id % {centroid_mod} = 1),
+ranked AS (
+  SELECT vid, e, centroid_id, crank FROM (
+    SELECT c.vec_id AS vid, c.embedding AS e, cents.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+             ORDER BY ({cent_cos}) DESC, cents.centroid_id) AS crank
+    FROM (SELECT vec_id, embedding, embedding AS v FROM embeddings) c, cents)
+  WHERE crank <= {nprobe}),
+assigned AS (SELECT vid AS match_id, e AS ce, centroid_id
+             FROM ranked WHERE crank = 1),
+probes AS (SELECT vid AS query_id, e AS qe, centroid_id FROM ranked),
+s AS (SELECT query_id, match_id, {cos} AS cs
+      FROM assigned JOIN probes USING (centroid_id)
+      WHERE query_id <> match_id)
+SELECT query_id, match_id, ROUND(cs, 6) AS cosine_sim, rank FROM (
+  SELECT query_id, match_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
+  FROM s)
+WHERE rank <= {k}"""
+
+
 def _kmeans_cents_ctes(centroid_mod: int = 100, iters: int = 2) -> str:
     """CTE chain (no leading WITH) ending in ``cents(centroid_id, cv)`` —
     trained centroids, twin of similarity.kmeans_centroids: modulo seeds,

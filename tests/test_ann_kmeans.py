@@ -130,3 +130,44 @@ def test_pq_refine_recovers_float_recall(spark):
     # refine recovers the float-IVF ceiling at equal nprobe
     assert abs(r_refined - r_float) < 1e-9, (r_refined, r_float)
     exact.unpersist()
+
+
+def test_filtered_search_and_knn_join_semantics(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    got = S.ivf_topk_filtered(q, emb, filter_col="label").collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    assert got, "filtered search returned nothing"
+    for r in got:
+        assert labels[r["query_id"]] == labels[r["match_id"]]
+    # the filter must actually cut candidates vs the unfiltered probe
+    unfiltered = S.ivf_topk(
+        q.select("vec_id", "embedding"), emb.select("vec_id", "embedding")
+    ).collect()
+    assert {(r["query_id"], r["match_id"]) for r in got} != {
+        (r["query_id"], r["match_id"]) for r in unfiltered
+    }
+
+    # knn self-join: every vector appears as a query with <= k rows,
+    # and its rows agree with ivf_topk run with that vector as query
+    join_rows = S.ivf_knn_join(
+        emb.select("vec_id", "embedding"), k=3, nprobe=2
+    ).collect()
+    per_q = {}
+    for r in join_rows:
+        per_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["match_id"])
+        )
+    n_vec = emb.count()
+    assert len(per_q) == n_vec
+    assert all(len(v) <= 3 for v in per_q.values())
+    probe_one = S.ivf_topk(
+        emb.where(F.col("vec_id") == 0).select("vec_id", "embedding"),
+        emb.select("vec_id", "embedding"),
+        k=3,
+        nprobe=2,
+    ).collect()
+    want = sorted((r["rank"], r["match_id"]) for r in probe_one)
+    assert sorted(per_q[0]) == want
