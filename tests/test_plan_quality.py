@@ -242,3 +242,57 @@ def test_nearest_way_broadcast_candidates_no_cartesian(spark):
     plan = plan_of(entry_mod._q_nearest_way(spark, SF), mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pq_encode_is_row_local(spark):
+    """pq_encode's claim: encoding is a projection against the broadcast
+    codebook — the coded corpus must reach the output without any
+    shuffle exchange of corpus rows (broadcast exchanges of the one-row
+    codebook maps are expected and fine)."""
+    from osm_poi_matchmaker_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    books = S.pq_codebooks(emb, dim=64, m=8, sub_mod=5, iters=1)
+    books.count()  # settle the codebook so only the encode plan remains
+    plan = plan_of(S.pq_encode(emb, books, dim=64, m=8), mode="simple")
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            # codebook prep (groupBy subspace / one-row map agg) may
+            # shuffle its K*m rows; the CORPUS must not hash-shuffle
+            assert (
+                "Broadcast" in line
+                or "SinglePartition" in line
+                or "hashpartitioning(subspace" in line
+            ), line
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_two_level_assignment_corpus_side_no_shuffle(spark):
+    """assign_two_level's claim: routing and argmax are row-local; the
+    corpus never crosses a hash-partitioned exchange (centroid-table
+    prep may — it is ~sqrt(N) rows)."""
+    from pyspark.sql import functions as F
+
+    from osm_poi_matchmaker_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = emb.where(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cent_vec"),
+    )
+    out = S.assign_two_level(emb, cents)
+    plan = plan_of(out, mode="formatted")
+    # the embeddings scan feeds the output through projections and
+    # broadcast joins only: no scan-side hash exchange
+    simple = plan_of(out, mode="simple")
+    scan_lines = [
+        l for l in simple.splitlines() if "Scan parquet" in l
+    ]
+    assert scan_lines, "expected parquet scans"
+    assert "SortMergeJoin" not in simple
+    assert "CartesianProduct" not in simple
