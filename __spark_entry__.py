@@ -1044,6 +1044,31 @@ def _q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_knn_join(emb, k=5, centroid_mod=100, nprobe=2)
 
 
+def _q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health stats (round 5): per-list occupancy plus the
+    FAISS imbalance factor (Σsize²·K/N²) — probe cost scales with it,
+    and a mega-list here is the embedding-space twin of a mega-cell in
+    the tiling layer. The read-off that triggers salting/retraining
+    BEFORE a probe-latency regression does."""
+    emb = _embeddings(spark, sf_dir)
+    return similarity.ivf_index_stats(emb, centroid_mod=100)
+
+
+def _q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF ingest (round 5): the vec_id % 7 == 0 shard
+    arrives as a batch against the settled rest-of-corpus index —
+    assignment cost ∝ batch (broadcast centroids), the corpus is never
+    re-scanned; cent_sim is the routing confidence whose drift says
+    when to retrain. Completes the ingest-shape family
+    (lsh_index_probe / semantic_probe / ann_index_append)."""
+    emb = _embeddings(spark, sf_dir)
+    return similarity.ivf_index_append(
+        emb.where(F.col("vec_id") % 7 != 0),
+        emb.where(F.col("vec_id") % 7 == 0),
+        centroid_mod=100,
+    )
+
+
 def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@5 of the LSH, IVF and SQ8 paths vs exact brute
     force — the tuning read-off for (bits, nprobe, centroids, codec)."""
@@ -3635,6 +3660,7 @@ _R5_WINDOW = [
     "ivf_kmeans_centroids", "ann_topk_ivf_kmeans", "ann_recall_kmeans",
     "pq_codebooks", "ann_topk_ivf_pq", "ann_recall_pq",
     "asset_decode_layouts", "ann_topk_filtered", "ann_knn_join",
+    "ann_index_stats", "ann_index_append",
     # code paths touched in round 5 — re-verify
     "bpe_merges", "bpe_tokenize", "asset_decode_color",
     "asset_decode_real", "district_geometry", "enclave_geometry",
@@ -3649,7 +3675,7 @@ _R5_WINDOW = [
     # rotation: last driver-checked in round 1
     "way_nodes", "relation_members", "osm_xml_render", "geojson_render",
     "opening_hours_compile", "hu_address_extract", "hu_address_parse",
-    "scalar_cleaners", "poi_hash", "osm_timestamps", "export_slices",
+    "scalar_cleaners", "poi_hash",
 ]
 
 
@@ -3815,6 +3841,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_pq": _q_ann_recall_pq,
         "ann_topk_filtered": _q_ann_topk_filtered,
         "ann_knn_join": _q_ann_knn_join,
+        "ann_index_stats": _q_ann_index_stats,
+        "ann_index_append": _q_ann_index_append,
         "ann_recall": _q_ann_recall,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "semantic_dedup": _q_semantic_dedup,
@@ -4828,6 +4856,10 @@ FROM kept"""
         ),
         "ann_knn_join": oracles_docs.ann_knn_join_sql(
             k=5, centroid_mod=100, nprobe=2
+        ),
+        "ann_index_stats": oracles_docs.ivf_index_stats_sql(centroid_mod=100),
+        "ann_index_append": oracles_docs.ivf_index_append_sql(
+            centroid_mod=100, batch_mod=7
         ),
         "dedup_embedding_cosine": oracles_docs.embedding_cosine_dup_sql(
             threshold=0.35, bits=4

@@ -825,6 +825,91 @@ def ivf_knn_join(
     )
 
 
+def ivf_index_stats(
+    corpus: DataFrame,
+    centroid_mod: int = 100,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """Index-health read-off: per-list occupancy of the IVF layout plus
+    the imbalance factor FAISS reports (Σ size² · K / N² — 1.0 is
+    perfectly balanced; probe cost scales with it, since a query pays
+    the sizes of the lists it probes). Mega-lists are the embedding-
+    space twin of the tiling layer's mega-cells: this is the read-off
+    that says whether the salting/split treatment is needed BEFORE a
+    probe-latency regression does. One groupBy over the assignment —
+    partial-aggregated, K rows out.
+
+    Returns one row per centroid (centroid_id, list_size, pct_of_corpus,
+    imbalance_factor — the factor repeated per row so the frame stays a
+    plain per-list table).
+    """
+    if cents is None:
+        cents = corpus.where(F.col(key) % centroid_mod == 1).select(
+            F.col(key).alias("centroid_id"), F.col(vec).alias("cent_vec")
+        )
+    assigned = _assign_to_centroids(corpus, cents, key, vec)
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("list_size")
+    )
+    totals = sizes.agg(
+        F.sum("list_size").alias("_n"),
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(F.col("list_size") * F.col("list_size")).alias("_ss"),
+    )
+    return sizes.crossJoin(F.broadcast(totals)).select(
+        "centroid_id",
+        "list_size",
+        F.round(F.col("list_size") / F.col("_n"), 6).alias("pct_of_corpus"),
+        F.round(
+            F.col("_ss").cast("double") * F.col("_k") / (F.col("_n") * F.col("_n")),
+            6,
+        ).alias("imbalance_factor"),
+    )
+
+
+def ivf_index_append(
+    corpus: DataFrame,
+    batch: DataFrame,
+    centroid_mod: int = 100,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental IVF ingest: assign an arriving batch to the SETTLED
+    index's lists — centroids come from the corpus snapshot, cost is
+    proportional to the BATCH (|batch| × K cosines against broadcast
+    centroids), the corpus is never re-scanned or re-shuffled. The
+    ANN-family member of the ``lsh_index_probe`` /
+    ``semantic_index_probe`` ingest shape; at 100 TB the returned
+    assignments append straight into the (centroid_id)-bucketed list
+    table (a partition-local append — FAISS ``add`` semantics).
+
+    Returns (vec_id, centroid_id, cent_sim) — the list each new vector
+    joins and its similarity to that list's centroid (the routing
+    confidence; a batch full of low cent_sim rows is the drift signal
+    that says the centroids need retraining).
+    """
+    if cents is None:
+        cents = corpus.where(F.col(key) % centroid_mod == 1).select(
+            F.col(key).alias("centroid_id"), F.col(vec).alias("cent_vec")
+        )
+    w = Window.partitionBy("vid").orderBy(F.desc("cent_sim"), F.asc("centroid_id"))
+    return (
+        batch.select(F.col(key).alias("vid"), F.col(vec).alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cent_sim", cosine(F.col("v"), F.col("cent_vec")))
+        .withColumn("arank", F.row_number().over(w))
+        .where(F.col("arank") == 1)
+        .select(
+            F.col("vid").alias(key),
+            "centroid_id",
+            F.round("cent_sim", 6).alias("cent_sim"),
+        )
+    )
+
+
 def _l2(a: Column, b: Column) -> Column:
     """Squared euclidean distance, element-ordered double fold (the PQ
     sub-assignment metric — FAISS PQ trains/assigns in L2)."""

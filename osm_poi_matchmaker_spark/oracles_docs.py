@@ -260,6 +260,49 @@ SELECT query_id, match_id, ROUND(cs, 6) AS cosine_sim, rank FROM (
 WHERE rank <= {k}"""
 
 
+def ivf_index_stats_sql(centroid_mod: int = 100) -> str:
+    """Twin of ann_index_stats: per-list occupancy + the FAISS
+    imbalance factor (sum(size²)·K/N²)."""
+    cent_cos = f"({_DOT.format(a='v', b='cv')} / ({_NORM.format(a='v')} * {_NORM.format(a='cv')}))"
+    return f"""
+WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+               WHERE vec_id % {centroid_mod} = 1),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT c.vec_id, cents.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+             ORDER BY ({cent_cos}) DESC, cents.centroid_id) AS arank
+    FROM (SELECT vec_id, embedding, embedding AS v FROM embeddings) c, cents)
+  WHERE arank = 1),
+sizes AS (SELECT centroid_id, COUNT(*) AS list_size FROM assigned GROUP BY 1),
+tot AS (SELECT SUM(list_size) AS n, COUNT(*) AS k,
+               SUM(list_size * list_size) AS ss FROM sizes)
+SELECT centroid_id, list_size,
+       ROUND(list_size / n, 6) AS pct_of_corpus,
+       ROUND(CAST(ss AS DOUBLE) * k / (n * n), 6) AS imbalance_factor
+FROM sizes, tot"""
+
+
+def ivf_index_append_sql(
+    centroid_mod: int = 100, batch_mod: int = 7
+) -> str:
+    """Twin of ann_index_append with the batch carved as
+    vec_id % batch_mod == 0 and the corpus as the rest (the registry
+    convention for incremental-ingest fixtures)."""
+    cent_cos = f"({_DOT.format(a='v', b='cv')} / ({_NORM.format(a='v')} * {_NORM.format(a='cv')}))"
+    return f"""
+WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+               WHERE vec_id % {batch_mod} <> 0
+                 AND vec_id % {centroid_mod} = 1)
+SELECT vec_id, centroid_id, ROUND(cs, 6) AS cent_sim FROM (
+  SELECT b.vec_id, cents.centroid_id, ({cent_cos}) AS cs,
+         ROW_NUMBER() OVER (PARTITION BY b.vec_id
+           ORDER BY ({cent_cos}) DESC, cents.centroid_id) AS arank
+  FROM (SELECT vec_id, embedding, embedding AS v FROM embeddings
+        WHERE vec_id % {batch_mod} = 0) b, cents)
+WHERE arank = 1"""
+
+
 def ann_ivf_filtered_sql(
     k: int = 5, centroid_mod: int = 100, nprobe: int = 2, query_mod: int = 50
 ) -> str:

@@ -171,3 +171,31 @@ def test_filtered_search_and_knn_join_semantics(spark):
     ).collect()
     want = sorted((r["rank"], r["match_id"]) for r in probe_one)
     assert sorted(per_q[0]) == want
+
+
+def test_index_stats_and_append_semantics(spark):
+    emb = _emb(spark)
+    stats = S.ivf_index_stats(emb).collect()
+    n = emb.count()
+    assert sum(r["list_size"] for r in stats) == n
+    fac = {r["imbalance_factor"] for r in stats}
+    assert len(fac) == 1 and fac.pop() >= 1.0  # Cauchy-Schwarz floor
+
+    corpus = emb.where(F.col("vec_id") % 7 != 0)
+    batch = emb.where(F.col("vec_id") % 7 == 0)
+    out = S.ivf_index_append(corpus, batch).collect()
+    assert {r["vec_id"] for r in out} == {
+        r["vec_id"] for r in batch.collect()
+    }
+    # routing agrees with the settled index's own assignment rule
+    cents = corpus.where(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cent_vec"),
+    )
+    want = {
+        r["vid"]: r["centroid_id"]
+        for r in S._assign_to_centroids(
+            batch, cents, "vec_id", "embedding"
+        ).collect()
+    }
+    assert {r["vec_id"]: r["centroid_id"] for r in out} == want
