@@ -14,7 +14,11 @@ assignment with map-side max_by). Codebooks are trained with the
 production pq_codebooks (L2 Lloyd, two rounds).
 
 Usage: python3 jobs/ivf_pq_bench.py [n_vectors] [n_queries] [cpus] [nprobe]
-Prints ONE JSON line; paste into BENCH.md.
+                                    [train_mod]
+``train_mod`` > 1 trains the codebooks on the deterministic
+``vec_id % train_mod == 0`` subsample (FAISS practice — training cost
+drops by ~train_mod; the full corpus is encoded exactly once) instead
+of the full corpus. Prints ONE JSON line; paste into BENCH.md.
 """
 
 from __future__ import annotations
@@ -43,6 +47,7 @@ def main() -> None:
         os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
     nprobe = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    train_mod = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     dim = 64
     m = 8
     d0 = dim // m
@@ -121,8 +126,18 @@ def main() -> None:
 
     # ---- PQ codebooks (production trainer) + coded list table ----
     t0 = time.time()
+    if train_mod > 1:
+        # Prefix subsample, not a modulo class: a modulo-class subsample
+        # can be residue-incompatible with the seed rule (% sub_mod == 1
+        # selects odd ids; % 10 == 0 selects even — empty intersection,
+        # now a loud ValueError in pq_codebooks). The corpus is
+        # hash-generated, so a prefix is as unbiased as any slice.
+        train = corpus.where(F.col("vec_id") < n // train_mod)
+        sub_mod_t = max(2, (n // train_mod) // 240)
+    else:
+        train, sub_mod_t = corpus, sub_mod
     books = similarity.pq_codebooks(
-        corpus, dim=dim, m=m, sub_mod=sub_mod, iters=2
+        train, dim=dim, m=m, sub_mod=sub_mod_t, iters=2
     )
     n_codewords = books.count() // m
     coded = similarity.pq_encode(corpus, books, dim=dim, m=m)
@@ -276,6 +291,7 @@ def main() -> None:
                 "n_codewords_per_subspace": n_codewords,
                 "nprobe": nprobe,
                 "refine": refine,
+                "train_mod": train_mod,
                 "assign_sec": round(t_assign, 1),
                 "build_sec": round(t_build, 1),
                 "bytes_float32": bytes_float,

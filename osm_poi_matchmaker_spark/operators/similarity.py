@@ -958,6 +958,15 @@ def pq_codebooks(
     seeds = corpus.where(F.col(key) % sub_mod == 1).select(
         F.col(key).alias("centroid_id"), _to_double(F.col(vec)).alias("_v")
     )
+    if not seeds.limit(1).take(1):
+        # An empty seed set would propagate as NULL codes and silently
+        # garbage every downstream score (seen when a training subsample's
+        # id residues don't intersect `% sub_mod == 1`). Fail loudly —
+        # same contract as the streaming twins' empty-corpus refusal.
+        raise ValueError(
+            f"pq_codebooks: no seed rows ({key} % {sub_mod} == 1 selects "
+            "none of the training corpus) — check the subsample scheme"
+        )
     books = seeds.select(
         "centroid_id",
         F.explode(
