@@ -1044,6 +1044,29 @@ def _q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_knn_join(emb, k=5, centroid_mod=100, nprobe=2)
 
 
+def _q_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe tuning curve (round 5): IVF recall@5 at nprobe 1 / 2 /
+    4 in one frame — the read-off that picks the probe budget (recall
+    rises with nprobe, probe cost rises linearly; the knee is the
+    setting). Each leg shares the exact frame; method names carry the
+    nprobe."""
+    emb = _embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    exact = _q_ann_topk_exact(spark, sf_dir)
+    legs = [
+        similarity.ann_recall(
+            exact,
+            similarity.ivf_topk(q, emb, k=5, centroid_mod=100, nprobe=p),
+            f"ivf_nprobe_{p}",
+        )
+        for p in (1, 2, 4)
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out
+
+
 def _q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index-health stats (round 5): per-list occupancy plus the
     FAISS imbalance factor (Σsize²·K/N²) — probe cost scales with it,
@@ -3843,6 +3866,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn_join": _q_ann_knn_join,
         "ann_index_stats": _q_ann_index_stats,
         "ann_index_append": _q_ann_index_append,
+        "ann_nprobe_curve": _q_ann_nprobe_curve,
         "ann_recall": _q_ann_recall,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "semantic_dedup": _q_semantic_dedup,
@@ -4858,6 +4882,9 @@ FROM kept"""
             k=5, centroid_mod=100, nprobe=2
         ),
         "ann_index_stats": oracles_docs.ivf_index_stats_sql(centroid_mod=100),
+        "ann_nprobe_curve": oracles_docs.ann_nprobe_curve_sql(
+            k=5, query_mod=50, centroid_mod=100
+        ),
         "ann_index_append": oracles_docs.ivf_index_append_sql(
             centroid_mod=100, batch_mod=7
         ),

@@ -631,6 +631,27 @@ SELECT query_id, match_id, ROUND(cs, 6) AS cosine_sim, rank FROM (
 WHERE rank <= {k}"""
 
 
+def ann_nprobe_curve_sql(
+    k: int = 5, query_mod: int = 50, centroid_mod: int = 100
+) -> str:
+    """Twin of ann_nprobe_curve: IVF recall@k at nprobe 1/2/4, one leg
+    per setting, method names carrying the nprobe."""
+    def leg(p: int) -> str:
+        return f"""
+SELECT ex.query_id, 'ivf_nprobe_{p}' AS method,
+       COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN ap.match_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       ROUND(CAST(SUM(CASE WHEN ap.match_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             / COUNT(*), 6) AS recall
+FROM ({ann_exact_sql(k=k, query_mod=query_mod)}) ex
+LEFT JOIN ({ann_ivf_sql(k=k, centroid_mod=centroid_mod, nprobe=p,
+                        query_mod=query_mod)}) ap
+  ON ex.query_id = ap.query_id AND ex.match_id = ap.match_id
+GROUP BY ex.query_id"""
+
+    return "\nUNION ALL\n".join(leg(p) for p in (1, 2, 4))
+
+
 def ann_recall_pq_sql(k: int = 5, query_mod: int = 50) -> str:
     """Twin of ann_recall_pq: recall@k of IVF×PQ+refine vs the exact
     top-k."""
